@@ -1,0 +1,68 @@
+"""Render configuration.
+
+The reference has no config files; configuration is runtime structs
+(SwapchainSettings, MSAA sample count, debug_value, Camera near/far —
+reference: renderer/src/renderer/swapchain.rs:16-19,
+examples/sandbox/src/main.rs:114-117). Here it is one frozen dataclass whose
+fields become static jit arguments: changing any of them recompiles the frame
+function (the analog of rebuilding Vulkan pipelines on resize,
+renderer/src/renderer/pipelines.rs:16-40).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    width: int = 1280
+    height: int = 720
+    msaa_samples: int = 1  # 1 or 4 (reference picks 4 when supported)
+
+    # Raster kernel tiling. A tile is the pixel block one Pallas grid step
+    # owns; (sublane, lane)-aligned so every edge-function evaluation is a
+    # native VPU op. tile_h x tile_w pixels, padded screen.
+    tile_h: int = 32
+    tile_w: int = 128
+    # Triangles are processed in vectorized chunks of this size inside the
+    # raster kernel (coverage for all chunk triangles evaluated at once).
+    tri_chunk: int = 8
+
+    # Capacity of the padded triangle stream (post setup/cull). Scenes are
+    # padded up to this; must be a multiple of tri_chunk.
+    max_triangles: int = 1 << 18
+
+    # Per-tile binning capacity (max triangles binned to one tile before
+    # overflow). 0 disables binning (every tile scans the whole stream).
+    bin_capacity: int = 0
+
+    @property
+    def padded_width(self) -> int:
+        return _round_up(self.width, self.tile_w)
+
+    @property
+    def padded_height(self) -> int:
+        return _round_up(self.height, self.tile_h)
+
+    @property
+    def tiles_x(self) -> int:
+        return self.padded_width // self.tile_w
+
+    @property
+    def tiles_y(self) -> int:
+        return self.padded_height // self.tile_h
+
+    def validate(self) -> "RenderConfig":
+        assert self.msaa_samples in (1, 4), "MSAA must be 1 or 4"
+        assert self.tile_w % 128 == 0, "tile_w must be lane-aligned (128)"
+        assert self.tile_h % 8 == 0, "tile_h must be sublane-aligned (8)"
+        assert self.max_triangles % self.tri_chunk == 0
+        return self
+
+    def with_resolution(self, width: int, height: int) -> "RenderConfig":
+        return replace(self, width=width, height=height)

@@ -1,0 +1,167 @@
+"""Host-side 3D math (numpy): quaternions, affine transforms, matrix helpers.
+
+These run on the host during scene building and animation evaluation — the
+per-frame cost is microseconds (matching the reference's ~20 µs CPU budget,
+reference: README.md:85-86). Device-side math lives in raster/ as jnp ops.
+
+Conventions: matrices are numpy float32 [4,4] acting on column vectors
+(clip = M @ [x, y, z, 1]^T); quaternions are [x, y, z, w] (glam order, since
+glTF stores them that way).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+IDENTITY = np.eye(4, dtype=np.float32)
+
+
+def normalize(v: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(v)
+    return v if n == 0.0 else v / n
+
+
+def quat_identity() -> np.ndarray:
+    return np.array([0.0, 0.0, 0.0, 1.0], dtype=np.float32)
+
+
+def quat_to_mat3(q: np.ndarray) -> np.ndarray:
+    """Rotation matrix from an [x, y, z, w] quaternion."""
+    x, y, z, w = (float(c) for c in q)
+    xx, yy, zz = x * x, y * y, z * z
+    xy, xz, yz = x * y, x * z, y * z
+    wx, wy, wz = w * x, w * y, w * z
+    return np.array(
+        [
+            [1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy)],
+            [2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx)],
+            [2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy)],
+        ],
+        dtype=np.float32,
+    )
+
+
+def quat_mul(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    ax, ay, az, aw = a
+    bx, by, bz, bw = b
+    return np.array(
+        [
+            aw * bx + ax * bw + ay * bz - az * by,
+            aw * by - ax * bz + ay * bw + az * bx,
+            aw * bz + ax * by - ay * bx + az * bw,
+            aw * bw - ax * bx - ay * by - az * bz,
+        ],
+        dtype=np.float32,
+    )
+
+
+def quat_from_axis_angle(axis: np.ndarray, angle: float) -> np.ndarray:
+    axis = normalize(np.asarray(axis, dtype=np.float32))
+    half = 0.5 * angle
+    s = np.sin(half)
+    return np.array([axis[0] * s, axis[1] * s, axis[2] * s, np.cos(half)], dtype=np.float32)
+
+
+def quat_slerp(a: np.ndarray, b: np.ndarray, t: float) -> np.ndarray:
+    """Shortest-path spherical interpolation (matches glam's Quat::slerp,
+    used by the reference's animation sampler, gltf/src/gltf_json.rs:263-286)."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    dot = float(np.dot(a, b))
+    if dot < 0.0:
+        b = -b
+        dot = -dot
+    if dot > 0.9995:
+        out = a + t * (b - a)
+        return (out / np.linalg.norm(out)).astype(np.float32)
+    theta = np.arccos(np.clip(dot, -1.0, 1.0))
+    s = np.sin(theta)
+    return ((np.sin((1.0 - t) * theta) / s) * a + (np.sin(t * theta) / s) * b).astype(np.float32)
+
+
+def lerp(a: np.ndarray, b: np.ndarray, t: float) -> np.ndarray:
+    return (np.asarray(a, np.float32) * (1.0 - t) + np.asarray(b, np.float32) * t).astype(np.float32)
+
+
+def trs(
+    translation: np.ndarray | None = None,
+    rotation: np.ndarray | None = None,
+    scale: np.ndarray | None = None,
+) -> np.ndarray:
+    """4x4 from translation [3], rotation quat [4], scale [3] (T * R * S)."""
+    m = np.eye(4, dtype=np.float32)
+    r = quat_to_mat3(rotation) if rotation is not None else np.eye(3, dtype=np.float32)
+    if scale is not None:
+        r = r * np.asarray(scale, dtype=np.float32)[None, :]
+    m[:3, :3] = r
+    if translation is not None:
+        m[:3, 3] = np.asarray(translation, dtype=np.float32)
+    return m
+
+
+def rotation_translation(rotation: np.ndarray, translation: np.ndarray) -> np.ndarray:
+    return trs(translation=translation, rotation=rotation)
+
+
+def affine_inverse(m: np.ndarray) -> np.ndarray:
+    """Inverse of an affine 4x4 (last row [0,0,0,1])."""
+    r_inv = np.linalg.inv(m[:3, :3].astype(np.float64))
+    out = np.eye(4, dtype=np.float64)
+    out[:3, :3] = r_inv
+    out[:3, 3] = -r_inv @ m[:3, 3].astype(np.float64)
+    return out.astype(np.float32)
+
+
+def normal_matrix(m: np.ndarray) -> np.ndarray:
+    """Inverse-transpose of the upper 3x3, used to transform normals.
+
+    Parity: the reference interleaves this with the model matrix in the
+    per-instance vertex stream (renderer/src/renderer.rs:219-235,
+    pipeline_parameters/vertex_buffers.rs:190-195)."""
+    return np.linalg.inv(m[:3, :3].astype(np.float64)).T.astype(np.float32)
+
+
+def look_at(eye: np.ndarray, target: np.ndarray, up: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Returns (position, orientation quat) for a camera looking from eye at
+    target, for a coordinate system whose forward/up match the arguments'
+    space. The orientation maps camera-local VULKAN axes (+X right, -Y up,
+    +Z forward) into world axes."""
+    eye = np.asarray(eye, dtype=np.float32)
+    fwd = normalize(np.asarray(target, dtype=np.float32) - eye)
+    up = normalize(np.asarray(up, dtype=np.float32))
+    right = normalize(np.cross(fwd, up))
+    true_up = np.cross(right, fwd)
+    # Camera basis in world space, as columns: right, -up (Vulkan +Y is down), forward.
+    basis = np.stack([right, -true_up, fwd], axis=1).astype(np.float32)
+    return eye, mat3_to_quat(basis)
+
+
+def mat3_to_quat(m: np.ndarray) -> np.ndarray:
+    """Quaternion [x,y,z,w] from a rotation matrix (Shepperd's method)."""
+    m = np.asarray(m, dtype=np.float64)
+    t = np.trace(m)
+    if t > 0:
+        s = np.sqrt(t + 1.0) * 2
+        w = 0.25 * s
+        x = (m[2, 1] - m[1, 2]) / s
+        y = (m[0, 2] - m[2, 0]) / s
+        z = (m[1, 0] - m[0, 1]) / s
+    elif m[0, 0] > m[1, 1] and m[0, 0] > m[2, 2]:
+        s = np.sqrt(1.0 + m[0, 0] - m[1, 1] - m[2, 2]) * 2
+        w = (m[2, 1] - m[1, 2]) / s
+        x = 0.25 * s
+        y = (m[0, 1] + m[1, 0]) / s
+        z = (m[0, 2] + m[2, 0]) / s
+    elif m[1, 1] > m[2, 2]:
+        s = np.sqrt(1.0 + m[1, 1] - m[0, 0] - m[2, 2]) * 2
+        w = (m[0, 2] - m[2, 0]) / s
+        x = (m[0, 1] + m[1, 0]) / s
+        y = 0.25 * s
+        z = (m[1, 2] + m[2, 1]) / s
+    else:
+        s = np.sqrt(1.0 + m[2, 2] - m[0, 0] - m[1, 1]) * 2
+        w = (m[1, 0] - m[0, 1]) / s
+        x = (m[0, 2] + m[2, 0]) / s
+        y = (m[1, 2] + m[2, 1]) / s
+        z = 0.25 * s
+    return np.array([x, y, z, w], dtype=np.float32)

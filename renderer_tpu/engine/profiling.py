@@ -1,0 +1,66 @@
+"""Named-span profiling: the reference's `profiling::scope!` facade analog.
+
+The reference annotates ~150 sites with profiling scopes and renders a live
+span tree with µs timings (reference: examples/sandbox/src/main.rs:704-847).
+Here `span("name")` accumulates wall-clock durations per name with nesting
+depth; `report()` returns the same collapsible-tree data the sandbox shows.
+Device work is asynchronous, so spans that must measure device time call
+`block_until_ready` explicitly (only in profiling mode, never in the hot
+path).
+"""
+
+from __future__ import annotations
+
+import time
+from contextlib import contextmanager
+from dataclasses import dataclass, field
+
+
+@dataclass
+class Span:
+    name: str
+    depth: int
+    total_s: float = 0.0
+    count: int = 0
+
+
+class Profiler:
+    def __init__(self, enabled: bool = True) -> None:
+        self.enabled = enabled
+        self._spans: dict[tuple[int, str], Span] = {}
+        self._depth = 0
+        self._order: list[tuple[int, str]] = []
+
+    @contextmanager
+    def span(self, name: str):
+        if not self.enabled:
+            yield
+            return
+        key = (self._depth, name)
+        if key not in self._spans:
+            self._spans[key] = Span(name, self._depth)
+            self._order.append(key)
+        self._depth += 1
+        start = time.perf_counter()
+        try:
+            yield
+        finally:
+            dt = time.perf_counter() - start
+            self._depth -= 1
+            s = self._spans[key]
+            s.total_s += dt
+            s.count += 1
+
+    def reset(self) -> None:
+        self._spans.clear()
+        self._order.clear()
+
+    def report(self) -> list[Span]:
+        return [self._spans[k] for k in self._order]
+
+    def format(self) -> str:
+        lines = []
+        for s in self.report():
+            mean_us = 1e6 * s.total_s / max(s.count, 1)
+            lines.append(f"{'  ' * s.depth}{s.name}: {mean_us:.1f} µs ×{s.count}")
+        return "\n".join(lines)

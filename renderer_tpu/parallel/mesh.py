@@ -1,0 +1,127 @@
+"""Multi-chip frame rendering over a jax.sharding.Mesh.
+
+The reference is strictly single-GPU (SURVEY.md §2.5); scaling here is a
+TPU-native addition. The natural decomposition for a tile rasterizer:
+
+- **tp (vertex parallel)**: the expanded vertex stream is sharded over
+  devices; each device transforms VE/n vertices, then the (small) clip/attr
+  arrays are `all_gather`ed over ICI so every device holds the full
+  post-transform vertex set.
+- **sp (screen parallel)**: the framebuffer is sharded by tile rows; raster,
+  deferred shading and tonemap run entirely on the local shard — no
+  communication. The final image is already sharded correctly for output.
+
+Both ride one mesh axis ("sp"); a leading batch axis ("dp", multiple
+cameras/frames) composes on top via vmap + an extra mesh dimension.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from renderer_tpu.core.config import RenderConfig
+from renderer_tpu.raster import post, raster_kernel, setup, shade, vertex_stage
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "sp") -> Mesh:
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    assert n <= len(devices), f"requested {n} devices, have {len(devices)}"
+    return Mesh(np.array(devices[:n]), (axis,))
+
+
+def render_frame_sharded(
+    geom: dict,
+    frame: dict,
+    materials: dict,
+    *,
+    config: RenderConfig,
+    mesh: Mesh,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """The full frame step under shard_map. Inputs are replicated (they are
+    small or needed everywhere); the returned u8 image is sharded by rows.
+    """
+    axis = mesh.axis_names[0]
+    n = mesh.shape[axis]
+    assert config.tiles_y % n == 0, (
+        f"tiles_y={config.tiles_y} must divide over {n} devices"
+    )
+    assert config.height % n == 0, f"height={config.height} must divide over {n} devices"
+    assert config.height == config.padded_height, (
+        "sharded rendering requires height to be a multiple of tile_h "
+        f"(height={config.height}, tile_h={config.tile_h})"
+    )
+    ve = geom["exp_src"].shape[0]
+    assert ve % n == 0
+
+    local_tiles_y = config.tiles_y // n
+    rows_per_dev = config.height // n
+
+    def step(geom, frame, materials):
+        i = jax.lax.axis_index(axis)
+
+        # -- tp: transform a vertex shard, all_gather the results ----------
+        per = ve // n
+        start = i * per
+        lgeom = dict(geom)
+        lgeom["exp_src"] = jax.lax.dynamic_slice_in_dim(geom["exp_src"], start, per)
+        lgeom["exp_draw"] = jax.lax.dynamic_slice_in_dim(geom["exp_draw"], start, per)
+        vs_local = vertex_stage.run_vertex_stage(lgeom, frame, skin_start=None)
+        vs = {
+            k: jax.lax.all_gather(v, axis, axis=0, tiled=True)
+            for k, v in vs_local.items()
+        }
+
+        # -- replicated, cheap: triangle setup over the full stream --------
+        tri_data = setup.triangle_setup(
+            vs["clip"], geom["tri_v"], frame["num_tris"], config.width, config.height
+        )
+
+        # -- sp: raster + shade + tonemap on this device's tile rows -------
+        tile_row0 = i * local_tiles_y
+        depth, trid = raster_kernel.rasterize(
+            tri_data,
+            frame["num_tris"],
+            tile_row_offset=tile_row0,
+            padded_height=local_tiles_y * config.tile_h,
+            padded_width=config.padded_width,
+            tile_h=config.tile_h,
+            tile_w=config.tile_w,
+            sub=config.tri_chunk,
+            interpret=interpret,
+        )
+        del depth
+        # This shard covers global rows [i·rows_per_dev, (i+1)·rows_per_dev);
+        # the raster shard covers [tile_row0·tile_h, …) — identical since
+        # height % n == 0 requires rows_per_dev == local_tiles_y·tile_h when
+        # height == padded_height; otherwise crop.
+        trid = trid[:rows_per_dev, : config.width]
+        hdr = shade.shade(
+            trid, geom, vs, frame, materials,
+            width=config.width, height=config.height,
+            row0=(i * rows_per_dev).astype(jnp.float32),
+        )
+        return post.tonemap(hdr[..., :3])
+
+    sharded = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=P(axis, None, None),
+        check_vma=False,
+    )
+    return sharded(geom, frame, materials)
+
+
+def jit_sharded_frame(config: RenderConfig, mesh: Mesh, interpret: bool = False):
+    return jax.jit(
+        functools.partial(
+            render_frame_sharded, config=config, mesh=mesh, interpret=interpret
+        )
+    )

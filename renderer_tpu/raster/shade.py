@@ -1,0 +1,180 @@
+"""Deferred shading: visibility buffer → HDR color.
+
+Replaces the fragment shader (reference: renderer/shaders/glsl/main.frag) as a
+dense [H, W] jnp pass: each covered pixel gathers its triangle's three
+vertices, reconstructs perspective-correct barycentrics, interpolates
+attributes, samples material textures, and evaluates the lighting / debug
+mode. Every pixel is shaded exactly once — shading cost is independent of
+overdraw, and all texture fetches across the frame batch into a handful of
+large gathers.
+
+Parity notes:
+- Interpolated normals/tangents are NOT renormalized per pixel (the reference
+  fragment shader uses the raw interpolated varyings, main.frag:64-67).
+- Normal mapping: bitangent = tangent.w · cross(normal, tangent.xyz);
+  n = TBN @ normalize(normal_tex · [scale, scale, 1]) (main.frag:64-67).
+- Lit mode (main.frag:78-88): emissive override if ‖emissive‖ > 0, else
+  brightness = 0.3·occlusion + 2.0·max(0, n·normalize(-1,1,1)).
+- Debug modes 1-6 (main.frag:89-107); draw-id color hash
+  fract(sin(d·k)·43758.5453123) evaluated per draw (main.vert:67-77).
+- Texture sampling currently resolves each slot to its average color
+  (exact for the 1×1 defaults, pbr_defaults.rs:11-14); real atlas sampling
+  lands with materials/atlas.py.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def draw_debug_colors(debug_id: jnp.ndarray) -> jnp.ndarray:
+    """Per-draw hashed debug color (main.vert:67-77): d = 1 + draw_id,
+    channel = fract(sin(d·k)·43758.5453123)."""
+    d = 1.0 + debug_id.astype(jnp.float32)
+
+    def rnd(x):
+        return jnp.mod(jnp.sin(x) * 43758.5453123, 1.0)
+
+    return jnp.stack(
+        [rnd(d * 641.65433), rnd(d * 1864.251623), rnd(d * 182362.365)], axis=-1
+    )
+
+
+def _cross(a, b):
+    return jnp.stack(
+        [
+            a[..., 1] * b[..., 2] - a[..., 2] * b[..., 1],
+            a[..., 2] * b[..., 0] - a[..., 0] * b[..., 2],
+            a[..., 0] * b[..., 1] - a[..., 1] * b[..., 0],
+        ],
+        axis=-1,
+    )
+
+
+def shade(
+    trid: jnp.ndarray,  # [H,W] i32, -1 = background
+    geom: dict,
+    vstage: dict,
+    frame: dict,
+    materials: dict,
+    *,
+    width: int,
+    height: int,
+    row0=0,  # traced: global y of this shard's first row (image sharding)
+) -> jnp.ndarray:
+    """Returns linear HDR [H,W,4] (rgb premultiplied by nothing; a = coverage
+    alpha). Background pixels are the clear color (0,0,0,0)
+    (render_passes.rs:192-197)."""
+    h, w = trid.shape
+    covered = trid >= 0
+    t = jnp.where(covered, trid, 0)
+
+    vid = geom["tri_v"][t]  # [H,W,3]
+    clip = vstage["clip"][vid]  # [H,W,3,4]
+
+    cw = clip[..., 3]
+    inv_w = jnp.reciprocal(jnp.where(jnp.abs(cw) > 1e-6, cw, 1.0))  # [H,W,3]
+    sx = (clip[..., 0] * inv_w * 0.5 + 0.5) * width
+    sy = (clip[..., 1] * inv_w * 0.5 + 0.5) * height
+
+    px = jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5
+    py = jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5 + row0
+
+    def edge(xa, ya, xb, yb):
+        return (xb - xa) * (py - ya) - (yb - ya) * (px - xa)
+
+    e0 = edge(sx[..., 1], sy[..., 1], sx[..., 2], sy[..., 2])
+    e1 = edge(sx[..., 2], sy[..., 2], sx[..., 0], sy[..., 0])
+    e2 = edge(sx[..., 0], sy[..., 0], sx[..., 1], sy[..., 1])
+    area = e0 + e1 + e2
+    lam = jnp.stack([e0, e1, e2], axis=-1) * jnp.reciprocal(
+        jnp.where(jnp.abs(area) > 1e-12, area, 1.0)
+    )[..., None]
+    # Perspective-correct weights (hardware-interpolator parity).
+    lp = lam * inv_w
+    lp = lp * jnp.reciprocal(jnp.maximum(jnp.sum(lp, axis=-1, keepdims=True), 1e-20))
+
+    def interp(attr):  # attr [VE,K] -> [H,W,K]
+        return jnp.einsum("hwv,hwvk->hwk", lp, attr[vid])
+
+    uv = interp(vstage["uv"])
+    normal = interp(vstage["normal"])
+    tangent4 = interp(vstage["tangent"])
+    tangent, tan_w = tangent4[..., :3], tangent4[..., 3]
+
+    draw = vstage["draw"][vid[..., 0]]  # [H,W]
+    mat = frame["material_id"][draw]
+
+    base_factor = materials["base_color_factor"][mat]  # [H,W,4]
+    emis_occ = materials["emissive_occlusion"][mat]
+    arm = materials["alpha_rgh_mtl_normal"][mat]
+    tex_idx = materials["tex_indices"][mat]  # [H,W,5] i32
+
+    flat = materials["flat_colors"]  # [MAX_TEXTURES,4] linear
+
+    def sample(slot_col):
+        # TODO(atlas): replace with bilinear+mip atlas sampling of `uv`.
+        return flat[tex_idx[..., slot_col]]
+
+    base_color = sample(0) * base_factor
+    mr_tex = sample(1)
+    normal_tex = sample(2)[..., :3] * 2.0 - 1.0
+    occ_tex = sample(3)
+    emissive = sample(4)[..., :3] * emis_occ[..., :3]
+
+    occ_strength = emis_occ[..., 3]
+    rough = mr_tex[..., 1] * arm[..., 1]
+    metal = mr_tex[..., 2] * arm[..., 2]
+    normal_scale = arm[..., 3]
+    occlusion = 1.0 + occ_strength * (occ_tex[..., 0] - 1.0)
+
+    # TBN normal mapping (main.frag:64-67).
+    bitangent = tan_w[..., None] * _cross(normal, tangent)
+    nt = normal_tex * jnp.stack(
+        [normal_scale, normal_scale, jnp.ones_like(normal_scale)], axis=-1
+    )
+    nt = nt * jnp.reciprocal(
+        jnp.sqrt(jnp.maximum(jnp.sum(nt * nt, axis=-1, keepdims=True), 1e-20))
+    )
+    shading_normal = (
+        tangent * nt[..., 0:1] + bitangent * nt[..., 1:2] + normal * nt[..., 2:3]
+    )
+
+    # Lit mode (main.frag:78-88).
+    sun_dir = jnp.asarray([-1.0, 1.0, 1.0]) / jnp.sqrt(3.0)
+    sun_dot = jnp.maximum(0.0, jnp.sum(shading_normal * sun_dir, axis=-1))
+    brightness = 0.3 * occlusion + sun_dot * 2.0
+    emissive_len = jnp.sqrt(jnp.sum(emissive * emissive, axis=-1))
+    lit_rgb = jnp.where(
+        (emissive_len > 0.0)[..., None],
+        emissive,
+        brightness[..., None] * base_color[..., :3],
+    )
+    lit = jnp.concatenate(
+        [lit_rgb,
+         jnp.where((emissive_len > 0.0)[..., None], 1.0, base_color[..., 3:4])],
+        axis=-1,
+    )
+
+    debug_rgb = draw_debug_colors(frame["debug_id"][draw])
+
+    def rgba(rgb, a=None):
+        if a is None:
+            a = jnp.ones_like(rgb[..., :1])
+        return jnp.concatenate([rgb, a], axis=-1)
+
+    mode = frame["debug_mode"]
+    candidates = [
+        lit,  # 0 (and default)
+        base_color,  # 1
+        rgba(debug_rgb),  # 2
+        rgba(shading_normal),  # 3
+        rgba(jnp.stack([jnp.zeros_like(rough), rough, metal], axis=-1)),  # 4
+        rgba(emissive),  # 5
+        rgba(jnp.repeat(occlusion[..., None], 3, axis=-1)),  # 6
+    ]
+    color = candidates[0]
+    for i in range(1, len(candidates)):
+        color = jnp.where(mode == i, candidates[i], color)
+
+    return jnp.where(covered[..., None], color, jnp.zeros_like(color))

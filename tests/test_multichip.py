@@ -1,0 +1,68 @@
+"""Sharded (multi-device) frame rendering on the 8-device virtual CPU mesh:
+the tp-over-vertices + sp-over-tile-rows decomposition must produce the same
+image as the single-device path."""
+
+import numpy as np
+import pytest
+
+import renderer_tpu as rt
+from apps.triangle import build_scene, build_triangle_assets
+from renderer_tpu.parallel import mesh as pmesh
+from renderer_tpu.raster import pipeline
+from renderer_tpu.scene import draw_stream
+
+W, H = 256, 128  # H = padded height (multiple of tile_h) and of 8 devices
+
+
+@pytest.fixture(scope="module")
+def config():
+    return rt.RenderConfig(width=W, height=H, tile_h=16, tile_w=128).validate()
+
+
+def _device_inputs(config):
+    import jax.numpy as jnp
+
+    registry, meshes, material = build_triangle_assets()
+    scene = build_scene(meshes, material)
+    renderer = rt.Renderer(registry, config)
+    draws = draw_stream.sorted_draws(scene)
+    gs, geom_dev = renderer._geometry(draws)
+    frame = renderer._frame_arrays(scene, draws, gs)
+    frame["debug_mode"] = jnp.asarray(3, jnp.int32)
+    mats = renderer._materials()
+    return renderer, gs, geom_dev, frame, mats
+
+
+def test_sharded_matches_single_device(config):
+    import jax
+
+    renderer, gs, geom, frame, mats = _device_inputs(config)
+    single = pipeline.render_frame(
+        geom, frame, mats, config=config, skin_start=gs.skin_start,
+        interpret=pipeline.interpret_mode(),
+    )
+    mesh = pmesh.make_mesh(8)
+    sharded = pmesh.render_frame_sharded(
+        geom, frame, mats, config=config, mesh=mesh,
+        interpret=pipeline.interpret_mode(),
+    )
+    single = np.asarray(single)
+    sharded = np.asarray(sharded)
+    assert sharded.shape == single.shape
+    agreement = (single == sharded).all(axis=-1).mean()
+    assert agreement > 0.999, f"sharded/single agreement {agreement}"
+
+
+def test_dryrun_multichip_entrypoint():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    import jax
+
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    jax.jit(fn).lower(*args)
