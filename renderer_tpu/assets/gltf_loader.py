@@ -1,0 +1,625 @@
+"""glTF 2.0 loader (.gltf + .glb) with skins, animations, and ntex textures.
+
+Parity: the gltf crate (reference: gltf/src/lib.rs, gltf_json.rs,
+pending_gltf.rs, scene_queueing.rs, mesh_iter.rs). Behavior highlights kept:
+
+- Required attributes per primitive: POSITION (f32 VEC3), TEXCOORD_0 (f32
+  VEC2), NORMAL (f32 VEC3), TANGENT (f32 VEC4); optional JOINTS_0 (u8 VEC4) +
+  WEIGHTS_0 (f32 VEC4) make it skinned; indices must be u16/u32
+  (lib.rs:607-648).
+- Node transforms are TRS or matrix; parent transforms are flattened into
+  every node at load time (lib.rs:569-577). Animated transforms start from
+  the flattened transform, decompose to TRS, and replace animated channels
+  (lib.rs:199-230) — quirks included.
+- Image URIs are retargeted to .ntex (lib.rs:400-401); texture color-space
+  kind is inferred from material usage: baseColor/emissive → sRGB, normal →
+  normal map, others linear (get_gltf_texture_kinds, lib.rs:726-764).
+- Material factors: glTF defaults, alpha_cutoff forced to 0 unless alphaMode
+  is MASK, MASK → alpha-to-coverage, BLEND → blended
+  (pending_gltf.rs:146-218).
+- Animation sampling: LINEAR lerp/slerp, STEP; clamp before the first
+  keyframe, *error* after the last (gltf_json.rs:238-286) — callers wrap
+  time by the animation's end_time.
+- Skins: joint = animated_node_transform @ inverse_bind_matrix
+  (scene_queueing.rs:38-45).
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import numpy as np
+
+from renderer_tpu.assets import ntex
+from renderer_tpu.core import math3d
+from renderer_tpu.geometry.vertex_library import Mesh, VertexLibraryBuilder
+from renderer_tpu.materials.registry import (
+    AlphaMode,
+    Material,
+    MaterialRegistry,
+    PbrMaterialParameters,
+    Texture,
+    TextureKind,
+)
+from renderer_tpu.scene.scene import Scene
+
+GLTF_BYTE, GLTF_UNSIGNED_BYTE = 5120, 5121
+GLTF_SHORT, GLTF_UNSIGNED_SHORT = 5122, 5123
+GLTF_UNSIGNED_INT, GLTF_FLOAT = 5125, 5126
+
+_CTYPE_NP = {
+    GLTF_BYTE: np.int8,
+    GLTF_UNSIGNED_BYTE: np.uint8,
+    GLTF_SHORT: np.int16,
+    GLTF_UNSIGNED_SHORT: np.uint16,
+    GLTF_UNSIGNED_INT: np.uint32,
+    GLTF_FLOAT: np.float32,
+}
+_ATYPE_N = {"SCALAR": 1, "VEC2": 2, "VEC3": 3, "VEC4": 4, "MAT4": 16}
+
+
+class GltfLoadingError(Exception):
+    pass
+
+
+def generate_mips(base: np.ndarray) -> list[np.ndarray]:
+    """Full mip chain by 2×2 box filter (the runtime analog of make-ntex's
+    offline mip generation, make-ntex/src/main.rs:150-156)."""
+    mips = [np.ascontiguousarray(base, dtype=np.uint8)]
+    while min(mips[-1].shape[:2]) > 1:
+        m = mips[-1]
+        h, w = m.shape[0] // 2 * 2, m.shape[1] // 2 * 2
+        half = (
+            m[:h:2, :w:2].astype(np.uint16)
+            + m[1:h:2, :w:2]
+            + m[:h:2, 1:w:2]
+            + m[1:h:2, 1:w:2]
+        ) // 4
+        mips.append(half.astype(np.uint8))
+    return mips
+
+
+class AnimationError(Exception):
+    pass
+
+
+@dataclass
+class AnimationChannel:
+    interpolation: str  # "LINEAR" | "STEP"
+    path: str  # "translation" | "rotation" | "scale" | "weights"
+    times: np.ndarray  # [K]
+    values: np.ndarray  # [K, 3|4|1]
+
+
+@dataclass
+class Animation:
+    name: str | None
+    start_time: float
+    end_time: float
+    nodes_channels: list[list[AnimationChannel] | None]
+
+
+@dataclass
+class Joint:
+    node_index: int
+    inverse_bind_matrix: np.ndarray  # 4x4
+
+
+@dataclass
+class Skin:
+    joints: list[Joint]
+
+
+@dataclass
+class Node:
+    name: str | None
+    mesh: int | None
+    skin: int | None
+    children: list[int]
+    transform: np.ndarray  # 4x4, parent-flattened at load
+
+
+def _interpolate(channel: AnimationChannel, time: float, animation_name) -> np.ndarray:
+    """gltf_json.rs:238-286 parity (including the past-the-end error)."""
+    times, values = channel.times, channel.values
+    if len(times) == 0:
+        raise AnimationError(f"animation {animation_name}: empty channel")
+    if len(times) == 1 or time < times[0]:
+        return values[0]
+    for k in range(len(times) - 1):
+        if times[k] <= time < times[k + 1]:
+            if channel.interpolation == "STEP":
+                return values[k]
+            t = (time - times[k]) / (times[k + 1] - times[k])
+            if channel.path == "rotation":
+                return math3d.quat_slerp(values[k], values[k + 1], float(t))
+            return math3d.lerp(values[k], values[k + 1], float(t))
+    raise AnimationError(
+        f"animation {animation_name}: invalid timestamp {time} "
+        f"(end_time {times[-1]})"
+    )
+
+
+def _decompose_trs(m: np.ndarray):
+    """glam Affine3A::to_scale_rotation_translation parity: scale from column
+    norms (x negated if the determinant is negative), rotation from the
+    normalized columns."""
+    m = np.asarray(m, np.float64)
+    t = m[:3, 3].copy()
+    cols = m[:3, :3]
+    det = np.linalg.det(cols)
+    sx = np.linalg.norm(cols[:, 0]) * (np.sign(det) or 1.0)
+    sy = np.linalg.norm(cols[:, 1])
+    sz = np.linalg.norm(cols[:, 2])
+    scale = np.array([sx, sy, sz])
+    safe = np.where(np.abs(scale) > 1e-12, scale, 1.0)
+    rot = cols / safe[None, :]
+    return scale.astype(np.float32), math3d.mat3_to_quat(rot), t.astype(np.float32)
+
+
+class Gltf:
+    """A loaded glTF model: meshes+materials in device-ready form, node
+    hierarchy, skins and animations (reference Gltf, gltf/src/lib.rs:101-150).
+    """
+
+    def __init__(self) -> None:
+        self.nodes: list[Node] = []
+        self.root_nodes: list[int] = []
+        self.skins: list[Skin] = []
+        self.animations: list[Animation] = []
+        # (mesh, material) per primitive per mesh index
+        self.meshes: list[list[tuple[Mesh, Material]]] = []
+        self.materials: list[Material] = []
+        self.textures: list[Texture] = []
+
+    # -- queueing (scene_queueing.rs) -------------------------------------
+
+    def _mesh_iter(self):
+        """DFS yielding (node_index, mesh, material, skin, transform)
+        (mesh_iter.rs; stack order matches the reference's Vec::pop)."""
+        queue = list(self.root_nodes)
+        while queue:
+            node_index = queue.pop()
+            node = self.nodes[node_index]
+            queue.extend(node.children)
+            if node.mesh is not None:
+                for mesh, material in self.meshes[node.mesh]:
+                    yield node_index, mesh, material, node.skin, node.transform
+
+    def queue(self, scene: Scene, transform: np.ndarray) -> bool:
+        ok = True
+        for _, mesh, material, _, node_transform in self._mesh_iter():
+            ok &= scene.queue_mesh(mesh, material, None, transform @ node_transform)
+        return ok
+
+    def queue_animated(
+        self,
+        scene: Scene,
+        transform: np.ndarray,
+        playing_animations: list[tuple[float, Animation]],
+    ) -> bool:
+        """scene_queueing.rs:17-57: skinned meshes get joint palettes (joint =
+        animated node transform @ inverse bind matrix) and the *un-multiplied*
+        model transform; static meshes get transform @ animated node pose."""
+        all_drawn = True
+        joints_offsets_per_skin: dict[int, int] = {}
+        node_transforms = self.get_node_transforms(playing_animations)
+        for node_index, mesh, material, skin_index, _ in self._mesh_iter():
+            if skin_index is not None:
+                offset = joints_offsets_per_skin.get(skin_index)
+                if offset is None:
+                    skin = self.skins[skin_index]
+                    alloc = scene.allocate_joint_offset(len(skin.joints))
+                    if alloc is None:
+                        raise RuntimeError("too many bones in scene")
+                    offset, palette = alloc
+                    for i, joint in enumerate(skin.joints):
+                        animated = node_transforms[joint.node_index]
+                        if animated is None:
+                            animated = math3d.IDENTITY
+                        palette[i] = animated @ joint.inverse_bind_matrix
+                    joints_offsets_per_skin[skin_index] = offset
+                all_drawn &= scene.queue_mesh(mesh, material, offset, transform)
+            else:
+                animated = node_transforms[node_index]
+                if animated is None:
+                    animated = math3d.IDENTITY
+                all_drawn &= scene.queue_mesh(mesh, material, None, transform @ animated)
+        return all_drawn
+
+    def get_animation(self, name: str) -> Animation | None:
+        for a in self.animations:
+            if a.name == name:
+                return a
+        return None
+
+    def get_node_transforms(
+        self, playing_animations: list[tuple[float, Animation]]
+    ) -> list[np.ndarray | None]:
+        """lib.rs:181-193: walk from roots multiplying parent poses (note the
+        node transforms are already parent-flattened, matching the reference's
+        behavior exactly)."""
+        transforms: list[np.ndarray | None] = [None] * len(self.nodes)
+        stack = [(n, math3d.IDENTITY) for n in self.root_nodes]
+        while stack:
+            node_index, parent = stack.pop()
+            current = parent @ self._animated_transform(node_index, playing_animations)
+            transforms[node_index] = current
+            for child in self.nodes[node_index].children:
+                stack.append((child, current))
+        return transforms
+
+    def _animated_transform(self, node_index, playing_animations) -> np.ndarray:
+        node = self.nodes[node_index]
+        result = node.transform
+        for time, animation in playing_animations:
+            channels = animation.nodes_channels[node_index]
+            if channels is None:
+                continue
+            scale, rotation, translation = _decompose_trs(result)
+            for ch in channels:
+                value = _interpolate(ch, time, animation.name)
+                if ch.path == "translation":
+                    translation = value
+                elif ch.path == "rotation":
+                    rotation = value
+                elif ch.path == "scale":
+                    scale = value
+                else:  # weights: morph targets unsupported (reference todo!())
+                    raise AnimationError("morph target animation not supported")
+            result = math3d.trs(translation, rotation, scale)
+        return result
+
+
+# -- container parsing --------------------------------------------------------
+
+
+def _parse_glb(data: bytes) -> tuple[dict, bytes | None]:
+    """GLB container (lib.rs:239-296): 12-byte header then chunks."""
+    magic, version, _length = struct.unpack("<III", data[:12])
+    if magic != 0x46546C67:
+        raise GltfLoadingError("not a GLB file (bad magic)")
+    if version != 2:
+        raise GltfLoadingError(f"unsupported GLB version {version}")
+    offset = 12
+    json_chunk = None
+    bin_chunk = None
+    while offset + 8 <= len(data):
+        clen, ctype = struct.unpack("<II", data[offset : offset + 8])
+        chunk = data[offset + 8 : offset + 8 + clen]
+        if ctype == 0x4E4F534A:  # 'JSON'
+            json_chunk = chunk
+        elif ctype == 0x004E4942:  # 'BIN\0'
+            bin_chunk = chunk
+        offset += 8 + clen + (-clen % 4)
+    if json_chunk is None:
+        raise GltfLoadingError("GLB missing JSON chunk")
+    return json.loads(json_chunk), bin_chunk
+
+
+class _Accessors:
+    def __init__(self, gltf: dict, resource_dir: Path, bin_buffer: bytes | None):
+        self.gltf = gltf
+        self.dir = resource_dir
+        self.bin = bin_buffer
+        self._buffers: dict[int, bytes] = {}
+
+    def _buffer(self, index: int) -> bytes:
+        if index not in self._buffers:
+            buf = self.gltf["buffers"][index]
+            uri = buf.get("uri")
+            if uri is None:
+                if self.bin is None:
+                    raise GltfLoadingError("buffer without uri and no GLB BIN chunk")
+                self._buffers[index] = self.bin
+            elif uri.startswith("data:"):
+                import base64
+
+                self._buffers[index] = base64.b64decode(uri.split(",", 1)[1])
+            else:
+                self._buffers[index] = (self.dir / uri).read_bytes()
+        return self._buffers[index]
+
+    def read(self, accessor_index: int, ctype: int | None, atype: str) -> np.ndarray:
+        """Accessor → numpy [count, ncomp] with ctype/atype validation
+        (lib.rs:650-724)."""
+        acc = self.gltf["accessors"][accessor_index]
+        if acc.get("sparse"):
+            raise GltfLoadingError("sparse accessors not supported")
+        if ctype is not None and acc["componentType"] != ctype:
+            raise GltfLoadingError(
+                f"accessor {accessor_index}: componentType "
+                f"{acc['componentType']} != required {ctype}"
+            )
+        if acc["type"] != atype:
+            raise GltfLoadingError(
+                f"accessor {accessor_index}: type {acc['type']} != required {atype}"
+            )
+        dtype = np.dtype(_CTYPE_NP[acc["componentType"]]).newbyteorder("<")
+        ncomp = _ATYPE_N[atype]
+        count = acc["count"]
+        view = self.gltf["bufferViews"][acc["bufferView"]]
+        data = self._buffer(view["buffer"])
+        start = view.get("byteOffset", 0) + acc.get("byteOffset", 0)
+        stride = view.get("byteStride")
+        elem_size = dtype.itemsize * ncomp
+        if stride is None or stride == elem_size:
+            arr = np.frombuffer(data, dtype, count=count * ncomp, offset=start)
+            return arr.reshape(count, ncomp)
+        out = np.empty((count, ncomp), dtype)
+        for i in range(count):
+            o = start + i * stride
+            out[i] = np.frombuffer(data, dtype, count=ncomp, offset=o)
+        return out
+
+
+def _texture_kinds(gltf: dict) -> dict[int, str]:
+    """Image index → color-space kind from material usage (lib.rs:726-764)."""
+    kinds: dict[int, str] = {}
+    textures = gltf.get("textures", [])
+
+    def mark(tex_info, kind):
+        if tex_info is None:
+            return
+        source = textures[tex_info["index"]].get("source")
+        if source is not None:
+            kinds.setdefault(source, kind)
+
+    for mat in gltf.get("materials", []):
+        pbr = mat.get("pbrMetallicRoughness", {})
+        mark(pbr.get("baseColorTexture"), TextureKind.SRGB_COLOR)
+        mark(mat.get("emissiveTexture"), TextureKind.SRGB_COLOR)
+        mark(mat.get("normalTexture"), TextureKind.NORMAL_MAP)
+        mark(pbr.get("metallicRoughnessTexture"), TextureKind.LINEAR_COLOR)
+        mark(mat.get("occlusionTexture"), TextureKind.LINEAR_COLOR)
+    return kinds
+
+
+def load_gltf(
+    path: str | Path,
+    builder: VertexLibraryBuilder,
+    registry: MaterialRegistry,
+) -> Gltf:
+    """Load a .gltf or .glb file: meshes into `builder`, textures+materials
+    into `registry`. (The reference's preload/upload split exists for VRAM
+    measurement, lib.rs:152-175; on TPU sizes are array shapes, so loading is
+    single-phase.)"""
+    path = Path(path)
+    raw = path.read_bytes()
+    if raw[:4] == b"glTF":
+        gltf, bin_buffer = _parse_glb(raw)
+    else:
+        gltf, bin_buffer = json.loads(raw), None
+    resource_dir = path.parent
+
+    version = gltf.get("asset", {}).get("version", "2.0")
+    try:
+        if not (2.0 <= float(version) < 3.0):
+            raise GltfLoadingError(f"unsupported glTF version {version}")
+    except ValueError:
+        pass  # assume 2.0 (lib.rs:315-317)
+
+    out = Gltf()
+    acc = _Accessors(gltf, resource_dir, bin_buffer)
+
+    # -- scene / nodes ----------------------------------------------------
+    scene_index = gltf.get("scene")
+    if scene_index is None:
+        raise GltfLoadingError("gltf does not have a scene")
+    out.root_nodes = list(gltf["scenes"][scene_index].get("nodes") or [])
+    if not out.root_nodes:
+        raise GltfLoadingError("no nodes in scene")
+
+    for node in gltf.get("nodes", []):
+        if "matrix" in node:
+            m = np.array(node["matrix"], np.float32).reshape(4, 4).T  # column-major
+        else:
+            m = math3d.trs(
+                np.array(node.get("translation", [0, 0, 0]), np.float32),
+                np.array(node.get("rotation", [0, 0, 0, 1]), np.float32),
+                np.array(node.get("scale", [1, 1, 1]), np.float32),
+            )
+        out.nodes.append(
+            Node(
+                name=node.get("name"),
+                mesh=node.get("mesh"),
+                skin=node.get("skin"),
+                children=list(node.get("children", [])),
+                transform=m,
+            )
+        )
+
+    # cycle check (lib.rs:553-566)
+    visited = [False] * len(out.nodes)
+    stack = list(out.root_nodes)
+    while stack:
+        n = stack.pop()
+        if visited[n]:
+            raise GltfLoadingError("invalid node graph (cycle or shared child)")
+        visited[n] = True
+        stack.extend(out.nodes[n].children)
+
+    # flatten parent transforms into children (lib.rs:569-577)
+    parents = list(out.root_nodes)
+    while parents:
+        p = parents.pop()
+        for c in out.nodes[p].children:
+            out.nodes[c].transform = out.nodes[p].transform @ out.nodes[c].transform
+            parents.append(c)
+
+    # -- images / textures --------------------------------------------------
+    kinds = _texture_kinds(gltf)
+    images: list[Texture] = []
+    for i, image in enumerate(gltf.get("images", [])):
+        uri = image.get("uri")
+        kind = kinds.get(i, TextureKind.LINEAR_COLOR)
+        if uri is not None:
+            ntex_path = (resource_dir / uri).with_suffix(".ntex")
+            _, mips = ntex.decode(ntex_path.read_bytes())
+            name = uri
+        elif "bufferView" in image:
+            # Embedded image (e.g. testbox.glb): decode + generate a mip
+            # chain. (The reference requires ntex uris, lib.rs:396-398; this
+            # is a superset for self-contained glbs.)
+            import io
+
+            from PIL import Image as PILImage
+
+            view = gltf["bufferViews"][image["bufferView"]]
+            data = acc._buffer(view["buffer"])
+            start = view.get("byteOffset", 0)
+            raw = data[start : start + view["byteLength"]]
+            decoded = PILImage.open(io.BytesIO(raw)).convert("RGBA")
+            mips = generate_mips(np.asarray(decoded))
+            name = image.get("name", f"embedded-{i}")
+        else:
+            raise GltfLoadingError("image missing an uri")
+        tex = Texture(mips, kind, name=name)
+        registry.register_texture(tex)
+        images.append(tex)
+    out.textures = images
+
+    # -- materials ----------------------------------------------------------
+    def tex_for(tex_info) -> Texture | None:
+        if tex_info is None:
+            return None
+        if tex_info.get("texCoord", 0) != 0:
+            raise GltfLoadingError("non-0 texCoord used for texture")
+        source = gltf["textures"][tex_info["index"]].get("source")
+        return None if source is None else images[source]
+
+    for mat in gltf.get("materials", []):
+        pbr = mat.get("pbrMetallicRoughness")
+        if pbr is None:
+            raise GltfLoadingError("material missing pbrMetallicRoughness")
+        alpha_mode = {
+            "OPAQUE": AlphaMode.OPAQUE,
+            "MASK": AlphaMode.ALPHA_TO_COVERAGE,
+            "BLEND": AlphaMode.BLENDED,
+        }[mat.get("alphaMode", "OPAQUE")]
+        params = PbrMaterialParameters(
+            base_color=tex_for(pbr.get("baseColorTexture")),
+            metallic_roughness=tex_for(pbr.get("metallicRoughnessTexture")),
+            normal=tex_for(mat.get("normalTexture")),
+            occlusion=tex_for(mat.get("occlusionTexture")),
+            emissive=tex_for(mat.get("emissiveTexture")),
+            base_color_factor=tuple(pbr.get("baseColorFactor", (1, 1, 1, 1))),
+            emissive_factor=tuple(mat.get("emissiveFactor", (0, 0, 0))),
+            occlusion_factor=(mat.get("occlusionTexture") or {}).get("strength", 1.0),
+            roughness_factor=pbr.get("roughnessFactor", 1.0),
+            metallic_factor=pbr.get("metallicFactor", 1.0),
+            normal_strength=(mat.get("normalTexture") or {}).get("scale", 1.0),
+            # cutoff forced to 0 unless MASK (pending_gltf.rs:193)
+            alpha_cutoff=(
+                mat.get("alphaCutoff", 0.5)
+                if alpha_mode == AlphaMode.ALPHA_TO_COVERAGE
+                else 0.0
+            ),
+            alpha_mode=alpha_mode,
+        )
+        out.materials.append(
+            registry.create_material(mat.get("name", "unnamed material"), params)
+        )
+
+    # -- meshes ---------------------------------------------------------------
+    for mesh in gltf.get("meshes", []):
+        primitives = []
+        for prim in mesh.get("primitives", []):
+            attrs = prim["attributes"]
+            if "indices" not in prim:
+                raise GltfLoadingError("primitive missing indices")
+            idx_acc = gltf["accessors"][prim["indices"]]
+            if idx_acc["componentType"] == GLTF_UNSIGNED_SHORT:
+                indices = acc.read(prim["indices"], GLTF_UNSIGNED_SHORT, "SCALAR")
+            elif idx_acc["componentType"] == GLTF_UNSIGNED_INT:
+                indices = acc.read(prim["indices"], GLTF_UNSIGNED_INT, "SCALAR")
+            else:
+                raise GltfLoadingError("index ctype must be u16 or u32")
+
+            def req(name, atype):
+                if name not in attrs:
+                    raise GltfLoadingError(f"missing {name} attributes")
+                return acc.read(attrs[name], GLTF_FLOAT, atype)
+
+            positions = req("POSITION", "VEC3")
+            uvs = req("TEXCOORD_0", "VEC2")
+            normals = req("NORMAL", "VEC3")
+            tangents = req("TANGENT", "VEC4")
+            joints = weights = None
+            if "JOINTS_0" in attrs and "WEIGHTS_0" in attrs:
+                joints = acc.read(attrs["JOINTS_0"], GLTF_UNSIGNED_BYTE, "VEC4")
+                weights = acc.read(attrs["WEIGHTS_0"], GLTF_FLOAT, "VEC4")
+
+            lib_mesh = builder.add_mesh(
+                positions, uvs, normals, tangents, indices.reshape(-1),
+                joints=joints, weights=weights,
+            )
+            if "material" not in prim:
+                raise GltfLoadingError("primitive missing material")
+            primitives.append((lib_mesh, out.materials[prim["material"]]))
+        out.meshes.append(primitives)
+
+    # -- animations ------------------------------------------------------------
+    for anim in gltf.get("animations", []):
+        nodes_channels: list[list[AnimationChannel] | None] = [None] * len(out.nodes)
+        start_time = end_time = None
+        for ch in anim.get("channels", []):
+            sampler = anim["samplers"][ch["sampler"]]
+            target = ch["target"]
+            if "node" not in target:
+                continue
+            times = acc.read(sampler["input"], GLTF_FLOAT, "SCALAR").reshape(-1)
+            in_acc = gltf["accessors"][sampler["input"]]
+            if in_acc.get("min"):
+                m = in_acc["min"][0]
+                start_time = m if start_time is None else min(start_time, m)
+            if in_acc.get("max"):
+                m = in_acc["max"][0]
+                end_time = m if end_time is None else max(end_time, m)
+            path = target["path"]
+            if path in ("translation", "scale"):
+                values = acc.read(sampler["output"], GLTF_FLOAT, "VEC3")
+            elif path == "rotation":
+                values = acc.read(sampler["output"], None, "VEC4").astype(np.float32)
+            else:  # weights
+                values = acc.read(sampler["output"], None, "SCALAR").astype(np.float32)
+            lst = nodes_channels[target["node"]]
+            if lst is None:
+                lst = nodes_channels[target["node"]] = []
+            lst.append(
+                AnimationChannel(
+                    interpolation=sampler.get("interpolation", "LINEAR"),
+                    path=path,
+                    times=times,
+                    values=values,
+                )
+            )
+        if start_time is None or end_time is None:
+            raise GltfLoadingError("animation channel input accessor must have min/max")
+        out.animations.append(
+            Animation(anim.get("name"), float(start_time), float(end_time), nodes_channels)
+        )
+
+    # -- skins -------------------------------------------------------------------
+    for skin in gltf.get("skins", []):
+        joint_nodes = skin["joints"]
+        if "inverseBindMatrices" in skin:
+            ibms = acc.read(skin["inverseBindMatrices"], GLTF_FLOAT, "MAT4")
+            if ibms.shape[0] != len(joint_nodes):
+                raise GltfLoadingError("joint/inverse-bind-matrix count mismatch")
+            joints = [
+                Joint(n, ibms[i].reshape(4, 4).T.copy())  # column-major → row
+                for i, n in enumerate(joint_nodes)
+            ]
+        else:
+            joints = [Joint(n, np.eye(4, dtype=np.float32)) for n in joint_nodes]
+        out.skins.append(Skin(joints))
+
+    for node in out.nodes:
+        if node.skin is not None and node.skin >= len(out.skins):
+            raise GltfLoadingError("node has an out-of-bounds skin index")
+
+    return out

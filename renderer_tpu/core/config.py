@@ -35,7 +35,7 @@ class RenderConfig:
 
     # Capacity of the padded triangle stream (post setup/cull). Scenes are
     # padded up to this; must be a multiple of tri_chunk.
-    max_triangles: int = 1 << 18
+    max_triangles: int = 1 << 19
 
     # Per-tile binning capacity (max triangles binned to one tile before
     # overflow). 0 disables binning (every tile scans the whole stream).

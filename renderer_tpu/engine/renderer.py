@@ -21,9 +21,9 @@ import numpy as np
 from renderer_tpu.core import constants
 from renderer_tpu.core.config import RenderConfig
 from renderer_tpu.engine.profiling import Profiler
-from renderer_tpu.materials.registry import MaterialRegistry, TextureKind
+from renderer_tpu.materials.atlas import build_atlas
+from renderer_tpu.materials.registry import MaterialRegistry
 from renderer_tpu.raster import pipeline
-from renderer_tpu.raster.post import srgb_decode_np
 from renderer_tpu.scene import draw_stream
 from renderer_tpu.scene.scene import Scene
 
@@ -66,18 +66,15 @@ class Renderer:
         reg = self.registry
         if self._mat_cache is not None and self._mat_cache[0] == reg.version:
             return self._mat_cache[1]
-        flat = np.zeros((constants.MAX_TEXTURES, 4), np.float32)
-        for slot, tex in reg.textures.items():
-            mean = tex.mips[0].reshape(-1, 4).mean(axis=0) / 255.0
-            if tex.kind == TextureKind.SRGB_COLOR:
-                mean[:3] = srgb_decode_np(mean[:3])
-            flat[slot] = mean
+        at = build_atlas(reg)
         dev = {
             "base_color_factor": jnp.asarray(reg.base_color_factor),
             "emissive_occlusion": jnp.asarray(reg.emissive_occlusion),
             "alpha_rgh_mtl_normal": jnp.asarray(reg.alpha_rgh_mtl_normal),
             "tex_indices": jnp.asarray(reg.tex_indices),
-            "flat_colors": jnp.asarray(flat),
+            "atlas": jnp.asarray(at.data),
+            "atlas_table": jnp.asarray(at.table),
+            "atlas_srgb": jnp.asarray(at.srgb),
         }
         self._mat_cache = (reg.version, dev)
         return dev

@@ -1,0 +1,97 @@
+"""Texture atlas: the TPU version of the bindless 300-slot texture array.
+
+The reference binds up to 300 independent sampled images and lets fragment
+shaders index them dynamically (descriptors.rs:124-173, main.frag:35-47).
+TPUs have no texture units; sampling is arithmetic + gathers from HBM. All
+texture mips are packed into ONE [H, W] uint32 (RGBA8-packed) atlas so every
+texture fetch in a frame becomes a gather into a single array — the
+"descriptor table" is a per-(slot, mip) rectangle table.
+
+Layout: shelf packing, one texel of wrapped border around every rectangle so
+REPEAT-wrap bilinear taps can sample across the edge without bleeding into a
+neighbor (the reference sampler is repeat-mode anisotropic trilinear,
+descriptors.rs:90-105; we provide repeat bilinear + per-pixel mip selection).
+
+sRGB decode happens per tap at sample time (like the hardware's
+decode-before-filter), flagged per slot.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from renderer_tpu.core import constants
+from renderer_tpu.materials.registry import MaterialRegistry, TextureKind
+
+MAX_MIPS = 12
+ATLAS_WIDTH = 4096
+
+
+@dataclass
+class Atlas:
+    data: np.ndarray  # [AH, AW] uint32 (RGBA8 packed, little-endian r|g<<8|…)
+    table: np.ndarray  # [MAX_TEXTURES, MAX_MIPS, 4] i32: x, y, w, h per mip
+    srgb: np.ndarray  # [MAX_TEXTURES] i32: 1 if color channels are sRGB-encoded
+    flat: np.ndarray  # [MAX_TEXTURES, 4] f32: mean linear color (cheap fallback)
+
+
+def _pack_rgba(rgba: np.ndarray) -> np.ndarray:
+    r = rgba.astype(np.uint32)
+    return r[..., 0] | (r[..., 1] << 8) | (r[..., 2] << 16) | (r[..., 3] << 24)
+
+
+def _with_wrap_border(img: np.ndarray) -> np.ndarray:
+    """Pad 1 texel on each side with REPEAT-wrapped content."""
+    return np.pad(img, ((1, 1), (1, 1), (0, 0)), mode="wrap")
+
+
+def build_atlas(registry: MaterialRegistry) -> Atlas:
+    from renderer_tpu.raster.post import srgb_decode_np
+
+    rects = []  # (slot, mip, h+2, w+2, image)
+    for slot, tex in sorted(registry.textures.items()):
+        for mip, img in enumerate(tex.mips[:MAX_MIPS]):
+            rects.append((slot, mip, img.shape[0] + 2, img.shape[1] + 2, img))
+
+    # shelf packing, tallest first
+    rects.sort(key=lambda r: (-r[2], -r[3]))
+    placements = {}
+    shelf_y = 0
+    shelf_h = 0
+    cursor_x = 0
+    for slot, mip, h, w, img in rects:
+        if cursor_x + w > ATLAS_WIDTH:
+            shelf_y += shelf_h
+            cursor_x = 0
+            shelf_h = 0
+        placements[(slot, mip)] = (cursor_x, shelf_y)
+        cursor_x += w
+        shelf_h = max(shelf_h, h)
+    height = shelf_y + shelf_h
+    # round height to a sublane multiple
+    height = (height + 7) // 8 * 8
+
+    data = np.zeros((max(height, 8), ATLAS_WIDTH), np.uint32)
+    table = np.zeros((constants.MAX_TEXTURES, MAX_MIPS, 4), np.int32)
+    srgb = np.zeros(constants.MAX_TEXTURES, np.int32)
+    flat = np.zeros((constants.MAX_TEXTURES, 4), np.float32)
+
+    for slot, tex in sorted(registry.textures.items()):
+        srgb[slot] = 1 if tex.kind == TextureKind.SRGB_COLOR else 0
+        mean = tex.mips[0].reshape(-1, 4).mean(axis=0) / 255.0
+        if srgb[slot]:
+            mean[:3] = srgb_decode_np(mean[:3])
+        flat[slot] = mean
+        for mip in range(MAX_MIPS):
+            img = tex.mips[min(mip, len(tex.mips) - 1)]
+            src_mip = min(mip, len(tex.mips) - 1)
+            x, y = placements[(slot, src_mip)]
+            h, w = img.shape[:2]
+            table[slot, mip] = (x + 1, y + 1, w, h)
+            if mip == src_mip:
+                bordered = _with_wrap_border(img)
+                data[y : y + h + 2, x : x + w + 2] = _pack_rgba(bordered)
+
+    return Atlas(data=data, table=table, srgb=srgb, flat=flat)

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Triangles per DMA chunk and per vectorized sub-chunk.
+# Triangles per DMA chunk (default; must divide the triangle capacity).
 CHUNK = 256
 
 
@@ -85,9 +85,8 @@ def _raster_kernel(
     def _():
         chunk_dma(0, 0).start()
 
-    def process_sub(chunk, ci, sc):
-        t = chunk[sc * sub : (sc + 1) * sub]  # [C,16]
-
+    def process_sub(t, ci, sc):
+        # t: [sub,16] triangle params
         def col(k):
             return t[:, k].reshape(sub, 1, 1)
 
@@ -134,12 +133,20 @@ def _raster_kernel(
         @pl.when(jnp.any(overlap))
         def _():
             chunk = soa.T  # [CHUNK,16] — one transpose per surviving chunk
-            for sc in range(CHUNK // sub):
-                sub_overlap = overlap[:, sc * sub : (sc + 1) * sub]
+
+            def sub_body(sc, _):
+                sub_overlap = jax.lax.dynamic_slice_in_dim(
+                    overlap, sc * sub, sub, axis=1
+                )
 
                 @pl.when(jnp.any(sub_overlap))
-                def _(sc=sc):
-                    process_sub(chunk, ci, sc)
+                def _():
+                    t = jax.lax.dynamic_slice_in_dim(chunk, sc * sub, sub, axis=0)
+                    process_sub(t, ci, sc)
+
+                return 0
+
+            jax.lax.fori_loop(0, CHUNK // sub, sub_body, 0)
 
         return 0
 

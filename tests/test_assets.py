@@ -1,0 +1,193 @@
+"""Asset pipeline tests: ntex decode, glTF loading (testbox.glb is the only
+complete real asset in the reference checkout), proxy geometry, skinned
+character animation, atlas packing/sampling."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import renderer_tpu as rt
+from renderer_tpu.assets import gltf_loader, ntex
+from renderer_tpu.core import math3d
+from renderer_tpu.materials import atlas as atlas_mod
+from renderer_tpu.scene import draw_stream
+
+REF = Path("/root/reference/examples/sandbox/src")
+needs_assets = pytest.mark.skipif(not REF.exists(), reason="reference assets not mounted")
+
+
+@needs_assets
+class TestNtex:
+    def test_decode_header_and_mips(self):
+        data = (REF / "smol-ame-by-seafoam/terrariumtex.ntex").read_bytes()
+        header, mips = ntex.decode(data)
+        assert header.vk_format in (ntex.VK_FORMAT_BC7_UNORM, ntex.VK_FORMAT_BC7_SRGB)
+        assert len(mips) == header.mip_levels
+        assert mips[0].shape == (header.height, header.width, 4)
+        for i in range(1, len(mips)):
+            assert mips[i].shape[0] == max(header.height >> i, 1)
+        # non-degenerate content
+        assert mips[0].std() > 1.0
+
+    def test_rejects_bad_magic(self):
+        with pytest.raises(ntex.NtexDecodeError):
+            ntex.decode_header(b"\0" * 2048)
+
+
+@needs_assets
+class TestTestboxGlb:
+    @pytest.fixture(scope="class")
+    def loaded(self):
+        registry = rt.MaterialRegistry()
+        builder = rt.VertexLibraryBuilder()
+        gltf = gltf_loader.load_gltf(REF / "testbox/testbox.glb", builder, registry)
+        return registry, builder.build(), gltf
+
+    def test_structure(self, loaded):
+        registry, library, gltf = loaded
+        assert len(gltf.materials) == 1
+        assert len(gltf.meshes) == 1
+        assert library.vertex_count > 0 and library.index_count % 3 == 0
+        # embedded PNG decoded with a full mip chain
+        tex = gltf.textures[0]
+        assert len(tex.mips) > 5
+        assert tex.mips[0].shape[2] == 4
+
+    def test_renders(self, loaded):
+        registry, library, gltf = loaded
+        # aim the camera at the mesh bounds
+        lo = library.positions.min(axis=0)
+        hi = library.positions.max(axis=0)
+        center = (lo + hi) / 2
+        size = float(np.linalg.norm(hi - lo))
+        scene = rt.Scene(world_space=rt.GLTF)
+        eye = center + np.array([0.0, 0.3 * size, 1.2 * size], np.float32)
+        pos, orient = math3d.look_at(eye, center, np.array([0.0, 1.0, 0.0]))
+        # look_at returns VULKAN-convention basis; convert for GLTF world:
+        scene.camera.position = pos
+        scene.camera.orientation = orient
+        gltf.queue(scene, math3d.IDENTITY)
+        renderer = rt.Renderer(registry, rt.RenderConfig(width=128, height=96))
+        img = renderer.render_frame(scene, debug_mode=1)
+        assert (img.sum(axis=-1) > 0).mean() > 0.05
+
+
+class TestSkinnedCharacter:
+    @pytest.fixture(scope="class")
+    def character(self):
+        registry = rt.MaterialRegistry()
+        builder = rt.VertexLibraryBuilder()
+        from renderer_tpu.assets import proxy
+
+        gltf = proxy.make_skinned_character(builder, registry, n_joints=4,
+                                            segments=8, radial=6)
+        return registry, builder.build(), gltf
+
+    def test_palettes_change_over_time(self, character):
+        registry, _, gltf = character
+        anim = gltf.animations[0]
+        palettes = []
+        for t in (0.0, 0.5):
+            scene = rt.Scene()
+            gltf.queue_animated(scene, math3d.IDENTITY, [(t, anim)])
+            palettes.append(scene.joint_palette[:4].copy())
+            assert len(scene.draws) == 1
+            assert scene.draws[0].joints_offset == 0
+        assert not np.allclose(palettes[0], palettes[1])
+
+    def test_bind_pose_identity_joints(self, character):
+        # At t=0 every bone's sway angle is sin(phase)·…; bone 0 has phase 0 →
+        # rotation ≈ 0 → joint 0 = bind @ inverse_bind ≈ identity.
+        registry, _, gltf = character
+        scene = rt.Scene()
+        gltf.queue_animated(scene, math3d.IDENTITY, [(0.0, gltf.animations[0])])
+        np.testing.assert_allclose(scene.joint_palette[0], np.eye(4), atol=1e-5)
+
+    def test_skinned_render_differs_over_time(self, character):
+        registry, _, gltf = character
+        renderer = rt.Renderer(registry, rt.RenderConfig(width=128, height=96))
+        imgs = []
+        for t in (0.0, 0.6):
+            scene = rt.Scene(world_space=rt.GLTF)
+            eye, orient = math3d.look_at(
+                np.array([0.0, 0.5, 2.0]), np.array([0.0, 0.5, 0.0]),
+                np.array([0.0, 1.0, 0.0]),
+            )
+            scene.camera.position = eye
+            scene.camera.orientation = orient
+            gltf.queue_animated(scene, math3d.IDENTITY, [(t, gltf.animations[0])])
+            imgs.append(renderer.render_frame(scene, debug_mode=3))
+        covered = (imgs[0].sum(-1) > 0).mean()
+        assert covered > 0.02
+        assert (imgs[0] != imgs[1]).any()
+
+
+class TestAnimationInterpolation:
+    def _channel(self, interp="LINEAR"):
+        times = np.array([1.0, 2.0, 4.0], np.float32)
+        values = np.array([[0, 0, 0], [1, 0, 0], [3, 0, 0]], np.float32)
+        return gltf_loader.AnimationChannel(interp, "translation", times, values)
+
+    def test_linear(self):
+        ch = self._channel()
+        np.testing.assert_allclose(
+            gltf_loader._interpolate(ch, 1.5, "t"), [0.5, 0, 0], atol=1e-6
+        )
+        np.testing.assert_allclose(
+            gltf_loader._interpolate(ch, 3.0, "t"), [2.0, 0, 0], atol=1e-6
+        )
+
+    def test_step(self):
+        ch = self._channel("STEP")
+        np.testing.assert_allclose(
+            gltf_loader._interpolate(ch, 1.9, "t"), [0, 0, 0], atol=1e-6
+        )
+
+    def test_clamp_before_first(self):
+        ch = self._channel()
+        np.testing.assert_allclose(
+            gltf_loader._interpolate(ch, 0.0, "t"), [0, 0, 0], atol=1e-6
+        )
+
+    def test_error_past_end(self):
+        # Parity: sampling at/after the last keyframe is an error
+        # (gltf_json.rs:246-259 returns None → InvalidAnimationTimestamp).
+        ch = self._channel()
+        with pytest.raises(gltf_loader.AnimationError):
+            gltf_loader._interpolate(ch, 4.0, "t")
+
+
+class TestAtlas:
+    def test_pack_and_lookup(self):
+        registry = rt.MaterialRegistry()
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 255, (16, 32, 4), np.uint8).astype(np.uint8)
+        tex = rt.Texture([img, img[::2, ::2]], rt.TextureKind.LINEAR_COLOR, "t")
+        registry.register_texture(tex)
+        at = atlas_mod.build_atlas(registry)
+        x, y, w, h = at.table[tex.slot, 0]
+        assert (w, h) == (32, 16)
+        # region content matches
+        region = at.data[y : y + h, x : x + w]
+        expected = (
+            img[..., 0].astype(np.uint32)
+            | (img[..., 1].astype(np.uint32) << 8)
+            | (img[..., 2].astype(np.uint32) << 16)
+            | (img[..., 3].astype(np.uint32) << 24)
+        )
+        np.testing.assert_array_equal(region, expected)
+        # wrap border: texel left of the region equals the rightmost column
+        np.testing.assert_array_equal(at.data[y : y + h, x - 1], expected[:, -1])
+        np.testing.assert_array_equal(at.data[y : y + h, x + w], expected[:, 0])
+        # missing mips point at the last real mip
+        assert tuple(at.table[tex.slot, 5][2:]) == (16, 8)
+
+    def test_default_textures_present(self):
+        registry = rt.MaterialRegistry()
+        at = atlas_mod.build_atlas(registry)
+        # slot 0 = white base color 1x1
+        x, y, w, h = at.table[0, 0]
+        assert (w, h) == (1, 1)
+        assert at.data[y, x] == 0xFFFFFFFF
+        assert at.srgb[0] == 1 and at.srgb[1] == 0
