@@ -37,9 +37,15 @@ class RenderConfig:
     # padded up to this; must be a multiple of tri_chunk.
     max_triangles: int = 1 << 19
 
-    # Per-tile binning capacity (max triangles binned to one tile before
-    # overflow). 0 disables binning (every tile scans the whole stream).
-    bin_capacity: int = 0
+    # Capacity of the (tile, triangle) pair list produced by tile binning;
+    # 0 disables binning (every tile scans the whole stream — debug only,
+    # opaque geometry only).
+    pair_capacity: int = 1 << 18
+
+    # Fragment layers captured per pixel for alpha-cutoff (masked) and
+    # blended geometry (raster/layers.py).
+    mask_layers: int = 4
+    blend_layers: int = 2
 
     @property
     def padded_width(self) -> int:

@@ -43,7 +43,7 @@ class Renderer:
         self._interpret = pipeline.interpret_mode()
         self._frame_fn = jax.jit(
             functools.partial(pipeline.render_frame, interpret=self._interpret),
-            static_argnames=("config", "skin_start"),
+            static_argnames=("config", "skin_start", "has_masked", "has_blended"),
         )
 
     # -- device array preparation -------------------------------------------
@@ -87,6 +87,8 @@ class Renderer:
         arrays["proj_view"] = proj @ view
         frame = {k: jnp.asarray(v) for k, v in arrays.items()}
         frame["num_tris"] = jnp.asarray(gs.num_tris, jnp.int32)
+        frame["n_opaque"] = jnp.asarray(gs.num_opaque_tris, jnp.int32)
+        frame["n_masked"] = jnp.asarray(gs.num_masked_tris, jnp.int32)
         return frame
 
     # -- frame loop ----------------------------------------------------------
@@ -108,6 +110,8 @@ class Renderer:
                 img = self._frame_fn(
                     geom_dev, frame, mats,
                     config=self.config, skin_start=gs.skin_start,
+                    has_masked=gs.num_masked_tris > 0,
+                    has_blended=gs.num_tris > gs.num_opaque_tris + gs.num_masked_tris,
                 )
         return img
 

@@ -25,7 +25,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from renderer_tpu.core.config import RenderConfig
-from renderer_tpu.raster import post, raster_kernel, setup, shade, vertex_stage
+from renderer_tpu.raster import pipeline, vertex_stage
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "sp") -> Mesh:
@@ -42,6 +42,8 @@ def render_frame_sharded(
     *,
     config: RenderConfig,
     mesh: Mesh,
+    has_masked: bool = True,
+    has_blended: bool = True,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """The full frame step under shard_map. Inputs are replicated (they are
@@ -78,36 +80,18 @@ def render_frame_sharded(
             for k, v in vs_local.items()
         }
 
-        # -- replicated, cheap: triangle setup over the full stream --------
-        tri_data = setup.triangle_setup(
-            vs["clip"], geom["tri_v"], frame["num_tris"], config.width, config.height
-        )
-
-        # -- sp: raster + shade + tonemap on this device's tile rows -------
-        tile_row0 = i * local_tiles_y
-        depth, trid = raster_kernel.rasterize(
-            tri_data,
-            frame["num_tris"],
-            tile_row_offset=tile_row0,
-            padded_height=local_tiles_y * config.tile_h,
-            padded_width=config.padded_width,
-            tile_h=config.tile_h,
-            tile_w=config.tile_w,
-            sub=config.tri_chunk,
+        # -- sp: raster + shade + composite on this device's tile rows -----
+        return pipeline.render_shard(
+            geom, frame, materials, vs,
+            config=config,
+            has_masked=has_masked,
+            has_blended=has_blended,
+            local_tiles_y=local_tiles_y,
+            tile_row_offset=i * local_tiles_y,
+            row0=(i * rows_per_dev).astype(jnp.float32),
+            out_rows=rows_per_dev,
             interpret=interpret,
         )
-        del depth
-        # This shard covers global rows [i·rows_per_dev, (i+1)·rows_per_dev);
-        # the raster shard covers [tile_row0·tile_h, …) — identical since
-        # height % n == 0 requires rows_per_dev == local_tiles_y·tile_h when
-        # height == padded_height; otherwise crop.
-        trid = trid[:rows_per_dev, : config.width]
-        hdr = shade.shade(
-            trid, geom, vs, frame, materials,
-            width=config.width, height=config.height,
-            row0=(i * rows_per_dev).astype(jnp.float32),
-        )
-        return post.tonemap(hdr[..., :3])
 
     sharded = jax.shard_map(
         step,

@@ -1,0 +1,128 @@
+"""Tile binning: triangle stream → per-tile compact triangle lists.
+
+The reference's analog is the indirect-draw stream (one sorted command list
+consumed by the whole GPU, renderer.rs:219-256); a software tile rasterizer
+instead needs per-tile work lists so each tile only touches triangles that
+overlap it (SURVEY.md §5.7 — the "scale axis" of this engine).
+
+TPU-native formulation: everything is dense XLA ops —
+1. per-triangle tile span from the setup bbox (pixel-center semantics),
+2. expansion to (tile, triangle) pairs with `jnp.repeat(total_repeat_length)`
+   (static capacity, overflow-safe),
+3. one stable sort by tile id,
+4. scatter of the triangle setup rows into bin order → a [16, P] SoA array
+   where every tile's rows are CONTIGUOUS and every tile's start is
+   128-aligned (Mosaic DMA slices must be lane-tile aligned), so the raster
+   kernel streams each tile's list with plain sequential DMA,
+5. per-tile (start, count) via searchsorted, handed to the kernel as
+   scalar-prefetch arrays.
+
+Pair order within a tile is triangle-stream order (stable sort), preserving
+the reference's later-submission-wins depth-tie semantics.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+# Column 14 of the binned row carries the original triangle id as f32
+# (exactly representable up to 2^24).
+TID_COL = 14
+
+# Per-tile bin starts are aligned to this (the Mosaic lane-tile size).
+ALIGN = 128
+
+
+def padded_capacity(pair_capacity: int, n_tiles: int) -> int:
+    # + one raster DMA chunk so the kernel's final over-read stays in bounds
+    from renderer_tpu.raster.raster_kernel import CHUNK
+
+    return pair_capacity + ALIGN * n_tiles + CHUNK
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tiles_x", "tiles_y", "tile_w", "tile_h", "pair_capacity")
+)
+def bin_triangles(
+    tri_data: jnp.ndarray,  # [16, Tc] from triangle_setup
+    lo=0,  # traced: bin only triangles with lo <= index < hi (pass class
+    hi=None,  # ranges; the stream is [opaque | masked | blended])
+    *,
+    tiles_x: int,
+    tiles_y: int,
+    tile_w: int,
+    tile_h: int,
+    pair_capacity: int,
+):
+    """Returns (binned [16, Pp] f32 SoA, starts [tiles] i32 (128-aligned),
+    counts [tiles] i32, overflow_pairs i32 scalar)."""
+    tc = tri_data.shape[1]
+    if hi is None:
+        hi = tc
+    xmin, ymin, xmax, ymax = (tri_data[k] for k in (9, 10, 11, 12))
+    tri_idx = jnp.arange(tc, dtype=jnp.int32)
+    valid = (tri_data[13] > 0.0) & (tri_idx >= lo) & (tri_idx < hi)
+
+    # tile index ranges covering any pixel CENTER in [min, max]
+    tx0 = jnp.clip(jnp.ceil((xmin + 0.5) / tile_w - 1.0), 0, tiles_x - 1).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.floor((xmax - 0.5) / tile_w), 0, tiles_x - 1).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.ceil((ymin + 0.5) / tile_h - 1.0), 0, tiles_y - 1).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor((ymax - 0.5) / tile_h), 0, tiles_y - 1).astype(jnp.int32)
+
+    span_w = jnp.maximum(tx1 - tx0 + 1, 0)
+    span_h = jnp.maximum(ty1 - ty0 + 1, 0)
+    n_pairs = jnp.where(valid, span_w * span_h, 0)
+
+    cum_end = jnp.cumsum(n_pairs)
+    total = cum_end[-1]
+    cum_start = cum_end - n_pairs
+
+    tri_of_pair = jnp.repeat(
+        jnp.arange(tc, dtype=jnp.int32), n_pairs, total_repeat_length=pair_capacity
+    )
+    pair_idx = jnp.arange(pair_capacity, dtype=jnp.int32)
+    pair_live = pair_idx < jnp.minimum(total, pair_capacity)
+
+    k = pair_idx - cum_start[tri_of_pair]
+    w_t = jnp.maximum(span_w[tri_of_pair], 1)
+    dy = k // w_t
+    dx = k - dy * w_t
+    tile = (ty0[tri_of_pair] + dy) * tiles_x + (tx0[tri_of_pair] + dx)
+    n_tiles = tiles_x * tiles_y
+    tile = jnp.where(pair_live, tile, n_tiles)  # dead pairs → overflow bucket
+
+    order = jnp.argsort(tile, stable=True)
+    tile_sorted = tile[order]
+    tri_sorted = tri_of_pair[order]
+
+    tile_range = jnp.arange(n_tiles, dtype=jnp.int32)
+    starts_raw = jnp.searchsorted(tile_sorted, tile_range).astype(jnp.int32)
+    ends_raw = jnp.searchsorted(tile_sorted, tile_range, side="right").astype(jnp.int32)
+    counts = ends_raw - starts_raw
+
+    # 128-aligned destination offsets per tile
+    padded_sizes = (counts + ALIGN - 1) // ALIGN * ALIGN
+    padded_starts = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(padded_sizes)[:-1].astype(jnp.int32)]
+    )
+
+    p_total = padded_capacity(pair_capacity, n_tiles)
+    rank = pair_idx - jnp.concatenate([starts_raw, total.reshape(1)])[tile_sorted]
+    dest = jnp.where(
+        tile_sorted < n_tiles,
+        jnp.concatenate([padded_starts, jnp.zeros(1, jnp.int32)])[tile_sorted] + rank,
+        p_total - 1,  # dead pairs land on the last (padding) column
+    )
+
+    rows = tri_data.T[tri_sorted]  # [P, 16]
+    rows = rows.at[:, TID_COL].set(tri_sorted.astype(jnp.float32))
+    # dead rows must not rasterize even via the dump column
+    rows = jnp.where((tile_sorted < n_tiles)[:, None], rows, 0.0)
+
+    binned = jnp.zeros((16, p_total), jnp.float32).at[:, dest].set(rows.T)
+
+    overflow = jnp.maximum(total - pair_capacity, 0).astype(jnp.int32)
+    return binned, padded_starts, counts, overflow

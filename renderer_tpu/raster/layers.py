@@ -1,0 +1,193 @@
+"""Layered raster kernels for non-opaque geometry [fixed-function → kernel].
+
+The reference renders alpha-to-coverage ("masked") and blended geometry
+through the same fixed-function raster path with different pipeline state
+(reference: renderer/src/renderer/pipeline_parameters.rs:227-233 — a2c and
+blended both inherit depth test GREATER_OR_EQUAL *and depth write* from the
+opaque pipelines, drawn after opaque in pipeline order,
+renderer.rs:433-441). In a visibility-buffer renderer those passes cannot be
+a single winner-takes-all z-test:
+
+- **Masked** (alpha cutoff): the fragment shader may discard, so the raster
+  result is "the nearest fragment whose alpha passes". Because failed
+  fragments never write depth, the result is order-independent → capture the
+  top-K nearest candidate fragments per pixel (insertion sort in VMEM),
+  alpha-test them in the deferred stage, take the nearest passer.
+- **Blended**: src-alpha blending is order-dependent and depth-write prunes:
+  a fragment is accepted iff its depth ≥ every previously accepted depth
+  (submission order). Capture the accepted chain (up to K layers, in order)
+  per pixel, shade each layer deferred, composite in order.
+
+Both kernels process their (binned, per-tile) triangle lists strictly
+sequentially — required for insertion/ordering — reading per-triangle scalars
+from an SMEM-staged copy of the list so the vector unit only ever touches
+[tile_h, tile_w] blocks.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Sequential triangle chunk staged into SMEM per DMA.
+LCHUNK = 128
+
+
+def _fragment(t_col, px3, py3, in_range):
+    """Edge/coverage/depth for ONE triangle whose 16 params are read as
+    scalars via `t_col(k)`."""
+    x0, y0, x1, y1, x2, y2 = (t_col(k) for k in range(6))
+    z_a, z_b, z_c = t_col(6), t_col(7), t_col(8)
+    live = (t_col(13) > 0.0) & in_range
+    e0 = (x2 - x1) * (py3 - y1) - (y2 - y1) * (px3 - x1)
+    e1 = (x0 - x2) * (py3 - y2) - (y0 - y2) * (px3 - x2)
+    e2 = (x1 - x0) * (py3 - y0) - (y1 - y0) * (px3 - x0)
+    cover = (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & live
+    z = z_a * px3 + z_b * py3 + z_c
+    cover = cover & (z >= 0.0) & (z <= 1.0)
+    tid = t_col(14).astype(jnp.int32)
+    return cover, z, tid
+
+
+def _make_layer_kernel(mode: str, n_layers: int, tile_h: int, tile_w: int, tiles_x: int):
+    assert mode in ("masked", "blended")
+
+    def kernel(starts_ref, counts_ref, tri_ref, depth_in_ref,
+               lz_ref, lt_ref, aux_ref, smem, sem):
+        ty = pl.program_id(0) + starts_ref[counts_ref.shape[0]]
+        tx = pl.program_id(1)
+        tile_index = ty * tiles_x + tx
+
+        lz_ref[:] = jnp.full((n_layers, tile_h, tile_w), -1.0, jnp.float32)
+        lt_ref[:] = jnp.full((n_layers, tile_h, tile_w), -1, jnp.int32)
+        # aux: blended → number of accepted fragments per pixel; masked →
+        # unused (zeroed). The running depth starts from the solid depth.
+        aux_ref[:] = jnp.zeros((tile_h, tile_w), jnp.int32)
+        cur_z0 = depth_in_ref[:]
+
+        tile_x0 = (tx * tile_w).astype(jnp.float32)
+        tile_y0 = (ty * tile_h).astype(jnp.float32)
+        px3 = tile_x0 + 0.5 + jax.lax.broadcasted_iota(
+            jnp.int32, (tile_h, tile_w), 1).astype(jnp.float32)
+        py3 = tile_y0 + 0.5 + jax.lax.broadcasted_iota(
+            jnp.int32, (tile_h, tile_w), 0).astype(jnp.float32)
+
+        start = pl.multiple_of(starts_ref[tile_index], 128)
+        count = counts_ref[tile_index]
+        num_chunks = (count + LCHUNK - 1) // LCHUNK
+
+        def chunk_body(ci, cur_z):
+            dma = pltpu.make_async_copy(
+                tri_ref.at[:, pl.ds(start + ci * LCHUNK, LCHUNK)], smem, sem
+            )
+            dma.start()
+            dma.wait()
+            base = ci * LCHUNK
+
+            def tri_body(i, cur_z):
+                def t_col(k):
+                    return smem[k, i]
+
+                cover, z, tid = _fragment(t_col, px3, py3, base + i < count)
+
+                if mode == "masked":
+                    # top-K nearest insertion; ≥ keeps later-submission-wins
+                    # on equal depth. cur_z is the opaque depth floor.
+                    c = cover & (z >= cur_z)
+                    cz = jnp.where(c, z, -1.0)
+                    ct = jnp.where(c, tid, -1)
+                    for k in range(n_layers):
+                        lzk = lz_ref[k]
+                        ltk = lt_ref[k]
+                        sw = cz >= lzk
+                        lz_ref[k] = jnp.where(sw, cz, lzk)
+                        lt_ref[k] = jnp.where(sw, ct, ltk)
+                        cz = jnp.where(sw, lzk, cz)
+                        ct = jnp.where(sw, ltk, ct)
+                    return cur_z
+                else:
+                    # ordered accept: depth test vs the running chain depth,
+                    # accepted fragments write depth (pipeline_parameters.rs
+                    # blended inherits depth_write from opaque).
+                    c = cover & (z >= cur_z)
+                    nacc = aux_ref[:]
+                    for k in range(n_layers):
+                        put = c & (nacc == k)
+                        lt_ref[k] = jnp.where(put, tid, lt_ref[k])
+                        lz_ref[k] = jnp.where(put, z, lz_ref[k])
+                    aux_ref[:] = nacc + c.astype(jnp.int32)
+                    return jnp.where(c, z, cur_z)
+
+            return jax.lax.fori_loop(0, LCHUNK, tri_body, cur_z)
+
+        jax.lax.fori_loop(0, num_chunks, chunk_body, cur_z0)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mode", "n_layers", "tile_row_offset_static", "padded_height",
+        "padded_width", "tile_h", "tile_w", "interpret",
+    ),
+)
+def rasterize_layers(
+    binned: jnp.ndarray,  # [16, Pp] f32 SoA (binning.bin_triangles output)
+    starts: jnp.ndarray,
+    counts: jnp.ndarray,
+    depth_in: jnp.ndarray,  # [Hp, Wp] f32 — depth floor (opaque/solid pass)
+    *,
+    mode: str,
+    n_layers: int,
+    tile_row_offset=0,
+    tile_row_offset_static: bool = False,
+    padded_height: int,
+    padded_width: int,
+    tile_h: int = 32,
+    tile_w: int = 128,
+    interpret: bool = False,
+):
+    """Returns (layer_z [K,Hp,Wp] f32, layer_tid [K,Hp,Wp] i32,
+    aux [Hp,Wp]): masked → aux = depth_in passthrough is NOT returned;
+    blended → aux = per-pixel accepted count; plus for blended the final
+    chain depth is layer_z of the last accepted (not needed downstream)."""
+    tiles_y = padded_height // tile_h
+    tiles_x = padded_width // tile_w
+
+    starts_plus = jnp.concatenate(
+        [starts.astype(jnp.int32), jnp.asarray(tile_row_offset, jnp.int32).reshape(1)]
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(tiles_y, tiles_x),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((tile_h, tile_w), lambda ty, tx, s, c: (ty, tx)),
+        ],
+        out_specs=(
+            pl.BlockSpec((n_layers, tile_h, tile_w), lambda ty, tx, s, c: (0, ty, tx)),
+            pl.BlockSpec((n_layers, tile_h, tile_w), lambda ty, tx, s, c: (0, ty, tx)),
+            pl.BlockSpec((tile_h, tile_w), lambda ty, tx, s, c: (ty, tx)),
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((16, LCHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    kernel = _make_layer_kernel(mode, n_layers, tile_h, tile_w, tiles_x)
+    lz, lt, aux = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_layers, padded_height, padded_width), jnp.float32),
+            jax.ShapeDtypeStruct((n_layers, padded_height, padded_width), jnp.int32),
+            jax.ShapeDtypeStruct((padded_height, padded_width), jnp.int32),
+        ),
+        interpret=interpret,
+    )(starts_plus, counts.astype(jnp.int32), binned, depth_in)
+    return lz, lt, aux

@@ -2,6 +2,20 @@
 (vertex transform+skinning → raster/depth → shading → tonemap,
 reference: renderer/src/renderer.rs:359-572 command buffer) as one jittable
 function over device arrays.
+
+Pass structure (matching the reference's pipeline iteration order,
+renderer.rs:433-441 — opaque, then alpha-to-coverage, then blended — all
+sharing one reverse-Z depth buffer):
+
+1. vertex + skinning (vertex_stage)
+2. triangle setup + per-tile binning (setup, binning)
+3. opaque visibility raster (raster_kernel.rasterize_binned)
+4. masked (alpha-cutoff) top-K layer raster (layers) → per-layer alpha test →
+   merge the nearest passing fragment into the visibility buffer
+5. one deferred full shade of the merged solid visibility buffer (shade)
+6. blended ordered-accept layer raster (layers) → per-layer full shade →
+   src-alpha composite in acceptance order (pipelines.rs:112-132)
+7. ACES tonemap + sRGB encode (post)
 """
 
 from __future__ import annotations
@@ -10,13 +24,116 @@ import jax
 import jax.numpy as jnp
 
 from renderer_tpu.core.config import RenderConfig
-from renderer_tpu.raster import post, raster_kernel, setup, shade, vertex_stage
+from renderer_tpu.raster import (
+    binning,
+    layers,
+    post,
+    raster_kernel,
+    setup,
+    shade,
+    vertex_stage,
+)
 
 
 def interpret_mode() -> bool:
     """Pallas kernels run in interpreter mode off-TPU (the reference's
     'validation layers on a null driver' analog — tests run on CPU)."""
     return jax.default_backend() not in ("tpu",)
+
+
+def render_shard(
+    geom: dict,
+    frame: dict,
+    materials: dict,
+    vs: dict,
+    *,
+    config: RenderConfig,
+    has_masked: bool,
+    has_blended: bool,
+    local_tiles_y: int,
+    tile_row_offset,  # traced i32: first global tile row of this shard
+    row0,  # traced f32: first global pixel row of this shard
+    out_rows: int,  # rows of the final image this shard produces
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Raster + shade + composite for a horizontal band of the image (the
+    whole image on a single chip). All per-pixel math runs on the padded
+    band; the crop to `out_rows`×width happens at the end."""
+    cfg = config
+    pad_h = local_tiles_y * cfg.tile_h
+    n_opaque = frame["n_opaque"]
+    n_masked = frame["n_masked"]
+
+    tri_data = setup.triangle_setup(
+        vs["clip"], geom["tri_v"], frame["num_tris"], cfg.width, cfg.height
+    )
+
+    def bins(lo, hi):
+        b, s, c, _overflow = binning.bin_triangles(
+            tri_data, lo, hi,
+            tiles_x=cfg.tiles_x, tiles_y=cfg.tiles_y,
+            tile_w=cfg.tile_w, tile_h=cfg.tile_h,
+            pair_capacity=cfg.pair_capacity,
+        )
+        return b, s, c
+
+    # -- opaque ------------------------------------------------------------
+    solid_z, solid_tid = raster_kernel.rasterize_binned(
+        *bins(0, n_opaque),
+        tile_row_offset=tile_row_offset,
+        padded_height=pad_h, padded_width=cfg.padded_width,
+        tile_h=cfg.tile_h, tile_w=cfg.tile_w, sub=cfg.tri_chunk,
+        interpret=interpret,
+    )
+
+    def interpolants_of(tid):
+        return shade.interpolants(
+            tid, geom, vs, width=cfg.width, height=cfg.height, row0=row0
+        )
+
+    # -- masked (alpha-to-coverage ≈ alpha cutoff) --------------------------
+    if has_masked:
+        lz, lt, _ = layers.rasterize_layers(
+            *bins(n_opaque, n_opaque + n_masked),
+            solid_z,
+            mode="masked", n_layers=cfg.mask_layers,
+            tile_row_offset=tile_row_offset,
+            padded_height=pad_h, padded_width=cfg.padded_width,
+            tile_h=cfg.tile_h, tile_w=cfg.tile_w,
+            interpret=interpret,
+        )
+        # far → near so the nearest passing fragment wins.
+        for k in reversed(range(cfg.mask_layers)):
+            it_k = interpolants_of(lt[k])
+            alpha, cutoff = shade.base_alpha(it_k, frame, materials)
+            passes = (lt[k] >= 0) & (alpha > cutoff)
+            solid_tid = jnp.where(passes, lt[k], solid_tid)
+            solid_z = jnp.where(passes, lz[k], solid_z)
+
+    # -- one full shade of the solid visibility buffer ----------------------
+    hdr = shade.shade_interpolated(interpolants_of(solid_tid), vs, frame, materials)
+    hdr_rgb = hdr[..., :3]
+
+    # -- blended, ordered accept + src-alpha composite ----------------------
+    if has_blended:
+        _, lt_b, _ = layers.rasterize_layers(
+            *bins(n_opaque + n_masked, frame["num_tris"]),
+            solid_z,
+            mode="blended", n_layers=cfg.blend_layers,
+            tile_row_offset=tile_row_offset,
+            padded_height=pad_h, padded_width=cfg.padded_width,
+            tile_h=cfg.tile_h, tile_w=cfg.tile_w,
+            interpret=interpret,
+        )
+        for k in range(cfg.blend_layers):
+            color_k = shade.shade_interpolated(
+                interpolants_of(lt_b[k]), vs, frame, materials
+            )
+            a = jnp.where((lt_b[k] >= 0)[..., None], color_k[..., 3:4], 0.0)
+            hdr_rgb = hdr_rgb * (1.0 - a) + color_k[..., :3] * a
+
+    img = post.tonemap(hdr_rgb)
+    return img[:out_rows, : cfg.width]
 
 
 def render_frame(
@@ -26,26 +143,20 @@ def render_frame(
     *,
     config: RenderConfig,
     skin_start: int,
+    has_masked: bool = True,
+    has_blended: bool = True,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Returns the final u8 RGB image [H, W, 3]."""
+    """Single-chip frame: returns the final u8 RGB image [H, W, 3]."""
     vs = vertex_stage.run_vertex_stage(geom, frame, skin_start)
-    tri_data = setup.triangle_setup(
-        vs["clip"], geom["tri_v"], frame["num_tris"], config.width, config.height
-    )
-    depth, trid = raster_kernel.rasterize(
-        tri_data,
-        frame["num_tris"],
-        padded_height=config.padded_height,
-        padded_width=config.padded_width,
-        tile_h=config.tile_h,
-        tile_w=config.tile_w,
-        sub=config.tri_chunk,
+    return render_shard(
+        geom, frame, materials, vs,
+        config=config,
+        has_masked=has_masked,
+        has_blended=has_blended,
+        local_tiles_y=config.tiles_y,
+        tile_row_offset=0,
+        row0=0.0,
+        out_rows=config.height,
         interpret=interpret,
     )
-    del depth  # needed again for the blended pass (M3)
-    trid = trid[: config.height, : config.width]
-    hdr = shade.shade(
-        trid, geom, vs, frame, materials, width=config.width, height=config.height
-    )
-    return post.tonemap(hdr[..., :3])

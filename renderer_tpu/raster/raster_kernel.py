@@ -133,24 +133,162 @@ def _raster_kernel(
         @pl.when(jnp.any(overlap))
         def _():
             chunk = soa.T  # [CHUNK,16] — one transpose per surviving chunk
-
-            def sub_body(sc, _):
-                sub_overlap = jax.lax.dynamic_slice_in_dim(
-                    overlap, sc * sub, sub, axis=1
-                )
+            for sc in range(CHUNK // sub):
+                sub_overlap = overlap[:, sc * sub : (sc + 1) * sub]
 
                 @pl.when(jnp.any(sub_overlap))
-                def _():
-                    t = jax.lax.dynamic_slice_in_dim(chunk, sc * sub, sub, axis=0)
-                    process_sub(t, ci, sc)
-
-                return 0
-
-            jax.lax.fori_loop(0, CHUNK // sub, sub_body, 0)
+                def _(sc=sc):
+                    process_sub(chunk[sc * sub : (sc + 1) * sub], ci, sc)
 
         return 0
 
     jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
+
+
+def _binned_kernel(
+    starts_ref,  # scalar prefetch [tiles+1] i32 (last = tile_row_offset)
+    counts_ref,  # scalar prefetch [tiles] i32
+    tri_ref,  # [16, Pp] f32 binned rows (SoA, HBM)
+    depth_ref,  # [th,tw] f32 out block
+    trid_ref,  # [th,tw] i32 out block
+    buf,  # VMEM [16, 2*CHUNK]
+    sems,  # DMA sems [2]
+    *,
+    tile_h: int,
+    tile_w: int,
+    sub: int,
+    tiles_x: int,
+):
+    ty = pl.program_id(0) + starts_ref[counts_ref.shape[0]]
+    tx = pl.program_id(1)
+    tile_index = ty * tiles_x + tx
+
+    depth_ref[:] = jnp.zeros((tile_h, tile_w), jnp.float32)
+    trid_ref[:] = jnp.full((tile_h, tile_w), -1, jnp.int32)
+
+    tile_x0 = (tx * tile_w).astype(jnp.float32)
+    tile_y0 = (ty * tile_h).astype(jnp.float32)
+    px3 = (tile_x0 + 0.5 + jax.lax.broadcasted_iota(
+        jnp.int32, (tile_h, tile_w), 1).astype(jnp.float32))[None]
+    py3 = (tile_y0 + 0.5 + jax.lax.broadcasted_iota(
+        jnp.int32, (tile_h, tile_w), 0).astype(jnp.float32))[None]
+
+    # bin starts are 128-aligned (binning.ALIGN) so lane-dim DMA slices are
+    # tile-aligned
+    start = pl.multiple_of(starts_ref[tile_index], 128)
+    count = counts_ref[tile_index]
+    num_chunks = (count + CHUNK - 1) // CHUNK
+
+    def chunk_dma(slot, ci):
+        return pltpu.make_async_copy(
+            tri_ref.at[:, pl.ds(start + ci * CHUNK, CHUNK)],
+            buf.at[:, pl.ds(slot * CHUNK, CHUNK)],
+            sems.at[slot],
+        )
+
+    @pl.when(num_chunks > 0)
+    def _():
+        chunk_dma(0, 0).start()
+
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (sub, 1, 1), 0)
+
+    def process_sub(t, base_in_bin):
+        def col(k):
+            return t[:, k].reshape(sub, 1, 1)
+
+        x0, y0, x1, y1, x2, y2 = col(0), col(1), col(2), col(3), col(4), col(5)
+        z_a, z_b, z_c = col(6), col(7), col(8)
+        live = (col(13) > 0.0) & (base_in_bin + sub_iota < count)
+
+        e0 = (x2 - x1) * (py3 - y1) - (y2 - y1) * (px3 - x1)
+        e1 = (x0 - x2) * (py3 - y2) - (y0 - y2) * (px3 - x2)
+        e2 = (x1 - x0) * (py3 - y0) - (y1 - y0) * (px3 - x0)
+        cover = (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & live
+
+        z = z_a * px3 + z_b * py3 + z_c
+        zc = jnp.where(cover & (z >= 0.0) & (z <= 1.0), z, -1.0)
+
+        zbest = jnp.max(zc, axis=0)
+        tid = t[:, 14].astype(jnp.int32).reshape(sub, 1, 1)
+        tid_best = jnp.max(jnp.where(zc == zbest[None], tid, -1), axis=0)
+
+        write = (zbest >= 0.0) & (zbest >= depth_ref[:])
+        depth_ref[:] = jnp.where(write, zbest, depth_ref[:])
+        trid_ref[:] = jnp.where(write, tid_best, trid_ref[:])
+
+    def chunk_body(ci, _):
+        slot = jax.lax.rem(ci, 2)
+
+        @pl.when(ci + 1 < num_chunks)
+        def _():
+            chunk_dma(jax.lax.rem(ci + 1, 2), ci + 1).start()
+
+        chunk_dma(slot, ci).wait()
+        soa = buf[:, pl.ds(pl.multiple_of(slot * CHUNK, CHUNK), CHUNK)]  # [16,CHUNK]
+        chunk = soa.T  # [CHUNK,16]
+        base = ci * CHUNK
+        for sc in range(CHUNK // sub):
+            @pl.when(base + sc * sub < count)
+            def _(sc=sc):
+                process_sub(chunk[sc * sub : (sc + 1) * sub], base + sc * sub)
+        return 0
+
+    jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("padded_height", "padded_width", "tile_h", "tile_w", "sub", "interpret"),
+)
+def rasterize_binned(
+    binned: jnp.ndarray,  # [16, Pp] f32 SoA from binning.bin_triangles
+    starts: jnp.ndarray,  # [tiles] i32
+    counts: jnp.ndarray,  # [tiles] i32
+    *,
+    tile_row_offset=0,
+    padded_height: int,
+    padded_width: int,
+    tile_h: int = 32,
+    tile_w: int = 128,
+    sub: int = 8,
+    interpret: bool = False,
+):
+    """Per-tile-binned visibility raster: each grid step streams only its own
+    tile's (contiguous) triangle rows. Returns (depth, tri_id)."""
+    tiles_y = padded_height // tile_h
+    tiles_x = padded_width // tile_w
+
+    starts_plus = jnp.concatenate(
+        [starts.astype(jnp.int32),
+         jnp.asarray(tile_row_offset, jnp.int32).reshape(1)]
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(tiles_y, tiles_x),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=(
+            pl.BlockSpec((tile_h, tile_w), lambda ty, tx, s, c: (ty, tx)),
+            pl.BlockSpec((tile_h, tile_w), lambda ty, tx, s, c: (ty, tx)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((16, 2 * CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(
+        _binned_kernel, tile_h=tile_h, tile_w=tile_w, sub=sub, tiles_x=tiles_x
+    )
+    depth, trid = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((padded_height, padded_width), jnp.float32),
+            jax.ShapeDtypeStruct((padded_height, padded_width), jnp.int32),
+        ),
+        interpret=interpret,
+    )(starts_plus, counts.astype(jnp.int32), binned)
+    return depth, trid
 
 
 @functools.partial(

@@ -119,20 +119,20 @@ def _cross(a, b):
     )
 
 
-def shade(
+def interpolants(
     trid: jnp.ndarray,  # [H,W] i32, -1 = background
     geom: dict,
     vstage: dict,
-    frame: dict,
-    materials: dict,
     *,
     width: int,
     height: int,
     row0=0,  # traced: global y of this shard's first row (image sharding)
-) -> jnp.ndarray:
-    """Returns linear HDR [H,W,4] (rgb premultiplied by nothing; a = coverage
-    alpha). Background pixels are the clear color (0,0,0,0)
-    (render_passes.rs:192-197)."""
+) -> dict:
+    """Per-pixel interpolation context for a visibility buffer: gathers the
+    triangle's vertices, reconstructs perspective-correct barycentrics, and
+    interpolates uv/normal/tangent plus the analytic UV screen derivative
+    (for mip selection). Reused by the main shade, the masked-alpha test,
+    and per-layer blended shading."""
     h, w = trid.shape
     covered = trid >= 0
     t = jnp.where(covered, trid, 0)
@@ -167,12 +167,7 @@ def shade(
         return jnp.einsum("hwv,hwvk->hwk", lp, attr[vid])
 
     uv = interp(vstage["uv"])
-    normal = interp(vstage["normal"])
-    tangent4 = interp(vstage["tangent"])
-    tangent, tan_w = tangent4[..., :3], tangent4[..., 3]
-
     draw = vstage["draw"][vid[..., 0]]  # [H,W]
-    mat = frame["material_id"][draw]
 
     # Analytic UV screen derivatives for mip selection: with g_i = λ_i/w_i,
     # S = Σg, duv/dx = Σ (dλ_i/dx / w_i)(uv_i − uv)/S; dλ from the edge
@@ -197,12 +192,44 @@ def shade(
     )
     lod_base = jnp.log2(jnp.maximum(deriv, 1e-8))
 
-    sampler = make_sampler(materials, uv, lod_base)
+    return {
+        "covered": covered,
+        "interp": interp,
+        "uv": uv,
+        "draw": draw,
+        "lod_base": lod_base,
+    }
 
+
+def base_alpha(it: dict, frame: dict, materials: dict) -> jnp.ndarray:
+    """Base-color alpha × factor alpha, for the alpha-cutoff test
+    (main.frag:42,59-62). Returns (alpha [H,W], cutoff [H,W])."""
+    mat = frame["material_id"][it["draw"]]
+    sampler = make_sampler(materials, it["uv"], it["lod_base"])
+    tex_idx = materials["tex_indices"][mat]
+    a = sampler(tex_idx[..., 0])[..., 3] * materials["base_color_factor"][mat][..., 3]
+    cutoff = materials["alpha_rgh_mtl_normal"][mat][..., 0]
+    return a, cutoff
+
+
+def shade_interpolated(it: dict, vstage: dict, frame: dict, materials: dict) -> jnp.ndarray:
+    """Full fragment shading (main.frag) on an interpolation context."""
+    covered = it["covered"]
+    interp = it["interp"]
+    uv = it["uv"]
+    draw = it["draw"]
+
+    normal = interp(vstage["normal"])
+    tangent4 = interp(vstage["tangent"])
+    tangent, tan_w = tangent4[..., :3], tangent4[..., 3]
+
+    mat = frame["material_id"][draw]
     base_factor = materials["base_color_factor"][mat]  # [H,W,4]
     emis_occ = materials["emissive_occlusion"][mat]
     arm = materials["alpha_rgh_mtl_normal"][mat]
     tex_idx = materials["tex_indices"][mat]  # [H,W,5] i32
+
+    sampler = make_sampler(materials, uv, it["lod_base"])
 
     def sample(slot_col):
         return sampler(tex_idx[..., slot_col])
@@ -269,3 +296,20 @@ def shade(
         color = jnp.where(mode == i, candidates[i], color)
 
     return jnp.where(covered[..., None], color, jnp.zeros_like(color))
+
+
+def shade(
+    trid: jnp.ndarray,  # [H,W] i32, -1 = background
+    geom: dict,
+    vstage: dict,
+    frame: dict,
+    materials: dict,
+    *,
+    width: int,
+    height: int,
+    row0=0,
+) -> jnp.ndarray:
+    """Returns linear HDR [H,W,4]. Background pixels are the clear color
+    (0,0,0,0) (render_passes.rs:192-197)."""
+    it = interpolants(trid, geom, vstage, width=width, height=height, row0=row0)
+    return shade_interpolated(it, vstage, frame, materials)

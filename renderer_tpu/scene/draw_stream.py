@@ -41,7 +41,7 @@ def geometry_key(draws: list[DrawParameters]) -> tuple:
     in the same order (the common case) reuse the cached device arrays."""
     return tuple(
         (d.mesh.library.library_id, d.mesh.mesh_id, d.mesh.skinned,
-         d.material.alpha_mode == AlphaMode.BLENDED)
+         d.material.alpha_mode)
         for d in draws
     )
 
@@ -62,11 +62,14 @@ class GeometryStream:
     # expanded (draw, vertex) stream [VE]
     exp_src: np.ndarray  # i32 → index into concatenated attributes
     exp_draw: np.ndarray  # i32 → draw slot
-    # triangle stream [Tc, 3] of expanded vertex ids; opaque+a2c triangles
-    # first (in draw order), blended after (in draw order)
+    # triangle stream [Tc, 3] of expanded vertex ids, segmented by alpha
+    # class: [opaque | masked (alpha-to-coverage) | blended], each segment in
+    # draw order (the reference's pipeline iteration order,
+    # renderer.rs:433-441)
     tri_v: np.ndarray
     num_tris: int
-    num_opaque_tris: int  # opaque + alpha-to-coverage prefix length
+    num_opaque_tris: int
+    num_masked_tris: int
     skin_start: int  # expanded-vertex index where skinned draws begin
     num_expanded: int
 
@@ -99,8 +102,9 @@ def build_geometry(draws: list[DrawParameters], max_triangles: int) -> GeometryS
 
     exp_src_parts: list[np.ndarray] = []
     exp_draw_parts: list[np.ndarray] = []
-    opaque_tris: list[np.ndarray] = []
-    blended_tris: list[np.ndarray] = []
+    class_tris: dict[int, list[np.ndarray]] = {
+        AlphaMode.OPAQUE: [], AlphaMode.ALPHA_TO_COVERAGE: [], AlphaMode.BLENDED: []
+    }
     skin_start = None
     cursor = 0
     for slot, d in enumerate(draws):
@@ -114,11 +118,7 @@ def build_geometry(draws: list[DrawParameters], max_triangles: int) -> GeometryS
         local = mesh.library.indices[
             mesh.first_index : mesh.first_index + mesh.index_count
         ].astype(np.int32)
-        tris = (local + cursor).reshape(-1, 3)
-        if d.material.alpha_mode == AlphaMode.BLENDED:
-            blended_tris.append(tris)
-        else:
-            opaque_tris.append(tris)
+        class_tris[d.material.alpha_mode].append((local + cursor).reshape(-1, 3))
         cursor += n
 
     num_expanded = cursor
@@ -132,18 +132,22 @@ def build_geometry(draws: list[DrawParameters], max_triangles: int) -> GeometryS
         exp_src[:num_expanded] = np.concatenate(exp_src_parts)
         exp_draw[:num_expanded] = np.concatenate(exp_draw_parts)
 
-    opaque = np.concatenate(opaque_tris, axis=0) if opaque_tris else np.zeros((0, 3), np.int32)
-    blended = np.concatenate(blended_tris, axis=0) if blended_tris else np.zeros((0, 3), np.int32)
+    def cat(lst):
+        return np.concatenate(lst, axis=0) if lst else np.zeros((0, 3), np.int32)
+
+    opaque = cat(class_tris[AlphaMode.OPAQUE])
+    masked = cat(class_tris[AlphaMode.ALPHA_TO_COVERAGE])
+    blended = cat(class_tris[AlphaMode.BLENDED])
     num_opaque = opaque.shape[0]
-    num_tris = num_opaque + blended.shape[0]
+    num_masked = masked.shape[0]
+    num_tris = num_opaque + num_masked + blended.shape[0]
     assert num_tris <= max_triangles, (
         f"scene has {num_tris} triangles, config.max_triangles={max_triangles}"
     )
     # Capacity must cover whole raster DMA chunks (raster_kernel.CHUNK).
     t_cap = min(max(_next_pow2(max(num_tris, 1)), 256), _next_pow2(max_triangles))
     tri_v = np.zeros((t_cap, 3), np.int32)
-    tri_v[:num_opaque] = opaque
-    tri_v[num_opaque:num_tris] = blended
+    tri_v[:num_tris] = np.concatenate([opaque, masked, blended], axis=0)
 
     return GeometryStream(
         positions=positions,
@@ -157,6 +161,7 @@ def build_geometry(draws: list[DrawParameters], max_triangles: int) -> GeometryS
         tri_v=tri_v,
         num_tris=num_tris,
         num_opaque_tris=num_opaque,
+        num_masked_tris=num_masked,
         skin_start=int(skin_start),
         num_expanded=num_expanded,
     )

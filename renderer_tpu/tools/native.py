@@ -1,0 +1,142 @@
+"""ctypes loader for the native C++ library (csrc/), with numpy fallbacks.
+
+The reference's offline texture compressor uses the native intel_tex BC7
+encoder (make-ntex/src/main.rs:231-246); our native half lives in
+csrc/bc7enc.cpp, built lazily with `make` on first use. Every native entry
+point has a pure-numpy fallback so the framework works without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_CSRC = Path(__file__).resolve().parents[2] / "csrc"
+_LIB_PATH = _CSRC / "librenderer_native.so"
+_lib = None
+_load_failed = False
+
+
+def load() -> ctypes.CDLL | None:
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    try:
+        if not _LIB_PATH.exists() or (
+            _LIB_PATH.stat().st_mtime < (_CSRC / "bc7enc.cpp").stat().st_mtime
+        ):
+            subprocess.run(["make", "-C", str(_CSRC)], check=True,
+                           capture_output=True)
+        lib = ctypes.CDLL(str(_LIB_PATH))
+        lib.bc7_encode_mode6.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.bc7_encode_mode6.restype = None
+        _lib = lib
+    except Exception:
+        _load_failed = True
+    return _lib
+
+
+BC7_WEIGHTS4 = np.array(
+    [0, 4, 9, 13, 17, 21, 26, 30, 34, 38, 43, 47, 51, 55, 60, 64], np.int32
+)
+
+
+def bc7_encode_mode6(rgba: np.ndarray) -> np.ndarray:
+    """Encode [h, w, 4] u8 → BC7 mode-6 blocks (u8 [n_blocks*16])."""
+    rgba = np.ascontiguousarray(rgba, np.uint8)
+    h, w = rgba.shape[:2]
+    bw, bh = (w + 3) // 4, (h + 3) // 4
+    out = np.zeros(bw * bh * 16, np.uint8)
+    lib = load()
+    if lib is not None:
+        lib.bc7_encode_mode6(
+            rgba.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), w, h,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        return out
+    return _bc7_encode_mode6_numpy(rgba, out)
+
+
+def _bc7_encode_mode6_numpy(rgba: np.ndarray, out: np.ndarray) -> np.ndarray:
+    """Vectorized numpy fallback (same algorithm, coarser p-bit search)."""
+    h, w = rgba.shape[:2]
+    bw, bh = (w + 3) // 4, (h + 3) // 4
+    # pad to block multiple with edge clamp
+    padded = np.pad(rgba, ((0, bh * 4 - h), (0, bw * 4 - w), (0, 0)), mode="edge")
+    blocks = (
+        padded.reshape(bh, 4, bw, 4, 4).transpose(0, 2, 1, 3, 4).reshape(-1, 16, 4)
+    ).astype(np.float32)  # [N,16,4]
+
+    mean = blocks.mean(axis=1, keepdims=True)
+    d = blocks - mean
+    cov = np.einsum("nia,nib->nab", d, d)
+    axis = np.ones((blocks.shape[0], 4), np.float32)
+    for _ in range(8):
+        axis = np.einsum("nab,nb->na", cov, axis)
+        axis /= np.maximum(np.linalg.norm(axis, axis=1, keepdims=True), 1e-9)
+    t = np.einsum("nia,na->ni", d, axis)
+    e0 = np.clip(mean[:, 0] + t.min(axis=1, keepdims=True).transpose(0, 1) * axis, 0, 255)
+    e1 = np.clip(mean[:, 0] + t.max(axis=1, keepdims=True).transpose(0, 1) * axis, 0, 255)
+
+    def quant(e):
+        v = np.rint(e).astype(np.int32)
+        p = ((v & 1).sum(axis=1) >= 2).astype(np.int32)  # majority LSB
+        q = np.clip((v - p[:, None]) >> 1, 0, 127)
+        return q, p, q * 2 + p[:, None]
+
+    q0, p0, r0 = quant(e0)
+    q1, p1, r1 = quant(e1)
+
+    # indices: nearest of the 16 interpolated colors
+    wts = BC7_WEIGHTS4[None, :, None].astype(np.int32)
+    palette = (r0[:, None, :] * (64 - wts) + r1[:, None, :] * wts + 32) >> 6  # [N,16,4]
+    dist = ((blocks[:, :, None, :] - palette[:, None, :, :]) ** 2).sum(-1)  # [N,16,16]
+    idx = dist.argmin(-1).astype(np.int32)  # [N,16]
+
+    flip = idx[:, 0] >= 8
+    q0f = np.where(flip[:, None], q1, q0)
+    q1f = np.where(flip[:, None], q0, q1)
+    p0f = np.where(flip, p1, p0)
+    p1f = np.where(flip, p0, p1)
+    idx = np.where(flip[:, None], 15 - idx, idx)
+
+    # pack bits into u128 via two u64 halves
+    lo = np.zeros(blocks.shape[0], np.uint64)
+    hi = np.zeros(blocks.shape[0], np.uint64)
+
+    def put(value, nbits, pos):
+        # pos is a python int; numpy shifts by ≥64 are undefined, so split
+        # explicitly at the 64-bit boundary.
+        nonlocal lo, hi
+        v = value.astype(np.uint64)
+        if pos < 64:
+            lo |= v << np.uint64(pos)
+            if pos + nbits > 64:
+                hi |= v >> np.uint64(64 - pos)
+        else:
+            hi |= v << np.uint64(pos - 64)
+        return pos + nbits
+
+    pos = 0
+    pos = put(np.full_like(lo, 1 << 6, dtype=np.uint64), 7, pos)
+    for c in range(4):
+        pos = put(q0f[:, c].astype(np.uint64), 7, pos)
+        pos = put(q1f[:, c].astype(np.uint64), 7, pos)
+    pos = put(p0f.astype(np.uint64), 1, pos)
+    pos = put(p1f.astype(np.uint64), 1, pos)
+    pos = put(idx[:, 0].astype(np.uint64), 3, pos)
+    for i in range(1, 16):
+        pos = put(idx[:, i].astype(np.uint64), 4, pos)
+    assert pos == 128
+
+    packed = np.empty((blocks.shape[0], 2), np.uint64)
+    packed[:, 0] = lo
+    packed[:, 1] = hi
+    out[:] = packed.view(np.uint8).reshape(-1)
+    return out
