@@ -86,12 +86,13 @@ class Sandbox:
 
 
 def build_bench():
-    """Bench entry (bench.py): full sandbox scene at 1920×1080."""
+    """Bench entry (bench.py): full sandbox scene at 1920×1080 with the
+    reference's 4×MSAA (main.rs:114-117)."""
     sandbox = Sandbox()
-    config = rt.RenderConfig(width=1920, height=1080)
+    config = rt.RenderConfig(width=1920, height=1080, msaa_samples=4)
     renderer = rt.Renderer(sandbox.registry, config)
     scene = sandbox.build_scene(1.0)
-    return "sponza+ame-1080p", renderer, scene
+    return "sponza+ame-1080p-msaa4", renderer, scene
 
 
 def main(out_path: str = "sandbox.png", debug_mode: int = 0, game_time: float = 1.0):

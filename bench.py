@@ -32,7 +32,7 @@ def build_triangle_bench():
 def build_sponza_bench():
     from apps import sandbox
 
-    return sandbox.build_bench()  # ("sponza+ame-1080p", renderer, scene)
+    return sandbox.build_bench()  # ("sponza+ame-1080p-msaa4", renderer, scene)
 
 
 def main():

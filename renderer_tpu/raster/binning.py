@@ -28,9 +28,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-# Column 14 of the binned row carries the original triangle id as f32
-# (exactly representable up to 2^24).
-TID_COL = 14
+from renderer_tpu.raster.setup import ROWS, TID_ROW, VALID_ROW
 
 # Per-tile bin starts are aligned to this (the Mosaic lane-tile size).
 ALIGN = 128
@@ -47,7 +45,7 @@ def padded_capacity(pair_capacity: int, n_tiles: int) -> int:
     jax.jit, static_argnames=("tiles_x", "tiles_y", "tile_w", "tile_h", "pair_capacity")
 )
 def bin_triangles(
-    tri_data: jnp.ndarray,  # [16, Tc] from triangle_setup
+    tri_data: jnp.ndarray,  # [ROWS, Tc] from triangle_setup
     lo=0,  # traced: bin only triangles with lo <= index < hi (pass class
     hi=None,  # ranges; the stream is [opaque | masked | blended])
     *,
@@ -57,14 +55,14 @@ def bin_triangles(
     tile_h: int,
     pair_capacity: int,
 ):
-    """Returns (binned [16, Pp] f32 SoA, starts [tiles] i32 (128-aligned),
+    """Returns (binned [ROWS, Pp] f32 SoA, starts [tiles] i32 (128-aligned),
     counts [tiles] i32, overflow_pairs i32 scalar)."""
     tc = tri_data.shape[1]
     if hi is None:
         hi = tc
-    xmin, ymin, xmax, ymax = (tri_data[k] for k in (9, 10, 11, 12))
+    xmin, ymin, xmax, ymax = (tri_data[k] for k in (12, 13, 14, 15))
     tri_idx = jnp.arange(tc, dtype=jnp.int32)
-    valid = (tri_data[13] > 0.0) & (tri_idx >= lo) & (tri_idx < hi)
+    valid = (tri_data[VALID_ROW] > 0.0) & (tri_idx >= lo) & (tri_idx < hi)
 
     # tile index ranges covering any pixel CENTER in [min, max]
     tx0 = jnp.clip(jnp.ceil((xmin + 0.5) / tile_w - 1.0), 0, tiles_x - 1).astype(jnp.int32)
@@ -117,12 +115,12 @@ def bin_triangles(
         p_total - 1,  # dead pairs land on the last (padding) column
     )
 
-    rows = tri_data.T[tri_sorted]  # [P, 16]
-    rows = rows.at[:, TID_COL].set(tri_sorted.astype(jnp.float32))
+    rows = tri_data.T[tri_sorted]  # [P, ROWS]
+    rows = rows.at[:, TID_ROW].set(tri_sorted.astype(jnp.float32))
     # dead rows must not rasterize even via the dump column
     rows = jnp.where((tile_sorted < n_tiles)[:, None], rows, 0.0)
 
-    binned = jnp.zeros((16, p_total), jnp.float32).at[:, dest].set(rows.T)
+    binned = jnp.zeros((ROWS, p_total), jnp.float32).at[:, dest].set(rows.T)
 
     overflow = jnp.maximum(total - pair_capacity, 0).astype(jnp.int32)
     return binned, padded_starts, counts, overflow

@@ -33,23 +33,33 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from renderer_tpu.raster.setup import EPS_ROW, ROWS, TID_ROW, VALID_ROW
+
 # Sequential triangle chunk staged into SMEM per DMA.
 LCHUNK = 128
 
 
 def _fragment(t_col, px3, py3, in_range):
-    """Edge/coverage/depth for ONE triangle whose 16 params are read as
-    scalars via `t_col(k)`."""
-    x0, y0, x1, y1, x2, y2 = (t_col(k) for k in range(6))
-    z_a, z_b, z_c = t_col(6), t_col(7), t_col(8)
-    live = (t_col(13) > 0.0) & in_range
-    e0 = (x2 - x1) * (py3 - y1) - (y2 - y1) * (px3 - x1)
-    e1 = (x0 - x2) * (py3 - y2) - (y0 - y2) * (px3 - x2)
-    e2 = (x1 - x0) * (py3 - y0) - (y1 - y0) * (px3 - x0)
-    cover = (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & live
-    z = z_a * px3 + z_b * py3 + z_c
+    """Edge/coverage/depth for ONE triangle whose plane rows (see setup.py)
+    are read as scalars via `t_col(k)`."""
+    live = (t_col(VALID_ROW) > 0.0) & in_range
+    eps = t_col(EPS_ROW)
+
+    # top-left fill rule in the f32 tolerance band (see raster_kernel).
+    def edge(a, b, c):
+        e = a * px3 + b * py3 + c
+        own = (a > 0.0) | ((a == 0.0) & (b > 0.0))
+        return (e > eps) | ((e >= -eps) & own)
+
+    cover = (
+        edge(t_col(0), t_col(1), t_col(2))
+        & edge(t_col(3), t_col(4), t_col(5))
+        & edge(t_col(6), t_col(7), t_col(8))
+        & live
+    )
+    z = t_col(9) * px3 + t_col(10) * py3 + t_col(11)
     cover = cover & (z >= 0.0) & (z <= 1.0)
-    tid = t_col(14).astype(jnp.int32)
+    tid = t_col(TID_ROW).astype(jnp.int32)
     return cover, z, tid
 
 
@@ -137,7 +147,7 @@ def _make_layer_kernel(mode: str, n_layers: int, tile_h: int, tile_w: int, tiles
     ),
 )
 def rasterize_layers(
-    binned: jnp.ndarray,  # [16, Pp] f32 SoA (binning.bin_triangles output)
+    binned: jnp.ndarray,  # [ROWS, Pp] f32 SoA (binning.bin_triangles output)
     starts: jnp.ndarray,
     counts: jnp.ndarray,
     depth_in: jnp.ndarray,  # [Hp, Wp] f32 — depth floor (opaque/solid pass)
@@ -175,7 +185,7 @@ def rasterize_layers(
             pl.BlockSpec((tile_h, tile_w), lambda ty, tx, s, c: (ty, tx)),
         ),
         scratch_shapes=[
-            pltpu.SMEM((16, LCHUNK), jnp.float32),
+            pltpu.SMEM((ROWS, LCHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )

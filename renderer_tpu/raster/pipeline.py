@@ -16,6 +16,15 @@ sharing one reverse-Z depth buffer):
 6. blended ordered-accept layer raster (layers) → per-layer full shade →
    src-alpha composite in acceptance order (pipelines.rs:112-132)
 7. ACES tonemap + sRGB encode (post)
+
+MSAA 4× (the reference's default, examples/sandbox/src/main.rs:114-117) runs
+steps 3-6 once per sample at the Vulkan standard sample positions by shifting
+the binned triangle rows (one cheap elementwise transform per sample — the
+bins themselves are shared, built with a half-pixel-padded bbox), shading
+every sample (supersampling ⊇ sample-rate shading) and resolving by AVERAGE
+after tonemap (render_passes.rs:28-42; the post pass runs per sample,
+physical_device.rs:265-266). Alpha-to-coverage gets the per-sample coverage
+thresholds a·4 > s+0.5.
 """
 
 from __future__ import annotations
@@ -33,6 +42,28 @@ from renderer_tpu.raster import (
     shade,
     vertex_stage,
 )
+
+# Vulkan standard 4xMSAA sample positions (spec table 24.1), pixel-relative.
+MSAA4_POSITIONS = ((0.375, 0.125), (0.875, 0.375), (0.125, 0.625), (0.625, 0.875))
+
+
+def _shift_binned(binned: jnp.ndarray, sdx: float, sdy: float) -> jnp.ndarray:
+    """Shift binned triangle rows so the kernel's pixel-center evaluation
+    lands on a given MSAA sample position: vertices move by (sdx, sdy) and
+    the depth-plane constant compensates."""
+    if sdx == 0.0 and sdy == 0.0:
+        return binned
+    # planes are e = A·px + B·py + C; shifting by (sdx, sdy) updates only the
+    # constants: C' = C - A·sdx - B·sdy (same for the depth plane).
+    def shift_c(a_row, b_row, c_row):
+        return binned[c_row] - binned[a_row] * sdx - binned[b_row] * sdy
+
+    return (
+        binned.at[2].set(shift_c(0, 1, 2))
+        .at[5].set(shift_c(3, 4, 5))
+        .at[8].set(shift_c(6, 7, 8))
+        .at[11].set(shift_c(9, 10, 11))
+    )
 
 
 def interpret_mode() -> bool:
@@ -63,9 +94,11 @@ def render_shard(
     pad_h = local_tiles_y * cfg.tile_h
     n_opaque = frame["n_opaque"]
     n_masked = frame["n_masked"]
+    msaa = cfg.msaa_samples
 
     tri_data = setup.triangle_setup(
-        vs["clip"], geom["tri_v"], frame["num_tris"], cfg.width, cfg.height
+        vs["clip"], geom["tri_v"], frame["num_tris"], cfg.width, cfg.height,
+        bbox_pad=(0.5 if msaa > 1 else 0.0),
     )
 
     def bins(lo, hi):
@@ -77,13 +110,10 @@ def render_shard(
         )
         return b, s, c
 
-    # -- opaque ------------------------------------------------------------
-    solid_z, solid_tid = raster_kernel.rasterize_binned(
-        *bins(0, n_opaque),
-        tile_row_offset=tile_row_offset,
-        padded_height=pad_h, padded_width=cfg.padded_width,
-        tile_h=cfg.tile_h, tile_w=cfg.tile_w, sub=cfg.tri_chunk,
-        interpret=interpret,
+    bins_opaque = bins(0, n_opaque)
+    bins_masked = bins(n_opaque, n_opaque + n_masked) if has_masked else None
+    bins_blended = (
+        bins(n_opaque + n_masked, frame["num_tris"]) if has_blended else None
     )
 
     def interpolants_of(tid):
@@ -91,48 +121,77 @@ def render_shard(
             tid, geom, vs, width=cfg.width, height=cfg.height, row0=row0
         )
 
-    # -- masked (alpha-to-coverage ≈ alpha cutoff) --------------------------
-    if has_masked:
-        lz, lt, _ = layers.rasterize_layers(
-            *bins(n_opaque, n_opaque + n_masked),
-            solid_z,
-            mode="masked", n_layers=cfg.mask_layers,
+    def render_sample(sample_index: int) -> jnp.ndarray:
+        if msaa > 1:
+            dx, dy = MSAA4_POSITIONS[sample_index]
+            sdx, sdy = 0.5 - dx, 0.5 - dy
+        else:
+            sdx = sdy = 0.0
+
+        def sample_bins(b):
+            binned, starts, counts = b
+            return _shift_binned(binned, sdx, sdy), starts, counts
+
+        # -- opaque ---------------------------------------------------------
+        solid_z, solid_tid = raster_kernel.rasterize_binned(
+            *sample_bins(bins_opaque),
             tile_row_offset=tile_row_offset,
             padded_height=pad_h, padded_width=cfg.padded_width,
-            tile_h=cfg.tile_h, tile_w=cfg.tile_w,
+            tile_h=cfg.tile_h, tile_w=cfg.tile_w, sub=cfg.tri_chunk,
             interpret=interpret,
         )
-        # far → near so the nearest passing fragment wins.
-        for k in reversed(range(cfg.mask_layers)):
-            it_k = interpolants_of(lt[k])
-            alpha, cutoff = shade.base_alpha(it_k, frame, materials)
-            passes = (lt[k] >= 0) & (alpha > cutoff)
-            solid_tid = jnp.where(passes, lt[k], solid_tid)
-            solid_z = jnp.where(passes, lz[k], solid_z)
 
-    # -- one full shade of the solid visibility buffer ----------------------
-    hdr = shade.shade_interpolated(interpolants_of(solid_tid), vs, frame, materials)
-    hdr_rgb = hdr[..., :3]
-
-    # -- blended, ordered accept + src-alpha composite ----------------------
-    if has_blended:
-        _, lt_b, _ = layers.rasterize_layers(
-            *bins(n_opaque + n_masked, frame["num_tris"]),
-            solid_z,
-            mode="blended", n_layers=cfg.blend_layers,
-            tile_row_offset=tile_row_offset,
-            padded_height=pad_h, padded_width=cfg.padded_width,
-            tile_h=cfg.tile_h, tile_w=cfg.tile_w,
-            interpret=interpret,
-        )
-        for k in range(cfg.blend_layers):
-            color_k = shade.shade_interpolated(
-                interpolants_of(lt_b[k]), vs, frame, materials
+        # -- masked (alpha-to-coverage) ---------------------------------------
+        if has_masked:
+            lz, lt, _ = layers.rasterize_layers(
+                *sample_bins(bins_masked),
+                solid_z,
+                mode="masked", n_layers=cfg.mask_layers,
+                tile_row_offset=tile_row_offset,
+                padded_height=pad_h, padded_width=cfg.padded_width,
+                tile_h=cfg.tile_h, tile_w=cfg.tile_w,
+                interpret=interpret,
             )
-            a = jnp.where((lt_b[k] >= 0)[..., None], color_k[..., 3:4], 0.0)
-            hdr_rgb = hdr_rgb * (1.0 - a) + color_k[..., :3] * a
+            # a2c: with MSAA, alpha additionally gates per-sample coverage
+            # (sample s covered iff a·S > s + 0.5).
+            a2c_floor = (sample_index + 0.5) / msaa if msaa > 1 else 0.0
+            # far → near so the nearest passing fragment wins.
+            for k in reversed(range(cfg.mask_layers)):
+                it_k = interpolants_of(lt[k])
+                alpha, cutoff = shade.base_alpha(it_k, frame, materials)
+                passes = (lt[k] >= 0) & (alpha > cutoff) & (alpha > a2c_floor)
+                solid_tid = jnp.where(passes, lt[k], solid_tid)
+                solid_z = jnp.where(passes, lz[k], solid_z)
 
-    img = post.tonemap(hdr_rgb)
+        # -- one full shade of the solid visibility buffer -------------------
+        hdr = shade.shade_interpolated(
+            interpolants_of(solid_tid), vs, frame, materials
+        )
+        hdr_rgb = hdr[..., :3]
+
+        # -- blended, ordered accept + src-alpha composite -------------------
+        if has_blended:
+            _, lt_b, _ = layers.rasterize_layers(
+                *sample_bins(bins_blended),
+                solid_z,
+                mode="blended", n_layers=cfg.blend_layers,
+                tile_row_offset=tile_row_offset,
+                padded_height=pad_h, padded_width=cfg.padded_width,
+                tile_h=cfg.tile_h, tile_w=cfg.tile_w,
+                interpret=interpret,
+            )
+            for k in range(cfg.blend_layers):
+                color_k = shade.shade_interpolated(
+                    interpolants_of(lt_b[k]), vs, frame, materials
+                )
+                a = jnp.where((lt_b[k] >= 0)[..., None], color_k[..., 3:4], 0.0)
+                hdr_rgb = hdr_rgb * (1.0 - a) + color_k[..., :3] * a
+        return hdr_rgb
+
+    if msaa > 1:
+        img = post.tonemap(jnp.stack([render_sample(s) for s in range(msaa)]))
+    else:
+        img = post.tonemap(render_sample(0))
     return img[:out_rows, : cfg.width]
 
 

@@ -35,123 +35,19 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from renderer_tpu.raster.setup import EPS_ROW, ROWS, TID_ROW, VALID_ROW
+
 # Triangles per DMA chunk (default; must divide the triangle capacity).
 CHUNK = 256
-
-
-def _raster_kernel(
-    scalars_ref,  # scalar prefetch [2] i32: (num_chunks, tile_row_offset)
-    tri_ref,  # [16,Tc] f32 in HBM/ANY (SoA, see setup.py)
-    depth_ref,  # [th,tw] f32 out block
-    trid_ref,  # [th,tw] i32 out block
-    buf,  # VMEM [2, CHUNK, 16]
-    sems,  # DMA sems [2]
-    *,
-    tile_h: int,
-    tile_w: int,
-    sub: int,
-):
-    # tile_row_offset shifts this kernel's tile rows in global screen space
-    # (non-zero when the image is sharded over devices by tile rows).
-    ty = pl.program_id(0) + scalars_ref[1]
-    tx = pl.program_id(1)
-
-    depth_ref[:] = jnp.zeros((tile_h, tile_w), jnp.float32)
-    trid_ref[:] = jnp.full((tile_h, tile_w), -1, jnp.int32)
-
-    # Pixel-center coordinates of this tile.
-    tile_x0 = (tx * tile_w).astype(jnp.float32)
-    tile_y0 = (ty * tile_h).astype(jnp.float32)
-    px = tile_x0 + 0.5 + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1).astype(jnp.float32)
-    py = tile_y0 + 0.5 + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0).astype(jnp.float32)
-    px3 = px[None]
-    py3 = py[None]
-    # Tile pixel-center bounds for the conservative chunk test.
-    tpx_min, tpx_max = tile_x0 + 0.5, tile_x0 + tile_w - 0.5
-    tpy_min, tpy_max = tile_y0 + 0.5, tile_y0 + tile_h - 0.5
-
-    num_chunks = scalars_ref[0]
-
-    # SoA layout: a chunk is a [16, CHUNK] lane-aligned slice; the scratch
-    # holds two slots side by side on the lane axis (both 128-aligned).
-    def chunk_dma(slot, ci):
-        return pltpu.make_async_copy(
-            tri_ref.at[:, pl.ds(ci * CHUNK, CHUNK)],
-            buf.at[:, pl.ds(slot * CHUNK, CHUNK)],
-            sems.at[slot],
-        )
-
-    @pl.when(num_chunks > 0)
-    def _():
-        chunk_dma(0, 0).start()
-
-    def process_sub(t, ci, sc):
-        # t: [sub,16] triangle params
-        def col(k):
-            return t[:, k].reshape(sub, 1, 1)
-
-        x0, y0, x1, y1, x2, y2 = col(0), col(1), col(2), col(3), col(4), col(5)
-        z_a, z_b, z_c = col(6), col(7), col(8)
-        live = col(13) > 0.0
-
-        e0 = (x2 - x1) * (py3 - y1) - (y2 - y1) * (px3 - x1)
-        e1 = (x0 - x2) * (py3 - y2) - (y0 - y2) * (px3 - x2)
-        e2 = (x1 - x0) * (py3 - y0) - (y1 - y0) * (px3 - x0)
-        cover = (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & live
-
-        z = z_a * px3 + z_b * py3 + z_c
-        # Depth-range clip ([0,1], Vulkan depth clip) folded into coverage;
-        # -1 marks "no fragment".
-        zc = jnp.where(cover & (z >= 0.0) & (z <= 1.0), z, -1.0)
-
-        zbest = jnp.max(zc, axis=0)  # [th,tw]
-        tid = (ci * CHUNK + sc * sub) + jax.lax.broadcasted_iota(jnp.int32, (sub, 1, 1), 0)
-        tid_best = jnp.max(jnp.where(zc == zbest[None], tid, -1), axis=0)
-
-        write = (zbest >= 0.0) & (zbest >= depth_ref[:])
-        depth_ref[:] = jnp.where(write, zbest, depth_ref[:])
-        trid_ref[:] = jnp.where(write, tid_best, trid_ref[:])
-
-    def chunk_body(ci, _):
-        slot = jax.lax.rem(ci, 2)
-
-        @pl.when(ci + 1 < num_chunks)
-        def _():
-            chunk_dma(jax.lax.rem(ci + 1, 2), ci + 1).start()
-
-        chunk_dma(slot, ci).wait()
-        soa = buf[:, pl.ds(pl.multiple_of(slot * CHUNK, CHUNK), CHUNK)]  # [16,CHUNK]
-
-        overlap = (
-            (soa[9:10] <= tpx_max)
-            & (soa[11:12] >= tpx_min)
-            & (soa[10:11] <= tpy_max)
-            & (soa[12:13] >= tpy_min)
-            & (soa[13:14] > 0.0)
-        )  # [1,CHUNK]
-
-        @pl.when(jnp.any(overlap))
-        def _():
-            chunk = soa.T  # [CHUNK,16] — one transpose per surviving chunk
-            for sc in range(CHUNK // sub):
-                sub_overlap = overlap[:, sc * sub : (sc + 1) * sub]
-
-                @pl.when(jnp.any(sub_overlap))
-                def _(sc=sc):
-                    process_sub(chunk[sc * sub : (sc + 1) * sub], ci, sc)
-
-        return 0
-
-    jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
 
 
 def _binned_kernel(
     starts_ref,  # scalar prefetch [tiles+1] i32 (last = tile_row_offset)
     counts_ref,  # scalar prefetch [tiles] i32
-    tri_ref,  # [16, Pp] f32 binned rows (SoA, HBM)
+    tri_ref,  # [ROWS, Pp] f32 binned rows (SoA, HBM)
     depth_ref,  # [th,tw] f32 out block
     trid_ref,  # [th,tw] i32 out block
-    buf,  # VMEM [16, 2*CHUNK]
+    buf,  # VMEM [ROWS, 2*CHUNK]
     sems,  # DMA sems [2]
     *,
     tile_h: int,
@@ -193,23 +89,34 @@ def _binned_kernel(
     sub_iota = jax.lax.broadcasted_iota(jnp.int32, (sub, 1, 1), 0)
 
     def process_sub(t, base_in_bin):
+        # t: [sub, ROWS] triangle planes (see setup.py layout)
         def col(k):
             return t[:, k].reshape(sub, 1, 1)
 
-        x0, y0, x1, y1, x2, y2 = col(0), col(1), col(2), col(3), col(4), col(5)
-        z_a, z_b, z_c = col(6), col(7), col(8)
-        live = (col(13) > 0.0) & (base_in_bin + sub_iota < count)
+        live = (col(VALID_ROW) > 0.0) & (base_in_bin + sub_iota < count)
+        eps = col(EPS_ROW)
 
-        e0 = (x2 - x1) * (py3 - y1) - (y2 - y1) * (px3 - x1)
-        e1 = (x0 - x2) * (py3 - y2) - (y0 - y2) * (px3 - x2)
-        e2 = (x1 - x0) * (py3 - y0) - (y1 - y0) * (px3 - x0)
-        cover = (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & live
+        # Fill rule: pixels in the ±eps boundary band of an edge belong to
+        # exactly one of the two triangles sharing it (top-left ownership by
+        # the edge plane's coefficient signs) — no cracks, no double hits
+        # [fixed-function → kernel: the Vulkan watertightness rule].
+        def edge(a, b, c):
+            e = a * px3 + b * py3 + c
+            own = (a > 0.0) | ((a == 0.0) & (b > 0.0))
+            return (e > eps) | ((e >= -eps) & own)
 
-        z = z_a * px3 + z_b * py3 + z_c
+        cover = (
+            edge(col(0), col(1), col(2))
+            & edge(col(3), col(4), col(5))
+            & edge(col(6), col(7), col(8))
+            & live
+        )
+
+        z = col(9) * px3 + col(10) * py3 + col(11)
         zc = jnp.where(cover & (z >= 0.0) & (z <= 1.0), z, -1.0)
 
         zbest = jnp.max(zc, axis=0)
-        tid = t[:, 14].astype(jnp.int32).reshape(sub, 1, 1)
+        tid = col(TID_ROW).astype(jnp.int32)
         tid_best = jnp.max(jnp.where(zc == zbest[None], tid, -1), axis=0)
 
         write = (zbest >= 0.0) & (zbest >= depth_ref[:])
@@ -224,8 +131,8 @@ def _binned_kernel(
             chunk_dma(jax.lax.rem(ci + 1, 2), ci + 1).start()
 
         chunk_dma(slot, ci).wait()
-        soa = buf[:, pl.ds(pl.multiple_of(slot * CHUNK, CHUNK), CHUNK)]  # [16,CHUNK]
-        chunk = soa.T  # [CHUNK,16]
+        soa = buf[:, pl.ds(pl.multiple_of(slot * CHUNK, CHUNK), CHUNK)]  # [ROWS,CHUNK]
+        chunk = soa.T  # [CHUNK,ROWS]
         base = ci * CHUNK
         for sc in range(CHUNK // sub):
             @pl.when(base + sc * sub < count)
@@ -241,7 +148,7 @@ def _binned_kernel(
     static_argnames=("padded_height", "padded_width", "tile_h", "tile_w", "sub", "interpret"),
 )
 def rasterize_binned(
-    binned: jnp.ndarray,  # [16, Pp] f32 SoA from binning.bin_triangles
+    binned: jnp.ndarray,  # [ROWS, Pp] f32 SoA from binning.bin_triangles
     starts: jnp.ndarray,  # [tiles] i32
     counts: jnp.ndarray,  # [tiles] i32
     *,
@@ -272,7 +179,7 @@ def rasterize_binned(
             pl.BlockSpec((tile_h, tile_w), lambda ty, tx, s, c: (ty, tx)),
         ),
         scratch_shapes=[
-            pltpu.VMEM((16, 2 * CHUNK), jnp.float32),
+            pltpu.VMEM((ROWS, 2 * CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -288,59 +195,4 @@ def rasterize_binned(
         ),
         interpret=interpret,
     )(starts_plus, counts.astype(jnp.int32), binned)
-    return depth, trid
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("padded_height", "padded_width", "tile_h", "tile_w", "sub", "interpret"),
-)
-def rasterize(
-    tri_data: jnp.ndarray,  # [16,Tc] f32 from triangle_setup
-    num_tris,  # traced i32 scalar
-    *,
-    tile_row_offset=0,  # traced i32: global tile-row index of row 0 (sharding)
-    padded_height: int,
-    padded_width: int,
-    tile_h: int = 32,
-    tile_w: int = 128,
-    sub: int = 8,
-    interpret: bool = False,
-):
-    """Returns (depth [Hp,Wp] f32, tri_id [Hp,Wp] i32)."""
-    tc = tri_data.shape[1]
-    assert tc % CHUNK == 0, f"triangle capacity {tc} must be a multiple of {CHUNK}"
-    assert CHUNK % sub == 0
-    tiles_y = padded_height // tile_h
-    tiles_x = padded_width // tile_w
-
-    num_chunks = jnp.minimum((num_tris + CHUNK - 1) // CHUNK, tc // CHUNK)
-    scalars = jnp.stack(
-        [num_chunks.astype(jnp.int32), jnp.asarray(tile_row_offset, jnp.int32)]
-    )
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(tiles_y, tiles_x),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=(
-            pl.BlockSpec((tile_h, tile_w), lambda ty, tx, s: (ty, tx)),
-            pl.BlockSpec((tile_h, tile_w), lambda ty, tx, s: (ty, tx)),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((16, 2 * CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-
-    kernel = functools.partial(_raster_kernel, tile_h=tile_h, tile_w=tile_w, sub=sub)
-    depth, trid = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((padded_height, padded_width), jnp.float32),
-            jax.ShapeDtypeStruct((padded_height, padded_width), jnp.int32),
-        ),
-        interpret=interpret,
-    )(scalars, tri_data)
     return depth, trid
