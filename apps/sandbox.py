@@ -95,6 +95,87 @@ def build_bench():
     return "sponza+ame-1080p-msaa4", renderer, scene
 
 
+def run_loop(
+    frames: int = 240,
+    target_fps: float = 60.0,
+    width: int = 1920,
+    height: int = 1080,
+    msaa: int = 4,
+    debug_mode: int = 0,
+    dump_path: str | None = None,
+    show_hud: bool = True,
+):
+    """Headless flying-camera demo loop — the sandbox main loop parity
+    (main.rs:325-640): fixed-timestep game time with variable-dt fallback
+    when a frame runs >20% over budget, frame pacing to the target rate,
+    per-frame scene requeue + animation evaluation, live perf-span stats.
+
+    The camera flies a circular path through the atrium (the interactive
+    WASD camera's role in a headless run). Returns a stats dict."""
+    import time
+
+    from renderer_tpu.engine.profiling import Profiler
+    from renderer_tpu.engine.stats import log_memory_usage
+
+    sandbox = Sandbox()
+    profiler = Profiler(enabled=True)
+    config = rt.RenderConfig(width=width, height=height, msaa_samples=msaa)
+    renderer = rt.Renderer(sandbox.registry, config, profiler=profiler)
+    log_memory_usage("assets loaded")
+
+    budget = 1.0 / target_fps
+    game_time = 0.0
+    frame_times = []
+    img = None
+    prev = time.perf_counter()
+    for i in range(frames):
+        # flying camera: circle the atrium, always facing its center
+        ang = 2.0 * np.pi * (i / max(frames, 1))
+        eye = np.array([5.0 * np.cos(ang), 1.8, 2.0 * np.sin(ang)], np.float32)
+        target = np.array([0.0, 1.5, 0.0], np.float32)
+        pos, orient = math3d.look_at(eye, target, np.array([0, 1, 0], np.float32))
+
+        scene = sandbox.build_scene(game_time)
+        scene.camera.position = pos
+        scene.camera.orientation = orient
+        img = renderer.render_frame_device(scene, debug_mode=debug_mode)
+
+        now = time.perf_counter()
+        frame_time = now - prev
+        frame_times.append(frame_time)
+        # fixed timestep unless >20% over budget (main.rs:486-521)
+        game_time += budget if frame_time <= 1.2 * budget else frame_time
+        # frame pacing (main.rs:628-639)
+        sleep_for = budget - (time.perf_counter() - now)
+        if sleep_for > 0:
+            time.sleep(sleep_for)
+        prev = time.perf_counter()
+
+    img.block_until_ready()
+    out = np.asarray(img)
+    ft = np.array(frame_times[3:]) if len(frame_times) > 6 else np.array(frame_times)
+    stats = {
+        "frames": frames,
+        "mean_fps": float(1.0 / ft.mean()),
+        "p99_ms": float(np.percentile(ft, 99) * 1e3),
+        "paced_to": target_fps,
+    }
+    if dump_path:
+        from PIL import Image
+
+        if show_hud:
+            from renderer_tpu.overlay.hud import draw_hud
+
+            out = draw_hud(
+                out, profiler,
+                [f"{width}x{height} msaa{msaa}  "
+                 f"{stats['mean_fps']:.0f} fps (paced {target_fps:.0f})"],
+            )
+        Image.fromarray(out).save(dump_path)
+    print(f"run_loop: {stats}")
+    return stats
+
+
 def main(out_path: str = "sandbox.png", debug_mode: int = 0, game_time: float = 1.0):
     sandbox = Sandbox()
     config = rt.RenderConfig(width=1280, height=720)

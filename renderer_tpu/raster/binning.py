@@ -60,7 +60,9 @@ def bin_triangles(
     tc = tri_data.shape[1]
     if hi is None:
         hi = tc
-    xmin, ymin, xmax, ymax = (tri_data[k] for k in (12, 13, 14, 15))
+    from renderer_tpu.raster.setup import BBOX_ROWS
+
+    xmin, ymin, xmax, ymax = (tri_data[k] for k in BBOX_ROWS)
     tri_idx = jnp.arange(tc, dtype=jnp.int32)
     valid = (tri_data[VALID_ROW] > 0.0) & (tri_idx >= lo) & (tri_idx < hi)
 

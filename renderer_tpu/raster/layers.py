@@ -58,7 +58,8 @@ def _fragment(t_col, px3, py3, in_range):
         & live
     )
     z = t_col(9) * px3 + t_col(10) * py3 + t_col(11)
-    cover = cover & (z >= 0.0) & (z <= 1.0)
+    inv_w = t_col(12) * px3 + t_col(13) * py3 + t_col(14)
+    cover = cover & (inv_w > 0.0) & (z >= 0.0) & (z <= 1.0)
     tid = t_col(TID_ROW).astype(jnp.int32)
     return cover, z, tid
 

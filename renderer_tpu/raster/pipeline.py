@@ -63,6 +63,7 @@ def _shift_binned(binned: jnp.ndarray, sdx: float, sdy: float) -> jnp.ndarray:
         .at[5].set(shift_c(3, 4, 5))
         .at[8].set(shift_c(6, 7, 8))
         .at[11].set(shift_c(9, 10, 11))
+        .at[14].set(shift_c(12, 13, 14))
     )
 
 

@@ -55,6 +55,8 @@ def _binned_kernel(
     sub: int,
     tiles_x: int,
 ):
+    # layout constants from setup.py: rows 0-8 edge planes, 9-11 depth plane,
+    # 12-14 1/w plane, VALID/TID/EPS rows
     ty = pl.program_id(0) + starts_ref[counts_ref.shape[0]]
     tx = pl.program_id(1)
     tile_index = ty * tiles_x + tx
@@ -113,7 +115,13 @@ def _binned_kernel(
         )
 
         z = col(9) * px3 + col(10) * py3 + col(11)
-        zc = jnp.where(cover & (z >= 0.0) & (z <= 1.0), z, -1.0)
+        # 1/w > 0 excludes the anti-triangle branch of near-crossing
+        # triangles; z∈[0,1] is the Vulkan depth-range clip (= near clip
+        # under reverse-Z).
+        inv_w = col(12) * px3 + col(13) * py3 + col(14)
+        zc = jnp.where(
+            cover & (inv_w > 0.0) & (z >= 0.0) & (z <= 1.0), z, -1.0
+        )
 
         zbest = jnp.max(zc, axis=0)
         tid = col(TID_ROW).astype(jnp.int32)

@@ -140,28 +140,31 @@ def interpolants(
     vid = geom["tri_v"][t]  # [H,W,3]
     clip = vstage["clip"][vid]  # [H,W,3,4]
 
-    cw = clip[..., 3]
-    inv_w = jnp.reciprocal(jnp.where(jnp.abs(cw) > 1e-6, cw, 1.0))  # [H,W,3]
-    sx = (clip[..., 0] * inv_w * 0.5 + 0.5) * width
-    sy = (clip[..., 1] * inv_w * 0.5 + 0.5) * height
+    # Homogeneous (2DH) barycentrics — matches the raster kernels' edge
+    # planes exactly and stays valid for triangles crossing w = 0: with
+    # pixel-scaled u_i = (X, Y, w), perspective-correct weights are
+    # g_i(p) = (u_j × u_k) · (px, py, 1), normalized.
+    X = (clip[..., 0] * 0.5 + clip[..., 3] * 0.5) * width
+    Y = (clip[..., 1] * 0.5 + clip[..., 3] * 0.5) * height
+    Wh = clip[..., 3]
 
     px = jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5
     py = jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5 + row0
 
-    def edge(xa, ya, xb, yb):
-        return (xb - xa) * (py - ya) - (yb - ya) * (px - xa)
+    def edge_g(j, k):
+        a = Y[..., j] * Wh[..., k] - Wh[..., j] * Y[..., k]
+        b = Wh[..., j] * X[..., k] - X[..., j] * Wh[..., k]
+        cc = X[..., j] * Y[..., k] - Y[..., j] * X[..., k]
+        return a, b, cc, a * px + b * py + cc
 
-    e0 = edge(sx[..., 1], sy[..., 1], sx[..., 2], sy[..., 2])
-    e1 = edge(sx[..., 2], sy[..., 2], sx[..., 0], sy[..., 0])
-    e2 = edge(sx[..., 0], sy[..., 0], sx[..., 1], sy[..., 1])
-    area = e0 + e1 + e2
-    lam = jnp.stack([e0, e1, e2], axis=-1) * jnp.reciprocal(
-        jnp.where(jnp.abs(area) > 1e-12, area, 1.0)
-    )[..., None]
-    # Perspective-correct weights (hardware-interpolator parity).
-    lp_raw = lam * inv_w
-    lp_sum = jnp.maximum(jnp.sum(lp_raw, axis=-1, keepdims=True), 1e-20)
-    lp = lp_raw * jnp.reciprocal(lp_sum)
+    a0, b0, _, g0 = edge_g(1, 2)
+    a1, b1, _, g1 = edge_g(2, 0)
+    a2, b2, _, g2 = edge_g(0, 1)
+    gsum = g0 + g1 + g2
+    inv_gsum = jnp.reciprocal(
+        jnp.where(jnp.abs(gsum) > 1e-20, gsum, 1.0)
+    )
+    lp = jnp.stack([g0, g1, g2], axis=-1) * inv_gsum[..., None]
 
     def interp(attr):  # attr [VE,K] -> [H,W,K]
         return jnp.einsum("hwv,hwvk->hwk", lp, attr[vid])
@@ -169,24 +172,14 @@ def interpolants(
     uv = interp(vstage["uv"])
     draw = vstage["draw"][vid[..., 0]]  # [H,W]
 
-    # Analytic UV screen derivatives for mip selection: with g_i = λ_i/w_i,
-    # S = Σg, duv/dx = Σ (dλ_i/dx / w_i)(uv_i − uv)/S; dλ from the edge
-    # function gradients.
-    inv_area = jnp.reciprocal(jnp.where(jnp.abs(area) > 1e-12, area, 1.0))
-    dldx = jnp.stack(
-        [-(sy[..., 2] - sy[..., 1]), -(sy[..., 0] - sy[..., 2]), -(sy[..., 1] - sy[..., 0])],
-        axis=-1,
-    ) * inv_area[..., None]
-    dldy = jnp.stack(
-        [sx[..., 2] - sx[..., 1], sx[..., 0] - sx[..., 2], sx[..., 1] - sx[..., 0]],
-        axis=-1,
-    ) * inv_area[..., None]
+    # Analytic UV screen derivatives for mip selection:
+    # d(f)/dx = Σ A_i (f_i − f) / Σ g_i (A_i = ∂g_i/∂px).
     uv_verts = vstage["uv"][vid]  # [H,W,3,2]
     duv = uv_verts - uv[..., None, :]  # [H,W,3,2]
-    coef_x = (dldx * inv_w)[..., None] / lp_sum[..., None]
-    coef_y = (dldy * inv_w)[..., None] / lp_sum[..., None]
-    duv_dx = jnp.sum(coef_x * duv, axis=-2)  # [H,W,2]
-    duv_dy = jnp.sum(coef_y * duv, axis=-2)
+    das = jnp.stack([a0, a1, a2], axis=-1) * inv_gsum[..., None]
+    dbs = jnp.stack([b0, b1, b2], axis=-1) * inv_gsum[..., None]
+    duv_dx = jnp.sum(das[..., None] * duv, axis=-2)  # [H,W,2]
+    duv_dy = jnp.sum(dbs[..., None] * duv, axis=-2)
     deriv = jnp.maximum(
         jnp.max(jnp.abs(duv_dx), axis=-1), jnp.max(jnp.abs(duv_dy), axis=-1)
     )
