@@ -1,0 +1,110 @@
+"""The BASELINE.json benchmark-config matrix, runnable end to end.
+
+Each entry mirrors one line of BASELINE.json `configs` (the de-facto
+integration-test matrix, SURVEY.md §4): renders it, saves a PNG, and reports
+the steady-state frame time.
+
+Run: python -m apps.configs [outdir] [frames]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+import renderer_tpu as rt
+
+
+def _timed(renderer, scene, mode, frames):
+    """Times the jitted loop WITHOUT any device→host readback: under the
+    axon TPU tunnel the first host readback permanently degrades every
+    subsequent dispatch to ~340 ms (tunnel switches to synchronous
+    round-trips), so images stay on device until all timing is done."""
+    img = renderer.render_frame_device(scene, mode)
+    img.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(frames):
+        img = renderer.render_frame_device(scene, mode)
+    img.block_until_ready()
+    return img, (time.perf_counter() - t0) / frames * 1e3
+
+
+def run_all(outdir: str = "configs_out", frames: int = 10) -> list[dict]:
+    out = Path(outdir)
+    out.mkdir(parents=True, exist_ok=True)
+    from PIL import Image
+
+    from apps import triangle as tri_app
+    from apps.sandbox import Sandbox
+    from renderer_tpu.core import math3d
+
+    results = []
+    pending_images = []  # (name, device image) — read back after ALL timing
+
+    def record(name, img, ms):
+        pending_images.append((name, img))
+        results.append({"config": name, "ms_per_frame": round(ms, 3),
+                        "fps": round(1000.0 / ms, 1)})
+        print(results[-1], flush=True)
+
+    # 1. triangle: single hardcoded triangle, 800×600, flat color
+    registry, meshes, material = tri_app.build_triangle_assets()
+    renderer = rt.Renderer(registry, rt.RenderConfig(width=800, height=600))
+    scene = tri_app.build_scene(meshes, material)
+    img, ms = _timed(renderer, scene, 1, frames)
+    record("triangle-800x600-flat", img, ms)
+
+    # 2. static Sponza, fixed camera, base-color (albedo) @ 1280×720
+    full = Sandbox(with_smol_ame=True)  # one asset load serves configs 2-5
+    renderer = rt.Renderer(full.registry, rt.RenderConfig(width=1280, height=720))
+    scene = rt.Scene(world_space=rt.GLTF)
+    scene.camera.position = np.array([0.0, 1.6, 0.0], np.float32)
+    scene.camera.orientation = math3d.quat_from_axis_angle([0, 1, 0], 1.56)
+    full.sponza.queue(scene, math3d.IDENTITY)
+    img, ms = _timed(renderer, scene, 1, frames)
+    record("sponza-albedo-720p", img, ms)
+
+    # 3. Sponza G-buffer sweep: draw-id / normals / rough-metal / emissive / AO
+    for mode, name in ((2, "draw-id"), (3, "normals"), (4, "rough-metal"),
+                       (5, "emissive"), (6, "occlusion")):
+        img, ms = _timed(renderer, scene, mode, max(frames // 2, 3))
+        record(f"sponza-gbuffer-{name}", img, ms)
+
+    # 4. skinned animation: per-frame bone transforms + skinned vertex pass
+    char = full.smol_ame
+    char_renderer = rt.Renderer(full.registry, rt.RenderConfig(width=640, height=480))
+    anim = char.animations[0]
+    for t in (0.0, 0.75):
+        scene = rt.Scene(world_space=rt.GLTF)
+        eye, orient = math3d.look_at(
+            np.array([0.0, 0.6, 1.6]), np.array([0.0, 0.5, 0.0]),
+            np.array([0.0, 1.0, 0.0]),
+        )
+        scene.camera.position, scene.camera.orientation = eye, orient
+        char.queue_animated(scene, math3d.IDENTITY, [(t, anim)])
+        img, ms = _timed(char_renderer, scene, 0, max(frames // 2, 3))
+        record(f"skinned-anim-t{t}", img, ms)
+
+    # 5. full sandbox: Sponza + animated character, lit, 1920×1080, 4×MSAA
+    renderer = rt.Renderer(
+        full.registry, rt.RenderConfig(width=1920, height=1080, msaa_samples=4)
+    )
+    scene = full.build_scene(1.0)
+    img, ms = _timed(renderer, scene, 0, frames)
+    record("sandbox-lit-1080p-msaa4", img, ms)
+
+    # deferred readbacks (see _timed docstring)
+    for name, img in pending_images:
+        Image.fromarray(np.asarray(img)).save(out / f"{name}.png")
+
+    (out / "results.json").write_text(json.dumps(results, indent=2))
+    return results
+
+
+if __name__ == "__main__":
+    run_all(*(sys.argv[1:2] or ["configs_out"]),
+            frames=int(sys.argv[2]) if len(sys.argv) > 2 else 10)

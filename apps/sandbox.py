@@ -139,6 +139,9 @@ def run_loop(
         scene.camera.position = pos
         scene.camera.orientation = orient
         img = renderer.render_frame_device(scene, debug_mode=debug_mode)
+        if i == 0:
+            img.block_until_ready()
+            profiler.snapshot("startup (first frame incl. compile)")
 
         now = time.perf_counter()
         frame_time = now - prev

@@ -33,6 +33,7 @@ from renderer_tpu.materials.registry import (
     Texture,
     TextureKind,
 )
+from renderer_tpu.assets.gltf_loader import Gltf, load_gltf
 from renderer_tpu.scene.scene import Scene
 
 __all__ = [
@@ -41,6 +42,7 @@ __all__ = [
     "Profiler", "Renderer", "Mesh", "VertexLibrary", "VertexLibraryBuilder",
     "VertexLibraryMeasurer", "AlphaMode", "Material", "MaterialRegistry",
     "PbrMaterialParameters", "Texture", "TextureKind", "Scene",
+    "Gltf", "load_gltf",
 ]
 
 __version__ = "0.1.0"

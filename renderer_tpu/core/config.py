@@ -47,6 +47,10 @@ class RenderConfig:
     mask_layers: int = 4
     blend_layers: int = 2
 
+    # Two-mip (trilinear) texture filtering — reference sampler parity
+    # (descriptors.rs:90-105); False = bilinear + nearest mip (faster).
+    trilinear: bool = True
+
     @property
     def padded_width(self) -> int:
         return _round_up(self.width, self.tile_w)

@@ -55,11 +55,26 @@ class Profiler:
         self._spans.clear()
         self._order.clear()
 
+    def snapshot(self, label: str) -> None:
+        """Move the accumulated spans into a named section and reset — the
+        sandbox splits its span tree into 'startup' and 'latest frame'
+        sections this way (main.rs:315-319,532-542)."""
+        if not hasattr(self, "sections"):
+            self.sections: dict[str, list[Span]] = {}
+        self.sections[label] = self.report()
+        self._spans = {}
+        self._order = []
+
     def report(self) -> list[Span]:
         return [self._spans[k] for k in self._order]
 
     def format(self) -> str:
         lines = []
+        for label, spans in getattr(self, "sections", {}).items():
+            lines.append(f"[{label}]")
+            for s in spans:
+                mean_us = 1e6 * s.total_s / max(s.count, 1)
+                lines.append(f"  {'  ' * s.depth}{s.name}: {mean_us:.1f} µs ×{s.count}")
         for s in self.report():
             mean_us = 1e6 * s.total_s / max(s.count, 1)
             lines.append(f"{'  ' * s.depth}{s.name}: {mean_us:.1f} µs ×{s.count}")

@@ -28,6 +28,25 @@ from renderer_tpu.scene import draw_stream
 from renderer_tpu.scene.scene import Scene
 
 
+def _enable_compilation_cache() -> None:
+    """Persistent compile cache — the VkPipelineCache analog (the reference
+    threads a pipeline cache through every recreation so resizes reuse
+    compiled pipelines, pipelines.rs:164-174). Makes first frames after the
+    first process start near-instant."""
+    if getattr(_enable_compilation_cache, "_done", False):
+        return
+    _enable_compilation_cache._done = True
+    try:
+        import pathlib
+
+        cache_dir = pathlib.Path(__file__).resolve().parents[2] / ".cache" / "jax"
+        cache_dir.mkdir(parents=True, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # cache is an optimization only
+
+
 class Renderer:
     def __init__(
         self,
@@ -35,6 +54,7 @@ class Renderer:
         config: RenderConfig | None = None,
         profiler: Profiler | None = None,
     ) -> None:
+        _enable_compilation_cache()
         self.config = (config or RenderConfig()).validate()
         self.registry = registry
         self.profiler = profiler or Profiler(enabled=False)
@@ -116,7 +136,11 @@ class Renderer:
         return img
 
     def render_frame(self, scene: Scene, debug_mode: int = 0) -> np.ndarray:
-        """One frame, copied back to the host (the 'present' boundary)."""
+        """One frame, copied back to the host (the 'present' boundary).
+
+        Benchmark note: keep hot loops on `render_frame_device` and read back
+        once at the end — under tunneled TPU runtimes (axon) the first host
+        readback permanently slows every subsequent dispatch."""
         img = self.render_frame_device(scene, debug_mode)
         with self.profiler.span("present (device→host)"):
             return np.asarray(img)

@@ -38,8 +38,9 @@ class Atlas:
 
 
 def _pack_rgba(rgba: np.ndarray) -> np.ndarray:
-    r = rgba.astype(np.uint32)
-    return r[..., 0] | (r[..., 1] << 8) | (r[..., 2] << 16) | (r[..., 3] << 24)
+    # RGBA8 → packed u32 is a pure reinterpret on little-endian hosts.
+    rgba = np.ascontiguousarray(rgba, np.uint8)
+    return rgba.view("<u4")[..., 0]
 
 
 def _with_wrap_border(img: np.ndarray) -> np.ndarray:

@@ -37,10 +37,11 @@ def _srgb_decode(c):
     return jnp.where(c <= 0.04045, lo, hi)
 
 
-def make_sampler(materials: dict, uv, lod_base):
-    """Returns sample(slot) -> [H,W,4] linear RGBA: repeat-wrap bilinear
-    atlas fetch at the mip chosen from lod_base (log2 of max UV-space screen
-    derivative) plus the texture's size."""
+def make_sampler(materials: dict, uv, lod_base, trilinear: bool = True):
+    """Returns sample(slot) -> [H,W,4] linear RGBA: repeat-wrap bilinear (or
+    trilinear — two-mip blend, matching the reference's trilinear sampler,
+    descriptors.rs:90-105) atlas fetch; the mip level comes from lod_base
+    (log2 of max UV-space screen derivative) plus the texture's size."""
     atlas = materials["atlas"]  # [AH,AW] u32
     table = materials["atlas_table"]  # [T,M,4] i32
     srgb = materials["atlas_srgb"]  # [T] i32
@@ -50,13 +51,7 @@ def make_sampler(materials: dict, uv, lod_base):
 
     uvf = uv - jnp.floor(uv)  # REPEAT wrap
 
-    def sample(slot):  # slot [H,W] i32
-        size0 = jnp.maximum(table[slot, 0, 2], table[slot, 0, 3]).astype(jnp.float32)
-        lod = jnp.clip(
-            jnp.round(lod_base + jnp.log2(jnp.maximum(size0, 1.0))),
-            0,
-            MAX_MIPS - 1,
-        ).astype(jnp.int32)
+    def sample_mip(slot, lod):  # slot,lod [H,W] i32
         rect = table_flat[slot * MAX_MIPS + lod]  # [H,W,4]
         x0, y0 = rect[..., 0], rect[..., 1]
         w = rect[..., 2].astype(jnp.float32)
@@ -91,6 +86,19 @@ def make_sampler(materials: dict, uv, lod_base):
         is_srgb = (srgb[slot] > 0)[..., None]
         rgb = jnp.where(is_srgb, _srgb_decode(c[..., :3]), c[..., :3])
         return jnp.concatenate([rgb, c[..., 3:4]], axis=-1)
+
+    def sample(slot):  # slot [H,W] i32
+        size0 = jnp.maximum(table[slot, 0, 2], table[slot, 0, 3]).astype(jnp.float32)
+        lodf = jnp.clip(
+            lod_base + jnp.log2(jnp.maximum(size0, 1.0)), 0.0, MAX_MIPS - 1.0
+        )
+        if not trilinear:
+            return sample_mip(slot, jnp.round(lodf).astype(jnp.int32))
+        l0 = jnp.floor(lodf)
+        frac = (lodf - l0)[..., None]
+        l0 = l0.astype(jnp.int32)
+        l1 = jnp.minimum(l0 + 1, MAX_MIPS - 1)
+        return sample_mip(slot, l0) * (1.0 - frac) + sample_mip(slot, l1) * frac
 
     return sample
 
@@ -194,18 +202,20 @@ def interpolants(
     }
 
 
-def base_alpha(it: dict, frame: dict, materials: dict) -> jnp.ndarray:
+def base_alpha(it: dict, frame: dict, materials: dict,
+               trilinear: bool = True) -> jnp.ndarray:
     """Base-color alpha × factor alpha, for the alpha-cutoff test
     (main.frag:42,59-62). Returns (alpha [H,W], cutoff [H,W])."""
     mat = frame["material_id"][it["draw"]]
-    sampler = make_sampler(materials, it["uv"], it["lod_base"])
+    sampler = make_sampler(materials, it["uv"], it["lod_base"], trilinear)
     tex_idx = materials["tex_indices"][mat]
     a = sampler(tex_idx[..., 0])[..., 3] * materials["base_color_factor"][mat][..., 3]
     cutoff = materials["alpha_rgh_mtl_normal"][mat][..., 0]
     return a, cutoff
 
 
-def shade_interpolated(it: dict, vstage: dict, frame: dict, materials: dict) -> jnp.ndarray:
+def shade_interpolated(it: dict, vstage: dict, frame: dict, materials: dict,
+                       trilinear: bool = True) -> jnp.ndarray:
     """Full fragment shading (main.frag) on an interpolation context."""
     covered = it["covered"]
     interp = it["interp"]
@@ -222,7 +232,7 @@ def shade_interpolated(it: dict, vstage: dict, frame: dict, materials: dict) -> 
     arm = materials["alpha_rgh_mtl_normal"][mat]
     tex_idx = materials["tex_indices"][mat]  # [H,W,5] i32
 
-    sampler = make_sampler(materials, uv, it["lod_base"])
+    sampler = make_sampler(materials, uv, it["lod_base"], trilinear)
 
     def sample(slot_col):
         return sampler(tex_idx[..., slot_col])
@@ -301,8 +311,9 @@ def shade(
     width: int,
     height: int,
     row0=0,
+    trilinear: bool = True,
 ) -> jnp.ndarray:
     """Returns linear HDR [H,W,4]. Background pixels are the clear color
     (0,0,0,0) (render_passes.rs:192-197)."""
     it = interpolants(trid, geom, vstage, width=width, height=height, row0=row0)
-    return shade_interpolated(it, vstage, frame, materials)
+    return shade_interpolated(it, vstage, frame, materials, trilinear)

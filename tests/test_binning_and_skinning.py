@@ -1,0 +1,155 @@
+"""Unit tests: tile binning against a brute-force oracle, and the skinning
+vertex path against a numpy reimplementation."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from renderer_tpu.raster import binning, setup, vertex_stage
+from renderer_tpu.raster.setup import BBOX_ROWS, ROWS, TID_ROW, VALID_ROW
+
+
+def _fake_tri_data(rng, n, tc, tiles_x, tiles_y, tile_w, tile_h):
+    """Random valid bboxes inside the screen; only rows used by binning are
+    populated."""
+    td = np.zeros((ROWS, tc), np.float32)
+    w, h = tiles_x * tile_w, tiles_y * tile_h
+    x0 = rng.uniform(0, w - 1, n)
+    y0 = rng.uniform(0, h - 1, n)
+    bw = rng.uniform(0.5, w / 3, n)
+    bh = rng.uniform(0.5, h / 3, n)
+    td[BBOX_ROWS[0], :n] = x0
+    td[BBOX_ROWS[1], :n] = y0
+    td[BBOX_ROWS[2], :n] = np.minimum(x0 + bw, w)
+    td[BBOX_ROWS[3], :n] = np.minimum(y0 + bh, h)
+    td[VALID_ROW, :n] = 1.0
+    return td
+
+
+class TestBinning:
+    def test_matches_bruteforce(self):
+        rng = np.random.default_rng(3)
+        tiles_x, tiles_y, tile_w, tile_h = 3, 4, 128, 32
+        n, tc = 200, 256
+        td = _fake_tri_data(rng, n, tc, tiles_x, tiles_y, tile_w, tile_h)
+        binned, starts, counts, overflow = binning.bin_triangles(
+            jnp.asarray(td), 0, n,
+            tiles_x=tiles_x, tiles_y=tiles_y, tile_w=tile_w, tile_h=tile_h,
+            pair_capacity=4096,
+        )
+        binned, starts, counts = (np.asarray(a) for a in (binned, starts, counts))
+        assert int(overflow) == 0
+
+        for ty in range(tiles_y):
+            for tx in range(tiles_x):
+                tile = ty * tiles_x + tx
+                # brute force: pixel-center overlap of bbox and tile
+                cx0, cx1 = tx * tile_w + 0.5, tx * tile_w + tile_w - 0.5
+                cy0, cy1 = ty * tile_h + 0.5, ty * tile_h + tile_h - 0.5
+                expect = [
+                    t for t in range(n)
+                    if td[BBOX_ROWS[0], t] <= cx1 and td[BBOX_ROWS[2], t] >= cx0
+                    and td[BBOX_ROWS[1], t] <= cy1 and td[BBOX_ROWS[3], t] >= cy0
+                ]
+                got = binned[TID_ROW, starts[tile] : starts[tile] + counts[tile]]
+                assert list(got.astype(int)) == expect, f"tile {tile}"
+                assert starts[tile] % binning.ALIGN == 0
+
+    def test_range_limits(self):
+        rng = np.random.default_rng(5)
+        td = _fake_tri_data(rng, 100, 256, 2, 2, 128, 32)
+        _, _, counts_all, _ = binning.bin_triangles(
+            jnp.asarray(td), 0, 100,
+            tiles_x=2, tiles_y=2, tile_w=128, tile_h=32, pair_capacity=2048,
+        )
+        binned, starts, counts, _ = binning.bin_triangles(
+            jnp.asarray(td), 30, 60,
+            tiles_x=2, tiles_y=2, tile_w=128, tile_h=32, pair_capacity=2048,
+        )
+        tids = np.asarray(binned)[TID_ROW]
+        starts, counts = np.asarray(starts), np.asarray(counts)
+        for tile in range(4):
+            got = tids[starts[tile] : starts[tile] + counts[tile]].astype(int)
+            assert ((got >= 30) & (got < 60)).all()
+        assert np.asarray(counts_all).sum() > counts.sum() > 0
+
+    def test_overflow_reported(self):
+        rng = np.random.default_rng(7)
+        td = _fake_tri_data(rng, 200, 256, 4, 4, 128, 32)
+        _, _, _, overflow = binning.bin_triangles(
+            jnp.asarray(td), 0, 200,
+            tiles_x=4, tiles_y=4, tile_w=128, tile_h=32, pair_capacity=64,
+        )
+        assert int(overflow) > 0
+
+
+class TestSkinning:
+    def _geom_frame(self, rng, skinned_flag):
+        nv = 8
+        geom = {
+            "positions": jnp.asarray(rng.normal(size=(nv, 3)).astype(np.float32)),
+            "uvs": jnp.zeros((nv, 2), jnp.float32),
+            "normals": jnp.asarray(rng.normal(size=(nv, 3)).astype(np.float32)),
+            "tangents": jnp.asarray(rng.normal(size=(nv, 4)).astype(np.float32)),
+            "joints": jnp.asarray(rng.integers(0, 4, (nv, 4)).astype(np.int32)),
+            "weights": jnp.asarray(
+                rng.dirichlet(np.ones(4), nv).astype(np.float32)
+            ),
+            "exp_src": jnp.arange(nv, dtype=jnp.int32),
+            "exp_draw": jnp.zeros(nv, jnp.int32),
+            "tri_v": jnp.zeros((256, 3), jnp.int32),
+        }
+        model = np.eye(3, 4, dtype=np.float32)
+        model[:, 3] = [1, 2, 3]
+        palette = rng.normal(size=(8, 3, 4)).astype(np.float32)
+        frame = {
+            "transforms": jnp.asarray(model[None]),
+            "normal_mats": jnp.asarray(np.eye(3, dtype=np.float32)[None]),
+            "joints_offset": jnp.asarray([2], jnp.int32),
+            "joint_palette": jnp.asarray(palette),
+            "skinned": jnp.asarray([skinned_flag], jnp.int32),
+            "proj_view": jnp.eye(4),
+        }
+        return geom, frame, model, palette
+
+    def _expected_world(self, geom, model, palette):
+        pos = np.asarray(geom["positions"])
+        joints = np.asarray(geom["joints"]) + 2
+        weights = np.asarray(geom["weights"])
+        out = []
+        for i in range(pos.shape[0]):
+            skin = sum(weights[i, j] * palette[joints[i, j]] for j in range(4))
+            m = model[:, :3] @ skin  # [3,4]
+            world = m[:, :3] @ pos[i] + m[:, 3] + model[:, 3]
+            out.append(world)
+        return np.stack(out)
+
+    def test_partitioned_matches_numpy(self):
+        rng = np.random.default_rng(11)
+        geom, frame, model, palette = self._geom_frame(rng, 1)
+        vs = vertex_stage.run_vertex_stage(geom, frame, skin_start=0)
+        got = np.asarray(vs["clip"][:, :3])  # proj_view = identity → world
+        np.testing.assert_allclose(
+            got, self._expected_world(geom, model, palette), rtol=2e-5, atol=2e-5
+        )
+
+    def test_flag_mode_matches_partitioned(self):
+        rng = np.random.default_rng(13)
+        geom, frame, model, palette = self._geom_frame(rng, 1)
+        a = vertex_stage.run_vertex_stage(geom, frame, skin_start=0)
+        b = vertex_stage.run_vertex_stage(geom, frame, skin_start=None)
+        np.testing.assert_allclose(
+            np.asarray(a["clip"]), np.asarray(b["clip"]), atol=1e-6
+        )
+
+    def test_static_ignores_palette(self):
+        rng = np.random.default_rng(17)
+        geom, frame, model, _ = self._geom_frame(rng, 0)
+        vs = vertex_stage.run_vertex_stage(geom, frame, skin_start=None)
+        pos = np.asarray(geom["positions"])
+        expected = pos @ model[:, :3].T + model[:, 3]
+        np.testing.assert_allclose(
+            np.asarray(vs["clip"][:, :3]), expected, rtol=1e-6, atol=1e-6
+        )
