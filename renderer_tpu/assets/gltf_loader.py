@@ -123,24 +123,26 @@ class Node:
 
 
 def _interpolate(channel: AnimationChannel, time: float, animation_name) -> np.ndarray:
-    """gltf_json.rs:238-286 parity (including the past-the-end error)."""
+    """gltf_json.rs:238-286 parity (including the past-the-end error).
+    Keyframe lookup via searchsorted (the reference's linear window scan,
+    vectorized for per-frame host cost)."""
     times, values = channel.times, channel.values
     if len(times) == 0:
         raise AnimationError(f"animation {animation_name}: empty channel")
     if len(times) == 1 or time < times[0]:
         return values[0]
-    for k in range(len(times) - 1):
-        if times[k] <= time < times[k + 1]:
-            if channel.interpolation == "STEP":
-                return values[k]
-            t = (time - times[k]) / (times[k + 1] - times[k])
-            if channel.path == "rotation":
-                return math3d.quat_slerp(values[k], values[k + 1], float(t))
-            return math3d.lerp(values[k], values[k + 1], float(t))
-    raise AnimationError(
-        f"animation {animation_name}: invalid timestamp {time} "
-        f"(end_time {times[-1]})"
-    )
+    k = int(np.searchsorted(times, time, side="right")) - 1
+    if k >= len(times) - 1:
+        raise AnimationError(
+            f"animation {animation_name}: invalid timestamp {time} "
+            f"(end_time {times[-1]})"
+        )
+    if channel.interpolation == "STEP":
+        return values[k]
+    t = (time - times[k]) / (times[k + 1] - times[k])
+    if channel.path == "rotation":
+        return math3d.quat_slerp(values[k], values[k + 1], float(t))
+    return math3d.lerp(values[k], values[k + 1], float(t))
 
 
 def _decompose_trs(m: np.ndarray):

@@ -180,12 +180,17 @@ def build_frame_arrays(scene: Scene, draws: list[DrawParameters]) -> dict[str, n
     skinned = np.zeros(cap, np.int32)
     debug_id = np.zeros(cap, np.int32)
 
+    if n:
+        m = np.stack([d.transform for d in draws]).astype(np.float64)  # [D,4,4]
+        transforms[:n] = m[:, :3, :4].astype(np.float32)
+        # batched inverse-transpose (one LAPACK call for the whole frame)
+        normal_mats[:n] = (
+            np.linalg.inv(m[:, :3, :3]).transpose(0, 2, 1).astype(np.float32)
+        )
+
     prev_merge_key = None
     group_first = 0
     for i, d in enumerate(draws):
-        m = d.transform
-        transforms[i] = m[:3, :4]
-        normal_mats[i] = math3d.normal_matrix(m)
         material_id[i] = d.material.id
         if d.joints_offset is not None:
             joints_offset[i] = d.joints_offset
