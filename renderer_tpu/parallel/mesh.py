@@ -109,3 +109,75 @@ def jit_sharded_frame(config: RenderConfig, mesh: Mesh, interpret: bool = False)
             render_frame_sharded, config=config, mesh=mesh, interpret=interpret
         )
     )
+
+
+def make_mesh_2d(dp: int, sp: int) -> Mesh:
+    """2D device mesh: 'dp' batches independent frames (multiple cameras /
+    animation times), 'sp' splits each frame's tile rows."""
+    devices = jax.devices()
+    assert dp * sp <= len(devices), f"need {dp * sp} devices, have {len(devices)}"
+    return Mesh(np.array(devices[: dp * sp]).reshape(dp, sp), ("dp", "sp"))
+
+
+def render_frames_batched(
+    geom: dict,
+    frames: dict,  # per-frame arrays with a leading batch axis [B, ...]
+    materials: dict,
+    *,
+    config: RenderConfig,
+    mesh: Mesh,  # ('dp', 'sp') mesh with dp == B
+    has_masked: bool = True,
+    has_blended: bool = True,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """dp × sp frame rendering: each dp group renders one frame of the batch
+    (own camera/transforms/joints over shared geometry+materials), internally
+    sharded over tile rows. Returns u8 [B, H, W, 3], sharded (dp, sp)."""
+    dp = mesh.shape["dp"]
+    sp = mesh.shape["sp"]
+    batch = jax.tree_util.tree_leaves(frames)[0].shape[0]
+    assert batch == dp, f"frame batch {batch} must equal dp={dp}"
+    assert config.tiles_y % sp == 0 and config.height % sp == 0
+    assert config.height == config.padded_height
+    ve = geom["exp_src"].shape[0]
+    assert ve % sp == 0
+
+    local_tiles_y = config.tiles_y // sp
+    rows_per_dev = config.height // sp
+
+    def step(geom, frames_local, materials):
+        frame = jax.tree_util.tree_map(lambda a: a[0], frames_local)
+        i = jax.lax.axis_index("sp")
+
+        per = ve // sp
+        start = i * per
+        lgeom = dict(geom)
+        lgeom["exp_src"] = jax.lax.dynamic_slice_in_dim(geom["exp_src"], start, per)
+        lgeom["exp_draw"] = jax.lax.dynamic_slice_in_dim(geom["exp_draw"], start, per)
+        vs_local = vertex_stage.run_vertex_stage(lgeom, frame, skin_start=None)
+        vs = {
+            k: jax.lax.all_gather(v, "sp", axis=0, tiled=True)
+            for k, v in vs_local.items()
+        }
+
+        img = pipeline.render_shard(
+            geom, frame, materials, vs,
+            config=config,
+            has_masked=has_masked,
+            has_blended=has_blended,
+            local_tiles_y=local_tiles_y,
+            tile_row_offset=i * local_tiles_y,
+            row0=(i * rows_per_dev).astype(jnp.float32),
+            out_rows=rows_per_dev,
+            interpret=interpret,
+        )
+        return img[None]  # local [1, rows, W, 3]
+
+    sharded = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(), P("dp"), P()),
+        out_specs=P("dp", "sp", None, None),
+        check_vma=False,
+    )
+    return sharded(geom, frames, materials)

@@ -53,6 +53,41 @@ def test_sharded_matches_single_device(config):
     assert agreement > 0.999, f"sharded/single agreement {agreement}"
 
 
+def test_dp_batch_matches_single(config):
+    """dp×sp (frame batch × tile rows) must reproduce the single-device
+    render for every frame in the batch (here: two different debug modes)."""
+    import jax
+    import jax.numpy as jnp
+
+    renderer, gs, geom, frame, mats = _device_inputs(config)
+    singles = []
+    frames = []
+    for mode in (1, 3):
+        f = dict(frame)
+        f["debug_mode"] = jnp.asarray(mode, jnp.int32)
+        frames.append(f)
+        singles.append(
+            np.asarray(
+                pipeline.render_frame(
+                    geom, f, mats, config=config, skin_start=gs.skin_start,
+                    interpret=pipeline.interpret_mode(),
+                )
+            )
+        )
+    batched = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *frames)
+    mesh2 = pmesh.make_mesh_2d(2, 4)
+    out = np.asarray(
+        pmesh.render_frames_batched(
+            geom, batched, mats, config=config, mesh=mesh2,
+            interpret=pipeline.interpret_mode(),
+        )
+    )
+    assert out.shape == (2, H, W, 3)
+    for b in range(2):
+        agreement = (out[b] == singles[b]).all(axis=-1).mean()
+        assert agreement > 0.999, f"frame {b} agreement {agreement}"
+
+
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as ge
 
