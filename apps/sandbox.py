@@ -159,7 +159,8 @@ def run_loop(
     ft = np.array(frame_times[3:]) if len(frame_times) > 6 else np.array(frame_times)
     stats = {
         "frames": frames,
-        "mean_fps": float(1.0 / ft.mean()),
+        # render throughput (frame time excludes the pacing sleep)
+        "render_fps": float(1.0 / ft.mean()),
         "p99_ms": float(np.percentile(ft, 99) * 1e3),
         "paced_to": target_fps,
     }
@@ -172,7 +173,7 @@ def run_loop(
             out = draw_hud(
                 out, profiler,
                 [f"{width}x{height} msaa{msaa}  "
-                 f"{stats['mean_fps']:.0f} fps (paced {target_fps:.0f})"],
+                 f"{stats['render_fps']:.0f} fps (paced {target_fps:.0f})"],
             )
         Image.fromarray(out).save(dump_path)
     print(f"run_loop: {stats}")

@@ -28,7 +28,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from renderer_tpu.raster.setup import ROWS, TID_ROW, VALID_ROW
+from renderer_tpu.raster.setup import BBOX_ROWS, ROWS, TID_ROW, VALID_ROW
 
 # Per-tile bin starts are aligned to this (the Mosaic lane-tile size).
 ALIGN = 128
@@ -60,8 +60,6 @@ def bin_triangles(
     tc = tri_data.shape[1]
     if hi is None:
         hi = tc
-    from renderer_tpu.raster.setup import BBOX_ROWS
-
     xmin, ymin, xmax, ymax = (tri_data[k] for k in BBOX_ROWS)
     tri_idx = jnp.arange(tc, dtype=jnp.int32)
     valid = (tri_data[VALID_ROW] > 0.0) & (tri_idx >= lo) & (tri_idx < hi)

@@ -143,7 +143,7 @@ def _make_layer_kernel(mode: str, n_layers: int, tile_h: int, tile_w: int, tiles
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "mode", "n_layers", "tile_row_offset_static", "padded_height",
+        "mode", "n_layers", "padded_height",
         "padded_width", "tile_h", "tile_w", "interpret",
     ),
 )
@@ -156,7 +156,6 @@ def rasterize_layers(
     mode: str,
     n_layers: int,
     tile_row_offset=0,
-    tile_row_offset_static: bool = False,
     padded_height: int,
     padded_width: int,
     tile_h: int = 32,
@@ -164,9 +163,9 @@ def rasterize_layers(
     interpret: bool = False,
 ):
     """Returns (layer_z [K,Hp,Wp] f32, layer_tid [K,Hp,Wp] i32,
-    aux [Hp,Wp]): masked → aux = depth_in passthrough is NOT returned;
-    blended → aux = per-pixel accepted count; plus for blended the final
-    chain depth is layer_z of the last accepted (not needed downstream)."""
+    aux [Hp,Wp] i32 — blended: per-pixel accepted-fragment count; masked:
+    zeros). Layer order: masked = nearest first; blended = acceptance
+    (submission) order."""
     tiles_y = padded_height // tile_h
     tiles_x = padded_width // tile_w
 

@@ -11,7 +11,7 @@ from renderer_tpu.parallel import mesh as pmesh
 from renderer_tpu.raster import pipeline
 from renderer_tpu.scene import draw_stream
 
-W, H = 256, 128  # H = padded height (multiple of tile_h) and of 8 devices
+W, H = 128, 128  # H = padded height (multiple of tile_h) and of 8 devices
 
 
 @pytest.fixture(scope="module")
