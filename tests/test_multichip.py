@@ -42,10 +42,11 @@ def test_sharded_matches_single_device(config):
         interpret=pipeline.interpret_mode(),
     )
     mesh = pmesh.make_mesh(8)
-    sharded = pmesh.render_frame_sharded(
-        geom, frame, mats, config=config, mesh=mesh,
-        interpret=pipeline.interpret_mode(),
-    )
+    # jit the sharded step — eager shard_map dispatches per-op multi-device
+    # compiles (minutes); one fused compile takes seconds
+    sharded = pmesh.jit_sharded_frame(
+        config, mesh, interpret=pipeline.interpret_mode()
+    )(geom, frame, mats)
     single = np.asarray(single)
     sharded = np.asarray(sharded)
     assert sharded.shape == single.shape
@@ -74,13 +75,17 @@ def test_dp_batch_matches_single(config):
                 )
             )
         )
+    import functools
+
     batched = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *frames)
     mesh2 = pmesh.make_mesh_2d(2, 4)
     out = np.asarray(
-        pmesh.render_frames_batched(
-            geom, batched, mats, config=config, mesh=mesh2,
-            interpret=pipeline.interpret_mode(),
-        )
+        jax.jit(
+            functools.partial(
+                pmesh.render_frames_batched,
+                config=config, mesh=mesh2, interpret=pipeline.interpret_mode(),
+            )
+        )(geom, batched, mats)
     )
     assert out.shape == (2, H, W, 3)
     for b in range(2):
