@@ -79,9 +79,13 @@ def build_atlas(registry: MaterialRegistry) -> Atlas:
     srgb = np.zeros(constants.MAX_TEXTURES, np.int32)
     flat = np.zeros((constants.MAX_TEXTURES, 4), np.float32)
 
+    from renderer_tpu.tools import native
+
     for slot, tex in sorted(registry.textures.items()):
         srgb[slot] = 1 if tex.kind == TextureKind.SRGB_COLOR else 0
-        mean = tex.mips[0].reshape(-1, 4).mean(axis=0) / 255.0
+        # average color from a small mip (box-filtered ≈ the full-res mean)
+        small = tex.mips[min(len(tex.mips) - 1, max(len(tex.mips) - 5, 0))]
+        mean = small.reshape(-1, 4).mean(axis=0) / 255.0
         if srgb[slot]:
             mean[:3] = srgb_decode_np(mean[:3])
         flat[slot] = mean
@@ -92,7 +96,6 @@ def build_atlas(registry: MaterialRegistry) -> Atlas:
             h, w = img.shape[:2]
             table[slot, mip] = (x + 1, y + 1, w, h)
             if mip == src_mip:
-                bordered = _with_wrap_border(img)
-                data[y : y + h + 2, x : x + w + 2] = _pack_rgba(bordered)
+                native.atlas_blit_wrap(img, data, x + 1, y + 1)
 
     return Atlas(data=data, table=table, srgb=srgb, flat=flat)

@@ -25,8 +25,9 @@ def load() -> ctypes.CDLL | None:
     if _lib is not None or _load_failed:
         return _lib
     try:
-        if not _LIB_PATH.exists() or (
-            _LIB_PATH.stat().st_mtime < (_CSRC / "bc7enc.cpp").stat().st_mtime
+        sources = list(_CSRC.glob("*.cpp"))
+        if not _LIB_PATH.exists() or any(
+            _LIB_PATH.stat().st_mtime < src.stat().st_mtime for src in sources
         ):
             subprocess.run(["make", "-C", str(_CSRC)], check=True,
                            capture_output=True)
@@ -36,10 +37,34 @@ def load() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_uint8),
         ]
         lib.bc7_encode_mode6.restype = None
+        lib.atlas_blit_wrap.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+        ]
+        lib.atlas_blit_wrap.restype = None
         _lib = lib
     except Exception:
         _load_failed = True
     return _lib
+
+
+def atlas_blit_wrap(src: np.ndarray, atlas: np.ndarray, x: int, y: int) -> None:
+    """Blit an RGBA8 [h,w,4] image into the u32 atlas at (x, y) with a
+    1-texel REPEAT border; numpy fallback when the native lib is absent."""
+    h, w = src.shape[:2]
+    lib = load()
+    if lib is not None:
+        src = np.ascontiguousarray(src, np.uint8)
+        lib.atlas_blit_wrap(
+            src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), w, h,
+            atlas.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            atlas.shape[1], x, y,
+        )
+        return
+    packed = np.ascontiguousarray(src, np.uint8).view("<u4")[..., 0]
+    bordered = np.pad(packed, ((1, 1), (1, 1)), mode="wrap")
+    atlas[y - 1 : y + h + 1, x - 1 : x + w + 1] = bordered
 
 
 BC7_WEIGHTS4 = np.array(
