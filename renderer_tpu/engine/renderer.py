@@ -99,17 +99,16 @@ class Renderer:
         self._mat_cache = (reg.version, dev)
         return dev
 
-    def _frame_arrays(self, scene: Scene, draws, gs) -> dict:
+    def _frame_arrays(self, scene: Scene, draws, gs, debug_mode: int = 0) -> dict:
         arrays = draw_stream.build_frame_arrays(scene, draws)
         proj, view = scene.camera.proj_view(
             float(self.config.width), float(self.config.height), scene.world_space
         )
-        arrays["proj_view"] = proj @ view
-        frame = {k: jnp.asarray(v) for k, v in arrays.items()}
-        frame["num_tris"] = jnp.asarray(gs.num_tris, jnp.int32)
-        frame["n_opaque"] = jnp.asarray(gs.num_opaque_tris, jnp.int32)
-        frame["n_masked"] = jnp.asarray(gs.num_masked_tris, jnp.int32)
-        return frame
+        packed = draw_stream.pack_frame_arrays(
+            arrays, proj @ view,
+            (gs.num_tris, gs.num_opaque_tris, gs.num_masked_tris, debug_mode),
+        )
+        return {k: jnp.asarray(v) for k, v in packed.items()}
 
     # -- frame loop ----------------------------------------------------------
 
@@ -122,8 +121,7 @@ class Renderer:
             with p.span("geometry arrays"):
                 gs, geom_dev = self._geometry(draws)
             with p.span("frame arrays"):
-                frame = self._frame_arrays(scene, draws, gs)
-                frame["debug_mode"] = jnp.asarray(debug_mode, jnp.int32)
+                frame = self._frame_arrays(scene, draws, gs, debug_mode)
             with p.span("materials"):
                 mats = self._materials()
             with p.span("dispatch jitted frame"):

@@ -74,8 +74,7 @@ def device_stage_timings(renderer, scene, iters: int = 10) -> dict[str, float]:
     interp = interpret_mode()
     draws = draw_stream.sorted_draws(scene)
     gs, geom = renderer._geometry(draws)
-    frame = renderer._frame_arrays(scene, draws, gs)
-    frame["debug_mode"] = jnp.asarray(0, jnp.int32)
+    frame = draw_stream.unpack_frame(renderer._frame_arrays(scene, draws, gs))
     mats = renderer._materials()
 
     timings: dict[str, float] = {}

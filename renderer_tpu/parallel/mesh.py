@@ -66,6 +66,9 @@ def render_frame_sharded(
     rows_per_dev = config.height // n
 
     def step(geom, frame, materials):
+        from renderer_tpu.scene.draw_stream import unpack_frame
+
+        frame = unpack_frame(frame)
         i = jax.lax.axis_index(axis)
 
         # -- tp: transform a vertex shard, all_gather the results ----------
@@ -146,7 +149,11 @@ def render_frames_batched(
     rows_per_dev = config.height // sp
 
     def step(geom, frames_local, materials):
-        frame = jax.tree_util.tree_map(lambda a: a[0], frames_local)
+        from renderer_tpu.scene.draw_stream import unpack_frame
+
+        frame = unpack_frame(
+            jax.tree_util.tree_map(lambda a: a[0], frames_local)
+        )
         i = jax.lax.axis_index("sp")
 
         per = ve // sp

@@ -209,6 +209,9 @@ def render_frame(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Single-chip frame: returns the final u8 RGB image [H, W, 3]."""
+    from renderer_tpu.scene.draw_stream import unpack_frame
+
+    frame = unpack_frame(frame)
     vs = vertex_stage.run_vertex_stage(geom, frame, skin_start)
     return render_shard(
         geom, frame, materials, vs,

@@ -210,3 +210,57 @@ def build_frame_arrays(scene: Scene, draws: list[DrawParameters]) -> dict[str, n
         "debug_id": debug_id,
         "joint_palette": scene.joint_palette[:, :3, :],  # [J, 3, 4]
     }
+
+
+def pack_frame_arrays(arrays: dict, proj_view: np.ndarray,
+                      counts: tuple[int, int, int, int]) -> dict:
+    """Pack the per-frame host arrays into few device uploads (each upload
+    has ~0.1 ms fixed dispatch cost; the reference's analog is writing all
+    temp uniforms into ONE per-frame arena buffer, renderer.rs:258-302):
+      pdf    f32 [Dc, 21]  : transforms (12) ++ normal matrices (9)
+      pdi    i32 [Dc, 4]   : material_id, joints_offset, skinned, debug_id
+      palette f32 [J, 3, 4]
+      proj_view f32 [4, 4]
+      counts i32 [4]       : num_tris, n_opaque, n_masked, debug_mode
+    """
+    cap = arrays["transforms"].shape[0]
+    pdf = np.concatenate(
+        [arrays["transforms"].reshape(cap, 12),
+         arrays["normal_mats"].reshape(cap, 9)], axis=1,
+    )
+    pdi = np.stack(
+        [arrays["material_id"], arrays["joints_offset"],
+         arrays["skinned"], arrays["debug_id"]], axis=1,
+    ).astype(np.int32)
+    return {
+        "pdf": pdf,
+        "pdi": pdi,
+        "joint_palette": arrays["joint_palette"],
+        "proj_view": np.asarray(proj_view, np.float32),
+        "counts": np.asarray(counts, np.int32),
+    }
+
+
+def unpack_frame(packed: dict) -> dict:
+    """Inverse of pack_frame_arrays on device values (slices are free under
+    jit). Accepts already-unpacked dicts unchanged."""
+    if "pdf" not in packed:
+        return packed
+    pdf = packed["pdf"]
+    pdi = packed["pdi"]
+    cap = pdf.shape[0]
+    counts = packed["counts"]
+    return {
+        "transforms": pdf[:, :12].reshape(cap, 3, 4),
+        "normal_mats": pdf[:, 12:21].reshape(cap, 3, 3),
+        "material_id": pdi[:, 0],
+        "joints_offset": pdi[:, 1],
+        "skinned": pdi[:, 2],
+        "debug_id": pdi[:, 3],
+        "joint_palette": packed["joint_palette"],
+        "proj_view": packed["proj_view"],
+        "num_tris": counts[0],
+        "n_opaque": counts[1],
+        "n_masked": counts[2],
+        "debug_mode": counts[3],
+    }

@@ -27,8 +27,7 @@ def _device_inputs(config):
     renderer = rt.Renderer(registry, config)
     draws = draw_stream.sorted_draws(scene)
     gs, geom_dev = renderer._geometry(draws)
-    frame = renderer._frame_arrays(scene, draws, gs)
-    frame["debug_mode"] = jnp.asarray(3, jnp.int32)
+    frame = renderer._frame_arrays(scene, draws, gs, debug_mode=3)
     mats = renderer._materials()
     return renderer, gs, geom_dev, frame, mats
 
@@ -65,7 +64,7 @@ def test_dp_batch_matches_single(config):
     frames = []
     for mode in (1, 3):
         f = dict(frame)
-        f["debug_mode"] = jnp.asarray(mode, jnp.int32)
+        f["counts"] = f["counts"].at[3].set(mode)  # debug mode slot
         frames.append(f)
         singles.append(
             np.asarray(
