@@ -104,6 +104,7 @@ def run_loop(
     debug_mode: int = 0,
     dump_path: str | None = None,
     show_hud: bool = True,
+    immediate_present: bool = False,
 ):
     """Headless flying-camera demo loop — the sandbox main loop parity
     (main.rs:325-640): fixed-timestep game time with variable-dt fallback
@@ -148,10 +149,12 @@ def run_loop(
         frame_times.append(frame_time)
         # fixed timestep unless >20% over budget (main.rs:486-521)
         game_time += budget if frame_time <= 1.2 * budget else frame_time
-        # frame pacing (main.rs:628-639)
-        sleep_for = budget - (time.perf_counter() - now)
-        if sleep_for > 0:
-            time.sleep(sleep_for)
+        # frame pacing (main.rs:628-639); immediate_present skips it (the
+        # sandbox's 'I' key / SwapchainSettings.immediate_present toggle)
+        if not immediate_present:
+            sleep_for = budget - (time.perf_counter() - now)
+            if sleep_for > 0:
+                time.sleep(sleep_for)
         prev = time.perf_counter()
 
     img.block_until_ready()
