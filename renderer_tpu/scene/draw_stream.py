@@ -181,12 +181,18 @@ def build_frame_arrays(scene: Scene, draws: list[DrawParameters]) -> dict[str, n
     debug_id = np.zeros(cap, np.int32)
 
     if n:
-        m = np.stack([d.transform for d in draws]).astype(np.float64)  # [D,4,4]
-        transforms[:n] = m[:, :3, :4].astype(np.float32)
-        # batched inverse-transpose (one LAPACK call for the whole frame)
-        normal_mats[:n] = (
-            np.linalg.inv(m[:, :3, :3]).transpose(0, 2, 1).astype(np.float32)
-        )
+        m = np.stack([d.transform for d in draws])  # [D,4,4] f32
+        transforms[:n] = m[:, :3, :4]
+        # inverse-transpose via the closed-form cofactor rows
+        # (inv(A)ᵀ row i = cross(row_{i+1}, row_{i+2}) / det) — vectorized,
+        # no LAPACK dispatch in the frame loop
+        r0, r1, r2 = m[:, 0, :3], m[:, 1, :3], m[:, 2, :3]
+        c0 = np.cross(r1, r2)
+        det = np.einsum("di,di->d", r0, c0)
+        inv_det = (1.0 / np.where(np.abs(det) > 1e-30, det, 1.0))[:, None]
+        normal_mats[:n, 0] = c0 * inv_det
+        normal_mats[:n, 1] = np.cross(r2, r0) * inv_det
+        normal_mats[:n, 2] = np.cross(r0, r1) * inv_det
 
     prev_merge_key = None
     group_first = 0
