@@ -50,6 +50,10 @@ class RenderConfig:
     # Two-mip (trilinear) texture filtering — reference sampler parity
     # (descriptors.rs:90-105); False = bilinear + nearest mip (faster).
     trilinear: bool = True
+    # Anisotropic filtering taps along the major UV-footprint axis (the
+    # reference enables sampler anisotropy, physical_device_features.rs:29-56);
+    # 1 = isotropic.
+    aniso_samples: int = 4
 
     @property
     def padded_width(self) -> int:

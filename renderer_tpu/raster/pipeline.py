@@ -160,14 +160,15 @@ def render_shard(
             for k in reversed(range(cfg.mask_layers)):
                 it_k = interpolants_of(lt[k])
                 alpha, cutoff = shade.base_alpha(it_k, frame, materials,
-                                                 cfg.trilinear)
+                                                 cfg.trilinear, cfg.aniso_samples)
                 passes = (lt[k] >= 0) & (alpha > cutoff) & (alpha > a2c_floor)
                 solid_tid = jnp.where(passes, lt[k], solid_tid)
                 solid_z = jnp.where(passes, lz[k], solid_z)
 
         # -- one full shade of the solid visibility buffer -------------------
         hdr = shade.shade_interpolated(
-            interpolants_of(solid_tid), vs, frame, materials, cfg.trilinear
+            interpolants_of(solid_tid), vs, frame, materials,
+            cfg.trilinear, cfg.aniso_samples,
         )
         hdr_rgb = hdr[..., :3]
 
@@ -184,7 +185,8 @@ def render_shard(
             )
             for k in range(cfg.blend_layers):
                 color_k = shade.shade_interpolated(
-                    interpolants_of(lt_b[k]), vs, frame, materials, cfg.trilinear
+                    interpolants_of(lt_b[k]), vs, frame, materials,
+                    cfg.trilinear, cfg.aniso_samples,
                 )
                 a = jnp.where((lt_b[k] >= 0)[..., None], color_k[..., 3:4], 0.0)
                 hdr_rgb = hdr_rgb * (1.0 - a) + color_k[..., :3] * a

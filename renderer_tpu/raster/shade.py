@@ -37,11 +37,14 @@ def _srgb_decode(c):
     return jnp.where(c <= 0.04045, lo, hi)
 
 
-def make_sampler(materials: dict, uv, lod_base, trilinear: bool = True):
-    """Returns sample(slot) -> [H,W,4] linear RGBA: repeat-wrap bilinear (or
-    trilinear — two-mip blend, matching the reference's trilinear sampler,
-    descriptors.rs:90-105) atlas fetch; the mip level comes from lod_base
-    (log2 of max UV-space screen derivative) plus the texture's size."""
+def make_sampler(materials: dict, uv, lod_base, trilinear: bool = True,
+                 duv_dx=None, duv_dy=None, aniso: int = 1):
+    """Returns sample(slot) -> [H,W,4] linear RGBA: repeat-wrap bilinear /
+    trilinear (two-mip blend) / anisotropic (N trilinear taps along the major
+    UV screen-derivative axis) atlas fetch — the reference sampler is repeat
+    anisotropic trilinear (descriptors.rs:90-105). The mip level comes from
+    lod_base (log2 of max — or, with aniso, min — UV-space screen derivative)
+    plus the texture's size."""
     atlas = materials["atlas"]  # [AH,AW] u32
     table = materials["atlas_table"]  # [T,M,4] i32
     srgb = materials["atlas_srgb"]  # [T] i32
@@ -49,9 +52,8 @@ def make_sampler(materials: dict, uv, lod_base, trilinear: bool = True):
     atlas_flat = atlas.reshape(-1)
     table_flat = table.reshape(-1, 4)
 
-    uvf = uv - jnp.floor(uv)  # REPEAT wrap
-
-    def sample_mip(slot, lod):  # slot,lod [H,W] i32
+    def sample_mip(slot, lod, uvq):  # slot,lod [H,W] i32; uvq [H,W,2]
+        uvf = uvq - jnp.floor(uvq)  # REPEAT wrap
         rect = table_flat[slot * MAX_MIPS + lod]  # [H,W,4]
         x0, y0 = rect[..., 0], rect[..., 1]
         w = rect[..., 2].astype(jnp.float32)
@@ -87,18 +89,38 @@ def make_sampler(materials: dict, uv, lod_base, trilinear: bool = True):
         rgb = jnp.where(is_srgb, _srgb_decode(c[..., :3]), c[..., :3])
         return jnp.concatenate([rgb, c[..., 3:4]], axis=-1)
 
-    def sample(slot):  # slot [H,W] i32
-        size0 = jnp.maximum(table[slot, 0, 2], table[slot, 0, 3]).astype(jnp.float32)
-        lodf = jnp.clip(
-            lod_base + jnp.log2(jnp.maximum(size0, 1.0)), 0.0, MAX_MIPS - 1.0
-        )
+    def sample_filtered(slot, lodf, uvq):
+        lodf = jnp.clip(lodf, 0.0, MAX_MIPS - 1.0)
         if not trilinear:
-            return sample_mip(slot, jnp.round(lodf).astype(jnp.int32))
+            return sample_mip(slot, jnp.round(lodf).astype(jnp.int32), uvq)
         l0 = jnp.floor(lodf)
         frac = (lodf - l0)[..., None]
         l0 = l0.astype(jnp.int32)
         l1 = jnp.minimum(l0 + 1, MAX_MIPS - 1)
-        return sample_mip(slot, l0) * (1.0 - frac) + sample_mip(slot, l1) * frac
+        return (sample_mip(slot, l0, uvq) * (1.0 - frac)
+                + sample_mip(slot, l1, uvq) * frac)
+
+    use_aniso = aniso > 1 and duv_dx is not None
+
+    def sample(slot):  # slot [H,W] i32
+        size0 = jnp.maximum(table[slot, 0, 2], table[slot, 0, 3]).astype(jnp.float32)
+        size_log2 = jnp.log2(jnp.maximum(size0, 1.0))
+        if not use_aniso:
+            return sample_filtered(slot, lod_base + size_log2, uv)
+        # anisotropy: lod from the MINOR footprint axis (clamped so the
+        # major/minor ratio never exceeds the tap count), N trilinear taps
+        # spread along the major axis.
+        lx = jnp.sqrt(jnp.sum(duv_dx * duv_dx, axis=-1))
+        ly = jnp.sqrt(jnp.sum(duv_dy * duv_dy, axis=-1))
+        rho_max = jnp.maximum(jnp.maximum(lx, ly), 1e-8)
+        rho_min = jnp.maximum(jnp.minimum(lx, ly), rho_max / aniso)
+        lodf = jnp.log2(rho_min) + size_log2
+        major = jnp.where((lx >= ly)[..., None], duv_dx, duv_dy)  # [H,W,2]
+        acc = 0.0
+        for i in range(aniso):
+            t = (i + 0.5) / aniso - 0.5
+            acc = acc + sample_filtered(slot, lodf, uv + major * t)
+        return acc * (1.0 / aniso)
 
     return sample
 
@@ -199,15 +221,18 @@ def interpolants(
         "uv": uv,
         "draw": draw,
         "lod_base": lod_base,
+        "duv_dx": duv_dx,
+        "duv_dy": duv_dy,
     }
 
 
 def base_alpha(it: dict, frame: dict, materials: dict,
-               trilinear: bool = True) -> jnp.ndarray:
+               trilinear: bool = True, aniso: int = 1) -> jnp.ndarray:
     """Base-color alpha × factor alpha, for the alpha-cutoff test
     (main.frag:42,59-62). Returns (alpha [H,W], cutoff [H,W])."""
     mat = frame["material_id"][it["draw"]]
-    sampler = make_sampler(materials, it["uv"], it["lod_base"], trilinear)
+    sampler = make_sampler(materials, it["uv"], it["lod_base"], trilinear,
+                           it["duv_dx"], it["duv_dy"], aniso)
     tex_idx = materials["tex_indices"][mat]
     a = sampler(tex_idx[..., 0])[..., 3] * materials["base_color_factor"][mat][..., 3]
     cutoff = materials["alpha_rgh_mtl_normal"][mat][..., 0]
@@ -215,7 +240,7 @@ def base_alpha(it: dict, frame: dict, materials: dict,
 
 
 def shade_interpolated(it: dict, vstage: dict, frame: dict, materials: dict,
-                       trilinear: bool = True) -> jnp.ndarray:
+                       trilinear: bool = True, aniso: int = 1) -> jnp.ndarray:
     """Full fragment shading (main.frag) on an interpolation context."""
     covered = it["covered"]
     interp = it["interp"]
@@ -232,7 +257,8 @@ def shade_interpolated(it: dict, vstage: dict, frame: dict, materials: dict,
     arm = materials["alpha_rgh_mtl_normal"][mat]
     tex_idx = materials["tex_indices"][mat]  # [H,W,5] i32
 
-    sampler = make_sampler(materials, uv, it["lod_base"], trilinear)
+    sampler = make_sampler(materials, uv, it["lod_base"], trilinear,
+                           it["duv_dx"], it["duv_dy"], aniso)
 
     def sample(slot_col):
         return sampler(tex_idx[..., slot_col])
@@ -312,8 +338,9 @@ def shade(
     height: int,
     row0=0,
     trilinear: bool = True,
+    aniso: int = 1,
 ) -> jnp.ndarray:
     """Returns linear HDR [H,W,4]. Background pixels are the clear color
     (0,0,0,0) (render_passes.rs:192-197)."""
     it = interpolants(trid, geom, vstage, width=width, height=height, row0=row0)
-    return shade_interpolated(it, vstage, frame, materials, trilinear)
+    return shade_interpolated(it, vstage, frame, materials, trilinear, aniso)
