@@ -53,14 +53,16 @@ def run_all(outdir: str = "configs_out", frames: int = 10) -> list[dict]:
 
     # 1. triangle: single hardcoded triangle, 800×600, flat color
     registry, meshes, material = tri_app.build_triangle_assets()
-    renderer = rt.Renderer(registry, rt.RenderConfig(width=800, height=600))
+    renderer = rt.Renderer(registry, rt.RenderConfig(width=800, height=600),
+                           overflow_policy="off")
     scene = tri_app.build_scene(meshes, material)
     img, ms = _timed(renderer, scene, 1, frames)
     record("triangle-800x600-flat", img, ms)
 
     # 2. static Sponza, fixed camera, base-color (albedo) @ 1280×720
     full = Sandbox(with_smol_ame=True)  # one asset load serves configs 2-5
-    renderer = rt.Renderer(full.registry, rt.RenderConfig(width=1280, height=720))
+    renderer = rt.Renderer(full.registry, rt.RenderConfig(width=1280, height=720),
+                           overflow_policy="off")
     scene = rt.Scene(world_space=rt.GLTF)
     scene.camera.position = np.array([0.0, 1.6, 0.0], np.float32)
     scene.camera.orientation = math3d.quat_from_axis_angle([0, 1, 0], 1.56)
@@ -76,7 +78,9 @@ def run_all(outdir: str = "configs_out", frames: int = 10) -> list[dict]:
 
     # 4. skinned animation: per-frame bone transforms + skinned vertex pass
     char = full.smol_ame
-    char_renderer = rt.Renderer(full.registry, rt.RenderConfig(width=640, height=480))
+    char_renderer = rt.Renderer(full.registry,
+                               rt.RenderConfig(width=640, height=480),
+                               overflow_policy="off")
     anim = char.animations[0]
     for t in (0.0, 0.75):
         scene = rt.Scene(world_space=rt.GLTF)
@@ -91,7 +95,8 @@ def run_all(outdir: str = "configs_out", frames: int = 10) -> list[dict]:
 
     # 5. full sandbox: Sponza + animated character, lit, 1920×1080, 4×MSAA
     renderer = rt.Renderer(
-        full.registry, rt.RenderConfig(width=1920, height=1080, msaa_samples=4)
+        full.registry, rt.RenderConfig(width=1920, height=1080, msaa_samples=4),
+        overflow_policy="off",
     )
     scene = full.build_scene(1.0)
     img, ms = _timed(renderer, scene, 0, frames)

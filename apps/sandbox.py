@@ -45,8 +45,8 @@ class Sandbox:
                 from renderer_tpu.assets import ntex as ntex_mod
                 from renderer_tpu.materials.registry import Texture, TextureKind
 
-                _, mips = ntex_mod.decode(
-                    (SMOL_AME.parent / "terrariumtexsketchfab.ntex").read_bytes()
+                _, mips = ntex_mod.decode_file(
+                    SMOL_AME.parent / "terrariumtexsketchfab.ntex"
                 )
                 tex = Texture(mips, TextureKind.SRGB_COLOR, "terrariumtexsketchfab")
                 self.smol_ame = proxy.make_skinned_character(
@@ -85,14 +85,27 @@ class Sandbox:
         return scene
 
 
-def build_bench():
-    """Bench entry (bench.py): full sandbox scene at 1920×1080 with the
-    reference's 4×MSAA (main.rs:114-117)."""
+def build_bench(for_bench: bool = False):
+    """Bench entry (bench.py): full sandbox assets at 1920×1080 with the
+    reference's 4×MSAA (main.rs:114-117). Returns (sandbox, renderer, name);
+    the bench rebuilds the scene per frame (camera + animation), matching the
+    reference's main loop.
+
+    for_bench=True sizes pair_capacity for the orbiting camera up front and
+    turns the per-frame overflow check OFF — any device→host read during the
+    timed loop serializes the dispatch pipeline on tunneled TPU runtimes, so
+    the bench verifies the collected stats AFTER timing instead (bench.py)."""
     sandbox = Sandbox()
-    config = rt.RenderConfig(width=1920, height=1080, msaa_samples=4)
-    renderer = rt.Renderer(sandbox.registry, config)
-    scene = sandbox.build_scene(1.0)
-    return "sponza+ame-1080p-msaa4", renderer, scene
+    config = rt.RenderConfig(
+        width=1920, height=1080, msaa_samples=4,
+        pair_capacity=(1 << 21) if for_bench else (1 << 18),
+    )
+    renderer = rt.Renderer(sandbox.registry, config,
+                           overflow_policy="off" if for_bench else "auto")
+    name = "sponza+ame-1080p-msaa4"
+    if sandbox.proxy_geometry:
+        name += "-proxygeom"
+    return sandbox, renderer, name
 
 
 def run_loop(
@@ -121,8 +134,14 @@ def run_loop(
     sandbox = Sandbox()
     profiler = Profiler(enabled=True)
     config = rt.RenderConfig(width=width, height=height, msaa_samples=msaa)
-    renderer = rt.Renderer(sandbox.registry, config, profiler=profiler)
+    # overflow_policy "off": any per-frame device→host stats read would
+    # serialize the dispatch pipeline on tunneled TPU runtimes; the loop
+    # checks the collected stats once at the end instead.
+    renderer = rt.Renderer(sandbox.registry, config, profiler=profiler,
+                           overflow_policy="off")
     log_memory_usage("assets loaded")
+
+    from renderer_tpu.overlay.hud import build_hud_drawlist
 
     budget = 1.0 / target_fps
     game_time = 0.0
@@ -139,7 +158,17 @@ def run_loop(
         scene = sandbox.build_scene(game_time)
         scene.camera.position = pos
         scene.camera.orientation = orient
-        img = renderer.render_frame_device(scene, debug_mode=debug_mode)
+        ui = None
+        if show_hud:
+            # the live stats window, rendered THROUGH the raster pipeline
+            # (the reference's ImGui pass; imgui_support.rs:107-169). Only
+            # host-side data (profiler spans, frame times) — no device reads.
+            fps_now = 1.0 / max(frame_times[-1], 1e-6) if frame_times else 0.0
+            extra = [f"{width}x{height} msaa{msaa}  {fps_now:.0f} fps "
+                     f"(paced {target_fps:.0f})"]
+            ui = build_hud_drawlist(sandbox.registry, profiler, extra,
+                                    max_width=width)
+        img = renderer.render_frame_device(scene, debug_mode=debug_mode, ui=ui)
         if i == 0:
             img.block_until_ready()
             profiler.snapshot("startup (first frame incl. compile)")
@@ -167,17 +196,17 @@ def run_loop(
         "p99_ms": float(np.percentile(ft, 99) * 1e3),
         "paced_to": target_fps,
     }
+    frame_stats = renderer.frame_stats()  # end-of-run device stats check
+    if frame_stats:
+        dropped = sum(v for k, v in frame_stats.items() if "overflow" in k)
+        if dropped:
+            print(f"run_loop WARNING: last frame dropped {dropped} bin pairs "
+                  f"(raise RenderConfig.pair_capacity): {frame_stats}")
+        stats["frame_stats"] = frame_stats
     if dump_path:
         from PIL import Image
 
-        if show_hud:
-            from renderer_tpu.overlay.hud import draw_hud
-
-            out = draw_hud(
-                out, profiler,
-                [f"{width}x{height} msaa{msaa}  "
-                 f"{stats['render_fps']:.0f} fps (paced {target_fps:.0f})"],
-            )
+        # the HUD is already IN the frame (rendered through the UI pass)
         Image.fromarray(out).save(dump_path)
     print(f"run_loop: {stats}")
     return stats
@@ -193,7 +222,7 @@ def main(out_path: str = "sandbox.png", debug_mode: int = 0, game_time: float = 
 
     Image.fromarray(img).save(out_path)
     print(f"wrote {out_path} ({img.shape[1]}x{img.shape[0]}), "
-          f"{len(scene.draws)} draws")
+          f"{scene.draw_count} draws")
     return img
 
 

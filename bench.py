@@ -5,10 +5,13 @@ Prints ONE JSON line: {"metric": ..., "value": N, "unit": "fps",
 "vs_baseline": N} where vs_baseline is value / 60.
 
 Renders the heaviest scene available: Sponza + Smol Ame when the glTF assets
-and loader are available, otherwise the triangle demo scene. Frames are
-dispatched back-to-back with per-frame host-side scene re-queueing (camera
-motion), matching the reference's frame loop; only the last frame is
-synchronized.
+and loader are available, otherwise the triangle demo scene. Every frame does
+the FULL per-frame work of the reference's main loop (main.rs:325-640):
+host-side scene re-queue, skeletal-animation evaluation, a moving camera,
+draw sort + instance-merge + upload, then the jitted device frame. Frames are
+dispatched back-to-back; only the last frame is synchronized. Geometry is the
+Sponza proxy when the glTF .bin buffers are absent from the asset mount (see
+README "Benchmark honesty").
 """
 
 from __future__ import annotations
@@ -17,22 +20,42 @@ import json
 import sys
 import time
 
+import numpy as np
+
 
 def build_triangle_bench():
     import renderer_tpu as rt
     from apps.triangle import build_scene, build_triangle_assets
 
     registry, meshes, material = build_triangle_assets()
-    scene = build_scene(meshes, material)
     config = rt.RenderConfig(width=1920, height=1080)
     renderer = rt.Renderer(registry, config)
-    return "triangle-1080p", renderer, scene
+
+    def make_scene(game_time: float):
+        return build_scene(meshes, material)
+
+    return "triangle-1080p", renderer, make_scene
 
 
 def build_sponza_bench():
     from apps import sandbox
+    from renderer_tpu.core import math3d
 
-    return sandbox.build_bench()  # ("sponza+ame-1080p-msaa4", renderer, scene)
+    sb, renderer, name = sandbox.build_bench(for_bench=True)
+
+    def make_scene(game_time: float):
+        # flying camera orbiting the atrium + animated Smol Ame, the same
+        # per-frame host work as the reference demo's main loop
+        ang = 0.25 * game_time
+        eye = np.array([5.0 * np.cos(ang), 1.8, 2.0 * np.sin(ang)], np.float32)
+        target = np.array([0.0, 1.5, 0.0], np.float32)
+        scene = sb.build_scene(game_time)
+        pos, orient = math3d.look_at(eye, target, np.array([0, 1, 0], np.float32))
+        scene.camera.position = pos
+        scene.camera.orientation = orient
+        return scene
+
+    return name, renderer, make_scene
 
 
 def main():
@@ -40,23 +63,52 @@ def main():
     frames = int(sys.argv[1]) if len(sys.argv) > 1 else 60
 
     try:
-        name, renderer, scene = build_sponza_bench()
+        name, renderer, make_scene = build_sponza_bench()
     except Exception as e:  # noqa: BLE001 — assets/loader not ready yet
         print(f"# sponza bench unavailable ({type(e).__name__}: {e}); "
               "falling back to triangle", file=sys.stderr)
-        name, renderer, scene = build_triangle_bench()
+        name, renderer, make_scene = build_triangle_bench()
 
-    for _ in range(warmup):
-        img = renderer.render_frame_device(scene, debug_mode=0)
-    img.block_until_ready()
+    def run_pass(label: str):
+        """Warmup (compile) + timed loop. NO device→host copies before or
+        inside the timing (on tunneled TPU runtimes the first readback
+        permanently degrades dispatch latency); per-frame stats are collected
+        as device arrays and verified after timing."""
+        for i in range(warmup):
+            img = renderer.render_frame_device(make_scene(0.01 * i), debug_mode=0)
+        img.block_until_ready()
 
-    t0 = time.perf_counter()
-    for _ in range(frames):
-        img = renderer.render_frame_device(scene, debug_mode=0)
-    img.block_until_ready()
-    dt = time.perf_counter() - t0
+        stats = []
+        t0 = time.perf_counter()
+        for i in range(frames):
+            img = renderer.render_frame_device(
+                make_scene(1.0 + i / 60.0), debug_mode=0
+            )
+            stats.append(renderer.last_stats)
+        img.block_until_ready()
+        dt = time.perf_counter() - t0
+        overflow = max(
+            int(np.asarray(s)[:4].sum()) for s in stats
+        ) if stats and stats[0] is not None else 0
+        return frames / dt, overflow
 
-    fps = frames / dt
+    fps, overflow = run_pass("timed")
+    if overflow:
+        # a frame dropped (tile, triangle) pairs: grow the bin capacity to
+        # cover the worst frame and re-time, so the reported number never
+        # hides dropped triangles (the loud-overflow discipline; the regrow
+        # is outside the timed loop here)
+        from dataclasses import replace
+
+        needed = renderer.config.pair_capacity + overflow
+        cap = renderer.config.pair_capacity
+        while cap < needed:
+            cap *= 2
+        print(f"# overflow of {overflow} pairs detected; re-timing at "
+              f"pair_capacity={cap}", file=sys.stderr)
+        renderer.config = replace(renderer.config, pair_capacity=cap).validate()
+        fps, overflow = run_pass("retimed")
+
     print(
         json.dumps(
             {
@@ -64,6 +116,7 @@ def main():
                 "value": round(fps, 2),
                 "unit": "fps",
                 "vs_baseline": round(fps / 60.0, 3),
+                "dropped_pairs": overflow,
             }
         )
     )

@@ -460,7 +460,7 @@ def load_gltf(
         kind = kinds.get(i, TextureKind.LINEAR_COLOR)
         if uri is not None:
             ntex_path = (resource_dir / uri).with_suffix(".ntex")
-            _, mips = ntex.decode(ntex_path.read_bytes())
+            _, mips = ntex.decode_file(ntex_path)
             name = uri
         elif "bufferView" in image:
             # Embedded image (e.g. testbox.glb): decode + generate a mip

@@ -110,3 +110,57 @@ def decode(data: bytes) -> tuple[NtexHeader, list[np.ndarray]]:
 
 def is_srgb_format(vk_format: int) -> bool:
     return vk_format in (VK_FORMAT_BC7_SRGB, VK_FORMAT_R8G8B8A8_SRGB)
+
+
+# -- decoded-texture cache (SURVEY §5.4: the reference ships textures
+# pre-compressed so startup never encodes; TPUs additionally can't SAMPLE BC7,
+# so the analog is shipping them pre-DECODED — a per-file npz of RGBA8 mips
+# keyed by (path, size, mtime), turning the ~1.4 s PIL BC7 decode of a Sponza
+# startup into a handful of mmap'd reads) ----------------------------------
+
+def _cache_dir():
+    import os
+    from pathlib import Path
+
+    root = os.environ.get("RENDERER_TPU_CACHE")
+    if root:
+        return Path(root) / "ntex"
+    return Path(__file__).resolve().parents[2] / ".cache" / "ntex"
+
+
+def decode_file(path, cache: bool = True) -> tuple[NtexHeader, list[np.ndarray]]:
+    """decode() for an on-disk ntex file, with a decoded-mips disk cache."""
+    import hashlib
+    from pathlib import Path
+
+    path = Path(path)
+    if not cache:
+        return decode(path.read_bytes())
+    st = path.stat()
+    fp = f"{path.resolve()}|{st.st_size}|{st.st_mtime_ns}|v1"
+    cdir = _cache_dir()
+    cfile = cdir / (hashlib.sha1(fp.encode()).hexdigest() + ".npz")
+    if cfile.exists():
+        try:
+            with np.load(cfile, allow_pickle=False) as z:
+                meta = z["header"]
+                header = NtexHeader(*(int(v) for v in meta))
+                mips = [z[f"mip{i}"] for i in range(header.mip_levels)]
+            return header, mips
+        except Exception:
+            pass  # corrupt/stale cache entry → fall through to re-decode
+    header, mips = decode(path.read_bytes())
+    try:
+        cdir.mkdir(parents=True, exist_ok=True)
+        tmp = cfile.with_suffix(".tmp.npz")
+        meta = np.array(
+            [header.width, header.height, header.depth, header.mip_levels,
+             header.vk_format, header.block_width, header.block_height,
+             header.block_size], np.int64,
+        )
+        np.savez(tmp, header=meta,
+                 **{f"mip{i}": m for i, m in enumerate(mips)})
+        tmp.replace(cfile)
+    except Exception:
+        pass  # cache is an optimization only
+    return header, mips

@@ -148,7 +148,7 @@ def load_gltf_proxy(
     for i, image in enumerate(gltf.get("images", [])):
         uri = image["uri"]
         ntex_path = (resource_dir / uri).with_suffix(".ntex")
-        _, mips = ntex.decode(ntex_path.read_bytes())
+        _, mips = ntex.decode_file(ntex_path)
         tex = Texture(mips, kinds.get(i, TextureKind.LINEAR_COLOR), name=uri)
         registry.register_texture(tex)
         images.append(tex)

@@ -47,6 +47,19 @@ class RenderConfig:
     mask_layers: int = 4
     blend_layers: int = 2
 
+    # UI overlay pass (raster/ui_stage.py): max overlapping UI fragments
+    # composited per pixel (window bg + text + borders rarely exceeds 3) and
+    # the (tile, triangle) pair capacity of the UI binning.
+    ui_layers: int = 4
+    ui_pair_capacity: int = 1 << 14
+
+    # MSAA shading dedup: shade at most this many distinct solid triangles
+    # per pixel across the 4 samples (layered passes get layers+this-1).
+    # 3 is exact for any pixel where ≤3 triangles meet; pixels needing more
+    # fall back to the first candidate and are counted in frame stats
+    # (shade_clamped_px). Raise to 4 for bit-exact supersampled shading.
+    msaa_shade_candidates: int = 3
+
     # Two-mip (trilinear) texture filtering — reference sampler parity
     # (descriptors.rs:90-105); False = bilinear + nearest mip (faster).
     trilinear: bool = True
@@ -73,6 +86,7 @@ class RenderConfig:
 
     def validate(self) -> "RenderConfig":
         assert self.msaa_samples in (1, 4), "MSAA must be 1 or 4"
+        assert self.msaa_shade_candidates >= 1
         assert self.tile_w % 128 == 0, "tile_w must be lane-aligned (128)"
         assert self.tile_h % 8 == 0, "tile_h must be sublane-aligned (8)"
         assert self.max_triangles % self.tri_chunk == 0

@@ -47,31 +47,98 @@ def _enable_compilation_cache() -> None:
         pass  # cache is an optimization only
 
 
+MAX_PAIR_CAPACITY = 1 << 22
+
+
 class Renderer:
     def __init__(
         self,
         registry: MaterialRegistry,
         config: RenderConfig | None = None,
         profiler: Profiler | None = None,
+        overflow_policy: str = "auto",
     ) -> None:
+        """overflow_policy — what to do when the frame's stats vector reports
+        dropped work (bin pair_capacity exceeded), the analog of the
+        reference's loud arena-OOM errors (arena/buffers.rs:126-163):
+        - "auto" (default): check the PREVIOUS frame's stats after each
+          dispatch (no pipeline stall on direct-attached devices), log loudly
+          and regrow pair_capacity (recompile) so subsequent frames are
+          complete;
+        - "sync": check THIS frame's stats before returning and re-render at
+          the grown capacity — the returned image is always complete;
+        - "off": never read stats on the host (stats are still computed and
+          available via `frame_stats()`). REQUIRED for timed loops on
+          tunneled TPU runtimes (axon): there, any device→host copy —
+          including the 32-byte stats read — permanently degrades dispatch
+          latency, so bench.py/apps use "off" and verify the collected stats
+          after timing."""
         _enable_compilation_cache()
+        assert overflow_policy in ("auto", "sync", "off")
         self.config = (config or RenderConfig()).validate()
         self.registry = registry
         self.profiler = profiler or Profiler(enabled=False)
+        self.overflow_policy = overflow_policy
         self._geom_cache: dict = {}
         self._mat_cache: tuple[int, dict] | None = None
         self._interpret = pipeline.interpret_mode()
+        self._last_stats = None  # device i32[N_STATS] of the last frame
         self._frame_fn = jax.jit(
             functools.partial(pipeline.render_frame, interpret=self._interpret),
             static_argnames=("config", "skin_start", "has_masked", "has_blended"),
         )
 
+    # -- frame stats / overflow recovery --------------------------------------
+
+    @property
+    def last_stats(self):
+        """Device stats array of the most recent frame (NO host sync —
+        np.asarray it after your timing loop; on tunneled runtimes any
+        device→host copy degrades subsequent dispatch latency)."""
+        return self._last_stats
+
+    def frame_stats(self) -> dict[str, int] | None:
+        """Stats of the most recent frame (syncs on it). See
+        pipeline.STAT_NAMES."""
+        if self._last_stats is None:
+            return None
+        vals = np.asarray(self._last_stats)
+        return dict(zip(pipeline.STAT_NAMES, (int(v) for v in vals)))
+
+    def _total_overflow(self, stats_host) -> int:
+        return int(np.sum(stats_host[:4]))
+
+    def _grow_pair_capacity(self, stats_host) -> bool:
+        """Regrow the binning pair capacity to cover the reported overflow
+        (pow-2, like every other capacity bucket). Recompiles the frame."""
+        overflow = self._total_overflow(stats_host)
+        needed = self.config.pair_capacity + overflow
+        new_cap = self.config.pair_capacity
+        while new_cap < needed and new_cap < MAX_PAIR_CAPACITY:
+            new_cap *= 2
+        if new_cap == self.config.pair_capacity:
+            print(
+                f"[renderer] bin overflow of {overflow} pairs but "
+                f"pair_capacity is already at the {MAX_PAIR_CAPACITY} max; "
+                "triangles WILL be dropped",
+            )
+            return False
+        print(
+            f"[renderer] bin overflow: {overflow} (tile, triangle) pairs "
+            f"dropped; regrowing pair_capacity "
+            f"{self.config.pair_capacity} -> {new_cap} (recompiles)",
+        )
+        from dataclasses import replace
+
+        self.config = replace(self.config, pair_capacity=new_cap).validate()
+        return True
+
     # -- device array preparation -------------------------------------------
 
-    def _geometry(self, draws):
-        key = draw_stream.geometry_key(draws)
-        cached = self._geom_cache.get(key)
+    def _geometry(self, scene: Scene, order, geom_key: bytes):
+        cached = self._geom_cache.get(geom_key)
         if cached is None:
+            draws = scene.materialize(order)
             gs = draw_stream.build_geometry(draws, self.config.max_triangles)
             dev = {
                 k: jnp.asarray(getattr(gs, k))
@@ -79,7 +146,7 @@ class Renderer:
                           "weights", "exp_src", "exp_draw", "tri_v")
             }
             cached = (gs, dev)
-            self._geom_cache[key] = cached
+            self._geom_cache[geom_key] = cached
         return cached
 
     def _materials(self):
@@ -99,46 +166,74 @@ class Renderer:
         self._mat_cache = (reg.version, dev)
         return dev
 
-    def _frame_arrays(self, scene: Scene, draws, gs, debug_mode: int = 0) -> dict:
-        arrays = draw_stream.build_frame_arrays(scene, draws)
+    def _frame_arrays(self, scene: Scene, fv, gs, debug_mode: int = 0) -> dict:
         proj, view = scene.camera.proj_view(
             float(self.config.width), float(self.config.height), scene.world_space
         )
         packed = draw_stream.pack_frame_arrays(
-            arrays, proj @ view,
+            fv, scene.joint_palette, proj @ view,
             (gs.num_tris, gs.num_opaque_tris, gs.num_masked_tris, debug_mode),
         )
         return {k: jnp.asarray(v) for k, v in packed.items()}
 
     # -- frame loop ----------------------------------------------------------
 
-    def render_frame_device(self, scene: Scene, debug_mode: int = 0) -> jnp.ndarray:
-        """One frame, returned as a device u8 [H,W,3] array (no host copy)."""
+    def _dispatch(self, scene: Scene, debug_mode: int, ui=None):
+        p = self.profiler
+        with p.span("sort draws + pack"):
+            fv = draw_stream.frame_view(scene)
+        with p.span("geometry arrays"):
+            gs, geom_dev = self._geometry(scene, fv.order, fv.geom_key)
+        with p.span("frame arrays"):
+            frame = self._frame_arrays(scene, fv, gs, debug_mode)
+            if ui is not None:
+                packed_ui = ui.pack() if hasattr(ui, "pack") else ui
+                frame["ui"] = {k: jnp.asarray(v) for k, v in packed_ui.items()}
+        with p.span("materials"):
+            mats = self._materials()
+        with p.span("dispatch jitted frame"):
+            img, stats = self._frame_fn(
+                geom_dev, frame, mats,
+                config=self.config, skin_start=gs.skin_start,
+                has_masked=gs.num_masked_tris > 0,
+                has_blended=gs.num_tris > gs.num_opaque_tris + gs.num_masked_tris,
+            )
+        return img, stats
+
+    def render_frame_device(self, scene: Scene, debug_mode: int = 0,
+                            ui=None) -> jnp.ndarray:
+        """One frame, returned as a device u8 [H,W,3] array (no host copy).
+        `ui` — optional renderer_tpu.ui.DrawList (or its packed dict): the
+        overlay rendered through the raster pipeline's UI pass."""
         p = self.profiler
         with p.span("render_frame"):
-            with p.span("sort draws"):
-                draws = draw_stream.sorted_draws(scene)
-            with p.span("geometry arrays"):
-                gs, geom_dev = self._geometry(draws)
-            with p.span("frame arrays"):
-                frame = self._frame_arrays(scene, draws, gs, debug_mode)
-            with p.span("materials"):
-                mats = self._materials()
-            with p.span("dispatch jitted frame"):
-                img = self._frame_fn(
-                    geom_dev, frame, mats,
-                    config=self.config, skin_start=gs.skin_start,
-                    has_masked=gs.num_masked_tris > 0,
-                    has_blended=gs.num_tris > gs.num_opaque_tris + gs.num_masked_tris,
-                )
+            prev_stats = self._last_stats
+            img, stats = self._dispatch(scene, debug_mode, ui)
+            self._last_stats = stats
+            if self.overflow_policy == "sync":
+                # loop: regrow until the frame reports no dropped pairs
+                for _ in range(8):
+                    host = np.asarray(stats)
+                    if self._total_overflow(host) == 0 or not self._grow_pair_capacity(host):
+                        break
+                    img, stats = self._dispatch(scene, debug_mode, ui)
+                    self._last_stats = stats
+            elif self.overflow_policy == "auto" and prev_stats is not None:
+                # one-frame-delayed check: the previous frame has completed by
+                # now (this frame was just dispatched behind it), so this host
+                # read does not stall the pipeline.
+                host = np.asarray(prev_stats)
+                if self._total_overflow(host) > 0:
+                    self._grow_pair_capacity(host)
         return img
 
-    def render_frame(self, scene: Scene, debug_mode: int = 0) -> np.ndarray:
+    def render_frame(self, scene: Scene, debug_mode: int = 0,
+                     ui=None) -> np.ndarray:
         """One frame, copied back to the host (the 'present' boundary).
 
         Benchmark note: keep hot loops on `render_frame_device` and read back
         once at the end — under tunneled TPU runtimes (axon) the first host
         readback permanently slows every subsequent dispatch."""
-        img = self.render_frame_device(scene, debug_mode)
+        img = self.render_frame_device(scene, debug_mode, ui)
         with self.profiler.span("present (device→host)"):
             return np.asarray(img)

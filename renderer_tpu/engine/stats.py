@@ -64,17 +64,22 @@ def _time_call(fn, *args, iters: int = 10) -> float:
 def device_stage_timings(renderer, scene, iters: int = 10) -> dict[str, float]:
     """Executes the frame pipeline stage by stage (each stage its own jit,
     all data passed explicitly — nothing captured as constants) and returns
-    {stage: ms}. The sum exceeds the fused frame time (the production path is
-    one jit); this mirrors the reference's per-scope µs readout."""
-    from renderer_tpu.raster import binning, raster_kernel, setup, shade, post, vertex_stage
+    {stage: ms}. Covers every pass the production frame runs for this scene —
+    opaque, masked layer raster + alpha test, blended layer raster + shade —
+    plus the fused full frame at the renderer's real MSAA config. The
+    stage-sum exceeds the fused frame time (the production path is one jit);
+    this mirrors the reference's per-scope µs readout."""
+    from renderer_tpu.raster import (binning, layers, raster_kernel, setup,
+                                     shade, post, vertex_stage)
     from renderer_tpu.raster.pipeline import interpret_mode
     from renderer_tpu.scene import draw_stream
 
     cfg = renderer.config
     interp = interpret_mode()
-    draws = draw_stream.sorted_draws(scene)
-    gs, geom = renderer._geometry(draws)
-    frame = draw_stream.unpack_frame(renderer._frame_arrays(scene, draws, gs))
+    fv = draw_stream.frame_view(scene)
+    gs, geom = renderer._geometry(scene, fv.order, fv.geom_key)
+    packed = renderer._frame_arrays(scene, fv, gs)
+    frame = draw_stream.unpack_frame(packed)
     mats = renderer._materials()
 
     timings: dict[str, float] = {}
@@ -98,7 +103,7 @@ def device_stage_timings(renderer, scene, iters: int = 10) -> dict[str, float]:
         tiles_x=cfg.tiles_x, tiles_y=cfg.tiles_y,
         tile_w=cfg.tile_w, tile_h=cfg.tile_h, pair_capacity=cfg.pair_capacity,
     )
-    timings["binning"] = _time_call(bin_fn, td, 0, frame["n_opaque"], iters=iters)
+    timings["binning (opaque)"] = _time_call(bin_fn, td, 0, frame["n_opaque"], iters=iters)
     b, s, c, _ = bin_fn(td, 0, frame["n_opaque"])
 
     raster_fn = functools.partial(
@@ -108,6 +113,54 @@ def device_stage_timings(renderer, scene, iters: int = 10) -> dict[str, float]:
     )
     timings["raster (opaque)"] = _time_call(raster_fn, b, s, c, iters=iters)
     depth, trid = raster_fn(b, s, c)
+
+    def interpolants_of(t, geom_, vs_):
+        return shade.interpolants(t[: cfg.height, : cfg.width], geom_, vs_,
+                                  width=cfg.width, height=cfg.height)
+
+    n_masked = gs.num_masked_tris
+    n_blended = gs.num_tris - gs.num_opaque_tris - gs.num_masked_tris
+    layer_fn = functools.partial(
+        layers.rasterize_layers,
+        padded_height=cfg.padded_height, padded_width=cfg.padded_width,
+        tile_h=cfg.tile_h, tile_w=cfg.tile_w, interpret=interp,
+    )
+
+    if n_masked:
+        bm = bin_fn(td, frame["n_opaque"], frame["n_opaque"] + frame["n_masked"])[:3]
+        timings["raster (masked layers)"] = _time_call(
+            functools.partial(layer_fn, mode="masked", n_layers=cfg.mask_layers),
+            *bm, depth, iters=iters,
+        )
+        lz, lt, _aux = layer_fn(*bm, depth, mode="masked", n_layers=cfg.mask_layers)
+
+        def alpha_fn(lt_, geom_, vs_, frame_, mats_):
+            it = interpolants_of(lt_[0], geom_, vs_)
+            return shade.base_alpha(it, frame_, mats_, cfg.trilinear,
+                                    cfg.aniso_samples)
+
+        timings["masked alpha test (per layer)"] = _time_call(
+            jax.jit(alpha_fn), lt, geom, vs, frame, mats, iters=iters
+        )
+
+    if n_blended:
+        bb = bin_fn(td, frame["n_opaque"] + frame["n_masked"], frame["num_tris"])[:3]
+        timings["raster (blended layers)"] = _time_call(
+            functools.partial(layer_fn, mode="blended", n_layers=cfg.blend_layers),
+            *bb, depth, iters=iters,
+        )
+        _lzb, ltb, _auxb = layer_fn(*bb, depth, mode="blended",
+                                    n_layers=cfg.blend_layers)
+
+        def blend_fn(ltb_, geom_, vs_, frame_, mats_):
+            return shade.shade_interpolated(
+                interpolants_of(ltb_[0], geom_, vs_), vs_, frame_, mats_,
+                cfg.trilinear, cfg.aniso_samples,
+            )
+
+        timings["blended shade (per layer)"] = _time_call(
+            jax.jit(blend_fn), ltb, geom, vs, frame, mats, iters=iters
+        )
 
     def shade_fn(trid_, geom_, vs_, frame_, mats_):
         hdr = shade.shade(
@@ -119,5 +172,19 @@ def device_stage_timings(renderer, scene, iters: int = 10) -> dict[str, float]:
     shade_jit = jax.jit(shade_fn)
     timings["deferred shade + tonemap"] = _time_call(
         shade_jit, trid, geom, vs, frame, mats, iters=iters
+    )
+
+    # the production frame: everything above fused into one jit, at the
+    # renderer's real msaa/layer config (msaa runs visibility per sample +
+    # candidate-deduped shading, raster/pipeline.py)
+    def full_fn(geom_, packed_, mats_):
+        img, _stats = renderer._frame_fn(
+            geom_, packed_, mats_, config=cfg, skin_start=gs.skin_start,
+            has_masked=n_masked > 0, has_blended=n_blended > 0,
+        )
+        return img
+
+    timings[f"FULL FRAME (fused, msaa{cfg.msaa_samples})"] = _time_call(
+        full_fn, geom, packed, mats, iters=iters
     )
     return timings

@@ -12,8 +12,10 @@ REPEAT-wrap bilinear taps can sample across the edge without bleeding into a
 neighbor (the reference sampler is repeat-mode anisotropic trilinear,
 descriptors.rs:90-105; we provide repeat bilinear + per-pixel mip selection).
 
-sRGB decode happens per tap at sample time (like the hardware's
-decode-before-filter), flagged per slot.
+Texels are stored sRGB-encoded (as decoded-from-BC7); the sampler decodes the
+FILTERED value rather than each tap (a deliberate, tested deviation from
+hardware decode-before-filter — see raster/shade.py and
+tests/test_srgb_filter_order.py), flagged per slot.
 """
 
 from __future__ import annotations
@@ -63,6 +65,10 @@ def build_atlas(registry: MaterialRegistry) -> Atlas:
     shelf_h = 0
     cursor_x = 0
     for slot, mip, h, w, img in rects:
+        assert w <= ATLAS_WIDTH, (
+            f"texture slot {slot} mip {mip} is {w - 2} px wide (+2 border); "
+            f"the atlas row is {ATLAS_WIDTH} px — downsample the source image"
+        )
         if cursor_x + w > ATLAS_WIDTH:
             shelf_y += shelf_h
             cursor_x = 0

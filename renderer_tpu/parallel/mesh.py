@@ -45,9 +45,11 @@ def render_frame_sharded(
     has_masked: bool = True,
     has_blended: bool = True,
     interpret: bool = False,
-) -> jnp.ndarray:
+):
     """The full frame step under shard_map. Inputs are replicated (they are
     small or needed everywhere); the returned u8 image is sharded by rows.
+    Returns (image, stats i32[N_STATS] — overflow entries are computed
+    identically on every device; saturation counts are psum'd over shards).
     """
     axis = mesh.axis_names[0]
     n = mesh.shape[axis]
@@ -84,7 +86,7 @@ def render_frame_sharded(
         }
 
         # -- sp: raster + shade + composite on this device's tile rows -----
-        return pipeline.render_shard(
+        img, stats = pipeline.render_shard(
             geom, frame, materials, vs,
             config=config,
             has_masked=has_masked,
@@ -95,12 +97,16 @@ def render_frame_sharded(
             out_rows=rows_per_dev,
             interpret=interpret,
         )
+        # overflow entries ([:4]) come from binning the FULL screen — every
+        # device computes the same values; saturation counts are per-shard.
+        stats = jnp.concatenate([stats[:4], jax.lax.psum(stats[4:], axis)])
+        return img, stats
 
     sharded = jax.shard_map(
         step,
         mesh=mesh,
         in_specs=(P(), P(), P()),
-        out_specs=P(axis, None, None),
+        out_specs=(P(axis, None, None), P()),
         check_vma=False,
     )
     return sharded(geom, frame, materials)
@@ -135,7 +141,9 @@ def render_frames_batched(
 ) -> jnp.ndarray:
     """dp × sp frame rendering: each dp group renders one frame of the batch
     (own camera/transforms/joints over shared geometry+materials), internally
-    sharded over tile rows. Returns u8 [B, H, W, 3], sharded (dp, sp)."""
+    sharded over tile rows. Returns u8 [B, H, W, 3], sharded (dp, sp).
+    (Per-frame stats are dropped here — batched rendering is the
+    device-resident loop; use render_frame_sharded for diagnostics.)"""
     dp = mesh.shape["dp"]
     sp = mesh.shape["sp"]
     batch = jax.tree_util.tree_leaves(frames)[0].shape[0]
@@ -167,7 +175,7 @@ def render_frames_batched(
             for k, v in vs_local.items()
         }
 
-        img = pipeline.render_shard(
+        img, _stats = pipeline.render_shard(
             geom, frame, materials, vs,
             config=config,
             has_masked=has_masked,

@@ -64,7 +64,8 @@ def _fragment(t_col, px3, py3, in_range):
     return cover, z, tid
 
 
-def _make_layer_kernel(mode: str, n_layers: int, tile_h: int, tile_w: int, tiles_x: int):
+def _make_layer_kernel(mode: str, n_layers: int, tile_h: int, tile_w: int,
+                       tiles_x: int, sample_dx: float, sample_dy: float):
     assert mode in ("masked", "blended")
 
     def kernel(starts_ref, counts_ref, tri_ref, depth_in_ref,
@@ -75,16 +76,17 @@ def _make_layer_kernel(mode: str, n_layers: int, tile_h: int, tile_w: int, tiles
 
         lz_ref[:] = jnp.full((n_layers, tile_h, tile_w), -1.0, jnp.float32)
         lt_ref[:] = jnp.full((n_layers, tile_h, tile_w), -1, jnp.int32)
-        # aux: blended → number of accepted fragments per pixel; masked →
-        # unused (zeroed). The running depth starts from the solid depth.
+        # aux: per-pixel count of candidate (masked) / accepted (blended)
+        # fragments — may exceed n_layers, flagging truncated capture.
+        # The running depth starts from the solid depth.
         aux_ref[:] = jnp.zeros((tile_h, tile_w), jnp.int32)
         cur_z0 = depth_in_ref[:]
 
         tile_x0 = (tx * tile_w).astype(jnp.float32)
         tile_y0 = (ty * tile_h).astype(jnp.float32)
-        px3 = tile_x0 + 0.5 + jax.lax.broadcasted_iota(
+        px3 = tile_x0 + sample_dx + jax.lax.broadcasted_iota(
             jnp.int32, (tile_h, tile_w), 1).astype(jnp.float32)
-        py3 = tile_y0 + 0.5 + jax.lax.broadcasted_iota(
+        py3 = tile_y0 + sample_dy + jax.lax.broadcasted_iota(
             jnp.int32, (tile_h, tile_w), 0).astype(jnp.float32)
 
         start = pl.multiple_of(starts_ref[tile_index], 128)
@@ -107,8 +109,11 @@ def _make_layer_kernel(mode: str, n_layers: int, tile_h: int, tile_w: int, tiles
 
                 if mode == "masked":
                     # top-K nearest insertion; ≥ keeps later-submission-wins
-                    # on equal depth. cur_z is the opaque depth floor.
+                    # on equal depth. cur_z is the opaque depth floor. aux
+                    # counts every candidate so aux > K flags pixels whose
+                    # K-nearest capture may have dropped a passing fragment.
                     c = cover & (z >= cur_z)
+                    aux_ref[:] = aux_ref[:] + c.astype(jnp.int32)
                     cz = jnp.where(c, z, -1.0)
                     ct = jnp.where(c, tid, -1)
                     for k in range(n_layers):
@@ -123,15 +128,22 @@ def _make_layer_kernel(mode: str, n_layers: int, tile_h: int, tile_w: int, tiles
                 else:
                     # ordered accept: depth test vs the running chain depth,
                     # accepted fragments write depth (pipeline_parameters.rs
-                    # blended inherits depth_write from opaque).
+                    # blended inherits depth_write from opaque). A fragment
+                    # past the K-layer capacity is dropped WITHOUT writing
+                    # depth: the truncation may under-blend but never makes a
+                    # dropped fragment occlude later geometry (the reference's
+                    # fixed-function blending has no layer cap,
+                    # pipelines.rs:112-132). aux counts all accepts, so
+                    # aux > K flags saturated pixels.
                     c = cover & (z >= cur_z)
                     nacc = aux_ref[:]
+                    stored = c & (nacc < n_layers)
                     for k in range(n_layers):
                         put = c & (nacc == k)
                         lt_ref[k] = jnp.where(put, tid, lt_ref[k])
                         lz_ref[k] = jnp.where(put, z, lz_ref[k])
                     aux_ref[:] = nacc + c.astype(jnp.int32)
-                    return jnp.where(c, z, cur_z)
+                    return jnp.where(stored, z, cur_z)
 
             return jax.lax.fori_loop(0, LCHUNK, tri_body, cur_z)
 
@@ -144,7 +156,7 @@ def _make_layer_kernel(mode: str, n_layers: int, tile_h: int, tile_w: int, tiles
     jax.jit,
     static_argnames=(
         "mode", "n_layers", "padded_height",
-        "padded_width", "tile_h", "tile_w", "interpret",
+        "padded_width", "tile_h", "tile_w", "sample_pos", "interpret",
     ),
 )
 def rasterize_layers(
@@ -160,12 +172,13 @@ def rasterize_layers(
     padded_width: int,
     tile_h: int = 32,
     tile_w: int = 128,
+    sample_pos: tuple = (0.5, 0.5),  # in-pixel sample position (MSAA)
     interpret: bool = False,
 ):
     """Returns (layer_z [K,Hp,Wp] f32, layer_tid [K,Hp,Wp] i32,
-    aux [Hp,Wp] i32 — blended: per-pixel accepted-fragment count; masked:
-    zeros). Layer order: masked = nearest first; blended = acceptance
-    (submission) order."""
+    aux [Hp,Wp] i32 — per-pixel candidate/accept count; aux > n_layers marks
+    pixels whose capture was truncated). Layer order: masked = nearest first;
+    blended = acceptance (submission) order."""
     tiles_y = padded_height // tile_h
     tiles_x = padded_width // tile_w
 
@@ -189,7 +202,8 @@ def rasterize_layers(
             pltpu.SemaphoreType.DMA(()),
         ],
     )
-    kernel = _make_layer_kernel(mode, n_layers, tile_h, tile_w, tiles_x)
+    kernel = _make_layer_kernel(mode, n_layers, tile_h, tile_w, tiles_x,
+                                float(sample_pos[0]), float(sample_pos[1]))
     lz, lt, aux = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

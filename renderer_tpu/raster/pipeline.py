@@ -17,12 +17,15 @@ sharing one reverse-Z depth buffer):
    src-alpha composite in acceptance order (pipelines.rs:112-132)
 7. ACES tonemap + sRGB encode (post)
 
-MSAA 4× (the reference's default, examples/sandbox/src/main.rs:114-117) runs
-steps 3-6 once per sample at the Vulkan standard sample positions by shifting
-the binned triangle rows (one cheap elementwise transform per sample — the
-bins themselves are shared, built with a half-pixel-padded bbox), shading
-every sample (supersampling ⊇ sample-rate shading) and resolving by AVERAGE
-after tonemap (render_passes.rs:28-42; the post pass runs per sample,
+MSAA 4× (the reference's default, examples/sandbox/src/main.rs:114-117):
+VISIBILITY (steps 3, 4-raster, 6-raster) runs once per sample by evaluating
+the edge/depth planes at the Vulkan standard sample positions inside the
+kernels (compile-time constants; the binned buffer is shared across samples,
+built with a half-pixel-padded bbox); SHADING runs once per distinct per-pixel triangle
+candidate across samples/layers and is selected back per sample (hardware
+MSAA's shade-per-covered-primitive; attributes interpolate at pixel centers,
+so shading is a pure function of triangle id). Resolve is AVERAGE after
+per-sample tonemap (render_passes.rs:28-42; the post pass runs per sample,
 physical_device.rs:265-266). Alpha-to-coverage gets the per-sample coverage
 thresholds a·4 > s+0.5.
 """
@@ -40,31 +43,65 @@ from renderer_tpu.raster import (
     raster_kernel,
     setup,
     shade,
+    ui_stage,
     vertex_stage,
 )
 
 # Vulkan standard 4xMSAA sample positions (spec table 24.1), pixel-relative.
 MSAA4_POSITIONS = ((0.375, 0.125), (0.875, 0.375), (0.125, 0.625), (0.625, 0.875))
 
+# Per-frame device stats vector (i32[8]) returned next to the image — the
+# TPU analog of the reference's loud resource-exhaustion errors
+# (arena/buffers.rs:126-163 reports used/total/required on OOM). Overflow
+# entries count (tile, triangle) pairs dropped by binning (pair_capacity
+# exceeded); saturation entries count pixels whose layered capture was
+# truncated (more overlapping fragments than mask_layers/blend_layers).
+STAT_NAMES = (
+    "overflow_opaque",
+    "overflow_masked",
+    "overflow_blended",
+    "overflow_ui",
+    "masked_saturated_px",
+    "blended_saturated_px",
+    "ui_saturated_px",
+    "shade_clamped_px",
+)
+N_STATS = len(STAT_NAMES)
 
-def _shift_binned(binned: jnp.ndarray, sdx: float, sdy: float) -> jnp.ndarray:
-    """Shift binned triangle rows so the kernel's pixel-center evaluation
-    lands on a given MSAA sample position: vertices move by (sdx, sdy) and
-    the depth-plane constant compensates."""
-    if sdx == 0.0 and sdy == 0.0:
-        return binned
-    # planes are e = A·px + B·py + C; shifting by (sdx, sdy) updates only the
-    # constants: C' = C - A·sdx - B·sdy (same for the depth plane).
-    def shift_c(a_row, b_row, c_row):
-        return binned[c_row] - binned[a_row] * sdx - binned[b_row] * sdy
 
-    return (
-        binned.at[2].set(shift_c(0, 1, 2))
-        .at[5].set(shift_c(3, 4, 5))
-        .at[8].set(shift_c(6, 7, 8))
-        .at[11].set(shift_c(9, 10, 11))
-        .at[14].set(shift_c(12, 13, 14))
-    )
+def _extract_candidates(tids: list, n: int) -> list:
+    """Per-pixel: the first `n` DISTINCT values across the slot list (slot
+    order = priority). Returns n candidate maps ([H,W] i32, -2 where fewer
+    than n distinct values exist). Pure elementwise ops — XLA fuses the whole
+    extraction into one pass over the slots."""
+    cands: list = []
+    for _ in range(n):
+        nxt = jnp.full_like(tids[0], -2)
+        # reversed so the EARLIEST slot with a new value wins the overwrite
+        for t in reversed(tids):
+            is_new = jnp.ones(t.shape, bool)
+            for c in cands:
+                is_new &= t != c
+            nxt = jnp.where(is_new, t, nxt)
+        cands.append(nxt)
+    return cands
+
+
+def _select(tid, cands: list, values: list):
+    """values: list (per candidate) of arrays whose leading dims are [H, W]
+    (optionally trailing channel dim). Returns (selected, unmatched mask)."""
+    def pick(hit, a, b):
+        if a.ndim == hit.ndim + 1:
+            hit = hit[..., None]
+        return jnp.where(hit, a, b)
+
+    out = values[0]
+    matched = tid == cands[0]
+    for c, v in zip(cands[1:], values[1:]):
+        hit = tid == c
+        out = pick(hit, v, out)
+        matched |= hit
+    return out, ~matched
 
 
 def interpret_mode() -> bool:
@@ -87,15 +124,19 @@ def render_shard(
     row0,  # traced f32: first global pixel row of this shard
     out_rows: int,  # rows of the final image this shard produces
     interpret: bool = False,
-) -> jnp.ndarray:
+):
     """Raster + shade + composite for a horizontal band of the image (the
     whole image on a single chip). All per-pixel math runs on the padded
-    band; the crop to `out_rows`×width happens at the end."""
+    band; the crop to `out_rows`×width happens at the end.
+
+    Returns (u8 image [out_rows, width, 3], stats i32[N_STATS] — see
+    STAT_NAMES; saturation counts cover only this shard's rows)."""
     cfg = config
     pad_h = local_tiles_y * cfg.tile_h
     n_opaque = frame["n_opaque"]
     n_masked = frame["n_masked"]
     msaa = cfg.msaa_samples
+    zero = jnp.zeros((), jnp.int32)
 
     tri_data = setup.triangle_setup(
         vs["clip"], geom["tri_v"], frame["num_tris"], cfg.width, cfg.height,
@@ -103,100 +144,188 @@ def render_shard(
     )
 
     def bins(lo, hi):
-        b, s, c, _overflow = binning.bin_triangles(
+        b, s, c, overflow = binning.bin_triangles(
             tri_data, lo, hi,
             tiles_x=cfg.tiles_x, tiles_y=cfg.tiles_y,
             tile_w=cfg.tile_w, tile_h=cfg.tile_h,
             pair_capacity=cfg.pair_capacity,
         )
-        return b, s, c
+        return (b, s, c), overflow
 
-    bins_opaque = bins(0, n_opaque)
-    bins_masked = bins(n_opaque, n_opaque + n_masked) if has_masked else None
-    bins_blended = (
-        bins(n_opaque + n_masked, frame["num_tris"]) if has_blended else None
+    bins_opaque, ov_opaque = bins(0, n_opaque)
+    bins_masked, ov_masked = (
+        bins(n_opaque, n_opaque + n_masked) if has_masked else (None, zero)
     )
+    bins_blended, ov_blended = (
+        bins(n_opaque + n_masked, frame["num_tris"]) if has_blended else (None, zero)
+    )
+
+    def saturated_px(aux, k):
+        """Pixels (inside this shard's image area) whose layered capture
+        dropped fragments past the K-layer capacity."""
+        return jnp.sum(
+            (aux[:out_rows, : cfg.width] > k).astype(jnp.int32)
+        )
 
     def interpolants_of(tid):
         return shade.interpolants(
             tid, geom, vs, width=cfg.width, height=cfg.height, row0=row0
         )
 
-    def render_sample(sample_index: int) -> jnp.ndarray:
-        if msaa > 1:
-            dx, dy = MSAA4_POSITIONS[sample_index]
-            sdx, sdy = 0.5 - dx, 0.5 - dy
-        else:
-            sdx = sdy = 0.0
+    # Visibility (raster) runs PER SAMPLE at the shifted sample positions;
+    # shading runs PER DISTINCT TRIANGLE: attributes are interpolated at
+    # pixel centers regardless of sample, so a pixel's shaded color is a pure
+    # function of the triangle id — candidates deduped across samples/layers
+    # are shaded once and selected back per slot (the "shade once per covered
+    # primitive" discipline of hardware MSAA; the 4x supersampled shading of
+    # round 1 re-did identical dense work per sample). Exact whenever a pixel
+    # references ≤ n_candidates distinct triangles across its slots; the rare
+    # remainder falls back to the first candidate and is counted in
+    # stats.shade_clamped_px.
+    extra = max(cfg.msaa_shade_candidates - 1, 0) if msaa > 1 else 0
+    clamp_mask = jnp.zeros((pad_h, cfg.padded_width), bool)
 
-        def sample_bins(b):
-            binned, starts, counts = b
-            return _shift_binned(binned, sdx, sdy), starts, counts
+    def pos_of(s):
+        """In-pixel sample position passed into the kernels as compile-time
+        constants — one shared binned buffer across all samples (no per-
+        sample 200 MB plane-shift copies at large pair capacities)."""
+        return MSAA4_POSITIONS[s] if msaa > 1 else (0.5, 0.5)
 
-        # -- opaque ---------------------------------------------------------
-        solid_z, solid_tid = raster_kernel.rasterize_binned(
-            *sample_bins(bins_opaque),
+    def raster_opaque(s):
+        return raster_kernel.rasterize_binned(
+            *bins_opaque,
             tile_row_offset=tile_row_offset,
             padded_height=pad_h, padded_width=cfg.padded_width,
             tile_h=cfg.tile_h, tile_w=cfg.tile_w, sub=cfg.tri_chunk,
+            sample_pos=pos_of(s),
             interpret=interpret,
         )
 
-        # -- masked (alpha-to-coverage) ---------------------------------------
+    def raster_layers(b, s, floor, mode, n_layers):
+        return layers.rasterize_layers(
+            *b, floor,
+            mode=mode, n_layers=n_layers,
+            tile_row_offset=tile_row_offset,
+            padded_height=pad_h, padded_width=cfg.padded_width,
+            tile_h=cfg.tile_h, tile_w=cfg.tile_w,
+            sample_pos=pos_of(s),
+            interpret=interpret,
+        )
+
+    def clampc(c):  # -2 candidate sentinel → background for interpolation
+        return jnp.maximum(c, -1)
+
+    # -- phase 1: per-sample opaque + masked visibility ----------------------
+    mask_sat = zero
+    blend_sat = zero
+    solid_z, solid_tid, lt_m, lz_m = [], [], [], []
+    for s in range(msaa):
+        z, t = raster_opaque(s)
+        solid_z.append(z)
+        solid_tid.append(t)
         if has_masked:
-            lz, lt, _ = layers.rasterize_layers(
-                *sample_bins(bins_masked),
-                solid_z,
-                mode="masked", n_layers=cfg.mask_layers,
-                tile_row_offset=tile_row_offset,
-                padded_height=pad_h, padded_width=cfg.padded_width,
-                tile_h=cfg.tile_h, tile_w=cfg.tile_w,
-                interpret=interpret,
-            )
+            lz, lt, aux_m = raster_layers(bins_masked, s, z, "masked",
+                                          cfg.mask_layers)
+            mask_sat = jnp.maximum(mask_sat, saturated_px(aux_m, cfg.mask_layers))
+            lz_m.append(lz)
+            lt_m.append(lt)
+
+    # -- phase 2: masked alpha test (alpha deduped per distinct tid) + merge --
+    if has_masked:
+        slots = [lt_m[s][k] for s in range(msaa) for k in range(cfg.mask_layers)]
+        cands = _extract_candidates(slots, min(len(slots), cfg.mask_layers + extra))
+        acs = [
+            shade.base_alpha(interpolants_of(clampc(c)), frame, materials,
+                             cfg.trilinear, cfg.aniso_samples)
+            for c in cands
+        ]
+        alphas = [a for a, _ in acs]
+        cutoffs = [co for _, co in acs]
+        for s in range(msaa):
             # a2c: with MSAA, alpha additionally gates per-sample coverage
             # (sample s covered iff a·S > s + 0.5).
-            a2c_floor = (sample_index + 0.5) / msaa if msaa > 1 else 0.0
+            a2c_floor = (s + 0.5) / msaa if msaa > 1 else 0.0
             # far → near so the nearest passing fragment wins.
             for k in reversed(range(cfg.mask_layers)):
-                it_k = interpolants_of(lt[k])
-                alpha, cutoff = shade.base_alpha(it_k, frame, materials,
-                                                 cfg.trilinear, cfg.aniso_samples)
-                passes = (lt[k] >= 0) & (alpha > cutoff) & (alpha > a2c_floor)
-                solid_tid = jnp.where(passes, lt[k], solid_tid)
-                solid_z = jnp.where(passes, lz[k], solid_z)
+                t = lt_m[s][k]
+                alpha, unmatched_a = _select(t, cands, alphas)
+                cutoff, _ = _select(t, cands, cutoffs)
+                live = t >= 0
+                # unmatched fragments have unknown alpha → treated as failing
+                # the cutoff (counted in shade_clamped_px)
+                clamp_mask |= live & unmatched_a
+                passes = live & ~unmatched_a & (alpha > cutoff) & (alpha > a2c_floor)
+                solid_tid[s] = jnp.where(passes, t, solid_tid[s])
+                solid_z[s] = jnp.where(passes, lz_m[s][k], solid_z[s])
 
-        # -- one full shade of the solid visibility buffer -------------------
-        hdr = shade.shade_interpolated(
-            interpolants_of(solid_tid), vs, frame, materials,
-            cfg.trilinear, cfg.aniso_samples,
-        )
-        hdr_rgb = hdr[..., :3]
+    # -- phase 3: per-sample blended visibility (floor = merged solid depth) --
+    lt_b = []
+    if has_blended:
+        for s in range(msaa):
+            _, lt, aux_b = raster_layers(bins_blended, s, solid_z[s], "blended",
+                                         cfg.blend_layers)
+            blend_sat = jnp.maximum(blend_sat, saturated_px(aux_b, cfg.blend_layers))
+            lt_b.append(lt)
 
-        # -- blended, ordered accept + src-alpha composite -------------------
-        if has_blended:
-            _, lt_b, _ = layers.rasterize_layers(
-                *sample_bins(bins_blended),
-                solid_z,
-                mode="blended", n_layers=cfg.blend_layers,
-                tile_row_offset=tile_row_offset,
-                padded_height=pad_h, padded_width=cfg.padded_width,
-                tile_h=cfg.tile_h, tile_w=cfg.tile_w,
-                interpret=interpret,
-            )
+    # -- phase 4: solid shading, once per distinct candidate -----------------
+    n_c = min(msaa, max(cfg.msaa_shade_candidates, 1))
+    cands_s = _extract_candidates(solid_tid, n_c)
+    shaded_s = [
+        shade.shade_interpolated(interpolants_of(clampc(c)), vs, frame,
+                                 materials, cfg.trilinear, cfg.aniso_samples)
+        for c in cands_s
+    ]
+    hdr = []
+    for s in range(msaa):
+        color, unmatched = _select(solid_tid[s], cands_s, shaded_s)
+        clamp_mask |= unmatched & (solid_tid[s] >= 0)
+        hdr.append(color[..., :3])
+
+    # -- phase 5: blended shading (deduped) + per-sample ordered composite ---
+    if has_blended:
+        slots = [lt_b[s][k] for s in range(msaa) for k in range(cfg.blend_layers)]
+        cands_b = _extract_candidates(slots, min(len(slots), cfg.blend_layers + extra))
+        shaded_b = [
+            shade.shade_interpolated(interpolants_of(clampc(c)), vs, frame,
+                                     materials, cfg.trilinear, cfg.aniso_samples)
+            for c in cands_b
+        ]
+        for s in range(msaa):
             for k in range(cfg.blend_layers):
-                color_k = shade.shade_interpolated(
-                    interpolants_of(lt_b[k]), vs, frame, materials,
-                    cfg.trilinear, cfg.aniso_samples,
-                )
-                a = jnp.where((lt_b[k] >= 0)[..., None], color_k[..., 3:4], 0.0)
-                hdr_rgb = hdr_rgb * (1.0 - a) + color_k[..., :3] * a
-        return hdr_rgb
+                t = lt_b[s][k]
+                color_k, unmatched = _select(t, cands_b, shaded_b)
+                live = (t >= 0) & ~unmatched
+                clamp_mask |= (t >= 0) & unmatched
+                a = jnp.where(live[..., None], color_k[..., 3:4], 0.0)
+                hdr[s] = hdr[s] * (1.0 - a) + color_k[..., :3] * a
 
-    if msaa > 1:
-        img = post.tonemap(jnp.stack([render_sample(s) for s in range(msaa)]))
-    else:
-        img = post.tonemap(render_sample(0))
-    return img[:out_rows, : cfg.width]
+    # -- phase 6: UI overlay into the HDR buffer of every sample (the
+    # reference's ImGui pipeline position: blended, no depth, last in the
+    # geometry pass, BEFORE tonemap — renderer.rs:433-441) ------------------
+    ov_ui = zero
+    ui_sat = zero
+    ui = frame.get("ui")
+    if ui is not None:
+        lt_ui, ov_ui, aux_ui = ui_stage.rasterize_ui(
+            ui, config=cfg, local_tiles_y=local_tiles_y,
+            tile_row_offset=tile_row_offset, interpret=interpret,
+        )
+        ui_sat = saturated_px(aux_ui, cfg.ui_layers)
+        for k in range(cfg.ui_layers):
+            rgb_k, a_k = ui_stage.shade_ui_layer(
+                lt_ui[k], ui, materials, config=cfg, row0=row0
+            )
+            a_k = a_k[..., None]
+            for s in range(msaa):
+                hdr[s] = hdr[s] * (1.0 - a_k) + rgb_k * a_k
+
+    img = post.tonemap(jnp.stack(hdr) if msaa > 1 else hdr[0])
+    clamped = jnp.sum(clamp_mask[:out_rows, : cfg.width].astype(jnp.int32))
+    stats = jnp.stack(
+        [ov_opaque, ov_masked, ov_blended, ov_ui, mask_sat, blend_sat, ui_sat,
+         clamped]
+    ).astype(jnp.int32)
+    return img[:out_rows, : cfg.width], stats
 
 
 def render_frame(
@@ -209,8 +338,9 @@ def render_frame(
     has_masked: bool = True,
     has_blended: bool = True,
     interpret: bool = False,
-) -> jnp.ndarray:
-    """Single-chip frame: returns the final u8 RGB image [H, W, 3]."""
+):
+    """Single-chip frame: returns (final u8 RGB image [H, W, 3],
+    stats i32[N_STATS])."""
     from renderer_tpu.scene.draw_stream import unpack_frame
 
     frame = unpack_frame(frame)

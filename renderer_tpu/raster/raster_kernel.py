@@ -54,6 +54,10 @@ def _binned_kernel(
     tile_w: int,
     sub: int,
     tiles_x: int,
+    sample_dx: float = 0.5,  # in-pixel sample position (0.5 = center; MSAA
+    sample_dy: float = 0.5,  # samples pass the Vulkan standard positions —
+    # evaluating the planes at the shifted point is equivalent to shifting
+    # the geometry, and shares ONE binned buffer across all samples)
 ):
     # layout constants from setup.py: rows 0-8 edge planes, 9-11 depth plane,
     # 12-14 1/w plane, VALID/TID/EPS rows
@@ -66,9 +70,9 @@ def _binned_kernel(
 
     tile_x0 = (tx * tile_w).astype(jnp.float32)
     tile_y0 = (ty * tile_h).astype(jnp.float32)
-    px3 = (tile_x0 + 0.5 + jax.lax.broadcasted_iota(
+    px3 = (tile_x0 + sample_dx + jax.lax.broadcasted_iota(
         jnp.int32, (tile_h, tile_w), 1).astype(jnp.float32))[None]
-    py3 = (tile_y0 + 0.5 + jax.lax.broadcasted_iota(
+    py3 = (tile_y0 + sample_dy + jax.lax.broadcasted_iota(
         jnp.int32, (tile_h, tile_w), 0).astype(jnp.float32))[None]
 
     # bin starts are 128-aligned (binning.ALIGN) so lane-dim DMA slices are
@@ -153,7 +157,8 @@ def _binned_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("padded_height", "padded_width", "tile_h", "tile_w", "sub", "interpret"),
+    static_argnames=("padded_height", "padded_width", "tile_h", "tile_w",
+                     "sub", "sample_pos", "interpret"),
 )
 def rasterize_binned(
     binned: jnp.ndarray,  # [ROWS, Pp] f32 SoA from binning.bin_triangles
@@ -166,6 +171,7 @@ def rasterize_binned(
     tile_h: int = 32,
     tile_w: int = 128,
     sub: int = 8,
+    sample_pos: tuple = (0.5, 0.5),  # in-pixel sample position (MSAA)
     interpret: bool = False,
 ):
     """Per-tile-binned visibility raster: each grid step streams only its own
@@ -192,7 +198,8 @@ def rasterize_binned(
         ],
     )
     kernel = functools.partial(
-        _binned_kernel, tile_h=tile_h, tile_w=tile_w, sub=sub, tiles_x=tiles_x
+        _binned_kernel, tile_h=tile_h, tile_w=tile_w, sub=sub, tiles_x=tiles_x,
+        sample_dx=float(sample_pos[0]), sample_dy=float(sample_pos[1]),
     )
     depth, trid = pl.pallas_call(
         kernel,

@@ -18,10 +18,12 @@ Parity notes:
 - Debug modes 1-6 (main.frag:89-107); draw-id color hash
   fract(sin(d·k)·43758.5453123) evaluated per draw (main.vert:67-77).
 - Texture sampling: repeat-wrap bilinear from the packed RGBA8 atlas
-  (materials/atlas.py) with per-pixel mip selection from analytic UV screen
-  derivatives, sRGB decoded per tap before filtering (the reference sampler
-  is repeat anisotropic trilinear, descriptors.rs:90-105; nearest-mip
-  bilinear is our current filtering tolerance).
+  (materials/atlas.py) with per-pixel per-axis texel-space mip selection from
+  analytic UV screen derivatives (the reference sampler is repeat anisotropic
+  trilinear, descriptors.rs:90-105). DELIBERATE DEVIATION: sRGB decode is
+  applied to the FILTERED value, not per tap (hardware decodes before
+  filtering) — 4-8x fewer pow() evaluations; worst-case error is bounded and
+  pinned by tests/test_srgb_filter_order.py (see PARITY.md known gaps).
 """
 
 from __future__ import annotations
@@ -43,8 +45,9 @@ def make_sampler(materials: dict, uv, lod_base, trilinear: bool = True,
     trilinear (two-mip blend) / anisotropic (N trilinear taps along the major
     UV screen-derivative axis) atlas fetch — the reference sampler is repeat
     anisotropic trilinear (descriptors.rs:90-105). The mip level comes from
-    lod_base (log2 of max — or, with aniso, min — UV-space screen derivative)
-    plus the texture's size."""
+    per-axis texel-space screen derivatives (duv · texture size), correct for
+    non-square textures; lod_base is only the fallback when no derivatives
+    are supplied."""
     atlas = materials["atlas"]  # [AH,AW] u32
     table = materials["atlas_table"]  # [T,M,4] i32
     srgb = materials["atlas_srgb"]  # [T] i32
@@ -100,21 +103,30 @@ def make_sampler(materials: dict, uv, lod_base, trilinear: bool = True,
         return (sample_mip(slot, l0, uvq) * (1.0 - frac)
                 + sample_mip(slot, l1, uvq) * frac)
 
-    use_aniso = aniso > 1 and duv_dx is not None
-
     def sample(slot):  # slot [H,W] i32
-        size0 = jnp.maximum(table[slot, 0, 2], table[slot, 0, 3]).astype(jnp.float32)
-        size_log2 = jnp.log2(jnp.maximum(size0, 1.0))
-        if not use_aniso:
-            return sample_filtered(slot, lod_base + size_log2, uv)
+        if duv_dx is None:
+            # no analytic derivatives available: approximate texel-space
+            # footprint with the max-dimension size (flat-shade paths only)
+            size0 = jnp.maximum(table[slot, 0, 2], table[slot, 0, 3]).astype(jnp.float32)
+            return sample_filtered(slot, lod_base + jnp.log2(jnp.maximum(size0, 1.0)), uv)
+        # Per-axis texel-space derivatives: scale the UV derivative by the
+        # texture's (w, h) BEFORE the length reduction, so non-square
+        # textures get the correct LOD on both axes (the reference sampler's
+        # derivatives are implicitly texel-space, descriptors.rs:90-105).
+        wh = jnp.stack(
+            [table[slot, 0, 2].astype(jnp.float32),
+             table[slot, 0, 3].astype(jnp.float32)], axis=-1,
+        )  # [H,W,2]
+        lx = jnp.sqrt(jnp.sum((duv_dx * wh) ** 2, axis=-1))
+        ly = jnp.sqrt(jnp.sum((duv_dy * wh) ** 2, axis=-1))
+        rho_max = jnp.maximum(jnp.maximum(lx, ly), 1e-8)
+        if aniso <= 1:
+            return sample_filtered(slot, jnp.log2(rho_max), uv)
         # anisotropy: lod from the MINOR footprint axis (clamped so the
         # major/minor ratio never exceeds the tap count), N trilinear taps
         # spread along the major axis.
-        lx = jnp.sqrt(jnp.sum(duv_dx * duv_dx, axis=-1))
-        ly = jnp.sqrt(jnp.sum(duv_dy * duv_dy, axis=-1))
-        rho_max = jnp.maximum(jnp.maximum(lx, ly), 1e-8)
         rho_min = jnp.maximum(jnp.minimum(lx, ly), rho_max / aniso)
-        lodf = jnp.log2(rho_min) + size_log2
+        lodf = jnp.log2(rho_min)
         major = jnp.where((lx >= ly)[..., None], duv_dx, duv_dy)  # [H,W,2]
         acc = 0.0
         for i in range(aniso):

@@ -32,8 +32,27 @@ def _next_pow2(x: int) -> int:
     return 1 << max(4, (int(x) - 1).bit_length())
 
 
+def _bucket_quarter_pow2(x: int, quantum: int = 256) -> int:
+    """Smallest quarter-pow2 bucket ≥ x (…, 1.0, 1.25, 1.5, 1.75, 2.0 ×2^k),
+    rounded up to `quantum`. Pow-2 buckets waste up to 2× of the dense
+    per-triangle setup math (a 263k-tri scene padding to 524k doubles the
+    frame's biggest stage); quarter steps cap the waste at 25% while keeping
+    recompiles rare."""
+    x = max(int(x), quantum)
+    p = 1 << (x - 1).bit_length()  # next pow2
+    for num in (5, 6, 7, 8):  # p/2 · {1.25, 1.5, 1.75, 2.0}
+        cand = (p // 2) * num // 4
+        cand = (cand + quantum - 1) // quantum * quantum
+        if cand >= x:
+            return cand
+    return p
+
+
 def sorted_draws(scene: Scene) -> list[DrawParameters]:
-    return sorted(scene.draws, key=lambda d: d.sort_key())
+    """Materialized sorted draw list — introspection / geometry building only
+    (the per-frame path uses scene.frame_order() + build_frame_arrays)."""
+    order, _keys, _gk = scene.frame_order()
+    return scene.materialize(order)
 
 
 def geometry_key(draws: list[DrawParameters]) -> tuple:
@@ -125,7 +144,7 @@ def build_geometry(draws: list[DrawParameters], max_triangles: int) -> GeometryS
     if skin_start is None:
         skin_start = num_expanded
 
-    ve_cap = _next_pow2(max(num_expanded, 1))
+    ve_cap = _bucket_quarter_pow2(num_expanded, quantum=64)
     exp_src = np.zeros(ve_cap, np.int32)
     exp_draw = np.zeros(ve_cap, np.int32)
     if exp_src_parts:
@@ -144,8 +163,9 @@ def build_geometry(draws: list[DrawParameters], max_triangles: int) -> GeometryS
     assert num_tris <= max_triangles, (
         f"scene has {num_tris} triangles, config.max_triangles={max_triangles}"
     )
-    # Capacity must cover whole raster DMA chunks (raster_kernel.CHUNK).
-    t_cap = min(max(_next_pow2(max(num_tris, 1)), 256), _next_pow2(max_triangles))
+    # Capacity must cover whole raster DMA chunks (raster_kernel.CHUNK);
+    # quarter-pow2 buckets keep the dense setup math within 25% of the scene.
+    t_cap = min(_bucket_quarter_pow2(num_tris), _next_pow2(max_triangles))
     tri_v = np.zeros((t_cap, 3), np.int32)
     tri_v[:num_tris] = np.concatenate([opaque, masked, blended], axis=0)
 
@@ -167,81 +187,90 @@ def build_geometry(draws: list[DrawParameters], max_triangles: int) -> GeometryS
     )
 
 
-def build_frame_arrays(scene: Scene, draws: list[DrawParameters]) -> dict[str, np.ndarray]:
-    """Per-frame numpy arrays (transforms, materials, joints). Mirrors
-    renderer.rs:219-256: one transform slot per queued draw; the debug draw id
-    is the merged command's first instance index."""
-    n = len(draws)
+@dataclass
+class FrameView:
+    """One frame's sorted draw stream in upload layout. Produced by
+    `frame_view` in a single native pass (csrc/draw_prologue.cpp) or the
+    vectorized numpy fallback — the analog of the reference's sort + merge +
+    temp-uniform write prologue (renderer.rs:215-302, ~20 µs at capacity)."""
+
+    order: np.ndarray  # [N] i32/i64 — sorted draw indices
+    sorted_keys: np.ndarray  # [N] u64 — packed keys, sorted
+    geom_key: bytes  # device-geometry cache key
+    pdf: np.ndarray  # [cap, 12] f32 — sorted 3x4 transforms
+    pdi: np.ndarray  # [cap, 4] i32 — material, joints, skinned, debug_id
+
+
+def frame_view(scene: Scene) -> FrameView:
+    """Sort + pack the scene's draw SoA for upload. No per-draw Python."""
+    from renderer_tpu.scene.scene import GEOMETRY_KEY_MASK
+    from renderer_tpu.tools import native
+
+    n = scene.draw_count
     cap = _next_pow2(max(n, 1))
-    transforms = np.zeros((cap, 3, 4), np.float32)
-    normal_mats = np.zeros((cap, 3, 3), np.float32)
-    material_id = np.zeros(cap, np.int32)
-    joints_offset = np.zeros(cap, np.int32)
-    skinned = np.zeros(cap, np.int32)
-    debug_id = np.zeros(cap, np.int32)
+    nat = native.draw_prologue(
+        scene._keys[:n], scene._transforms[:n], scene._material_id[:n],
+        scene._joints_offset[:n], scene._skinned[:n], cap,
+    )
+    if nat is not None:
+        order, sorted_keys, pdf, pdi = nat
+    else:
+        order, sorted_keys, _gk = scene.frame_order()
+        pdf = np.zeros((cap, 12), np.float32)
+        pdi = np.zeros((cap, 4), np.int32)
+        if n:
+            pdf[:n] = scene._transforms[:n][order][:, :3, :].reshape(n, 12)
+            pdi[:n, 0] = scene._material_id[:n][order]
+            pdi[:n, 1] = scene._joints_offset[:n][order]
+            pdi[:n, 2] = scene._skinned[:n][order]
+            # instance-merge groups: boundary where the packed key changes;
+            # the debug id of every draw is its group's first index
+            first = np.empty(n, np.int64)
+            first[0] = 0
+            idx = np.arange(1, n, dtype=np.int64)
+            first[1:] = np.where(sorted_keys[1:] != sorted_keys[:-1], idx, 0)
+            pdi[:n, 3] = np.maximum.accumulate(first)
+    geom_key = (sorted_keys & GEOMETRY_KEY_MASK).tobytes()
+    return FrameView(order, sorted_keys, geom_key, pdf, pdi)
 
-    if n:
-        m = np.stack([d.transform for d in draws])  # [D,4,4] f32
-        transforms[:n] = m[:, :3, :4]
-        # inverse-transpose via the closed-form cofactor rows
-        # (inv(A)ᵀ row i = cross(row_{i+1}, row_{i+2}) / det) — vectorized,
-        # no LAPACK dispatch in the frame loop
-        r0, r1, r2 = m[:, 0, :3], m[:, 1, :3], m[:, 2, :3]
-        c0 = np.cross(r1, r2)
-        det = np.einsum("di,di->d", r0, c0)
-        inv_det = (1.0 / np.where(np.abs(det) > 1e-30, det, 1.0))[:, None]
-        normal_mats[:n, 0] = c0 * inv_det
-        normal_mats[:n, 1] = np.cross(r2, r0) * inv_det
-        normal_mats[:n, 2] = np.cross(r0, r1) * inv_det
 
-    prev_merge_key = None
-    group_first = 0
-    for i, d in enumerate(draws):
-        material_id[i] = d.material.id
-        if d.joints_offset is not None:
-            joints_offset[i] = d.joints_offset
-            skinned[i] = 1
-        key = d.merge_key()
-        if key != prev_merge_key:
-            group_first = i
-            prev_merge_key = key
-        debug_id[i] = group_first
-
+def build_frame_arrays(
+    scene: Scene,
+    order: np.ndarray | None = None,
+    sorted_keys: np.ndarray | None = None,
+) -> dict[str, np.ndarray]:
+    """Per-frame arrays as a dict of views over the packed FrameView
+    (introspection/tests; the renderer consumes FrameView directly). Normal
+    matrices are not here — they are derived from the transforms on device
+    (see unpack_frame)."""
+    fv = frame_view(scene)
+    cap = fv.pdf.shape[0]
     return {
-        "transforms": transforms,
-        "normal_mats": normal_mats,
-        "material_id": material_id,
-        "joints_offset": joints_offset,
-        "skinned": skinned,
-        "debug_id": debug_id,
+        "transforms": fv.pdf.reshape(cap, 3, 4),
+        "material_id": fv.pdi[:, 0],
+        "joints_offset": fv.pdi[:, 1],
+        "skinned": fv.pdi[:, 2],
+        "debug_id": fv.pdi[:, 3],
         "joint_palette": scene.joint_palette[:, :3, :],  # [J, 3, 4]
     }
 
 
-def pack_frame_arrays(arrays: dict, proj_view: np.ndarray,
+def pack_frame_arrays(fv: FrameView, joint_palette: np.ndarray,
+                      proj_view: np.ndarray,
                       counts: tuple[int, int, int, int]) -> dict:
-    """Pack the per-frame host arrays into few device uploads (each upload
-    has ~0.1 ms fixed dispatch cost; the reference's analog is writing all
-    temp uniforms into ONE per-frame arena buffer, renderer.rs:258-302):
-      pdf    f32 [Dc, 21]  : transforms (12) ++ normal matrices (9)
+    """The per-frame host→device uploads (each upload has ~0.1 ms fixed
+    dispatch cost; the reference's analog is writing all temp uniforms into
+    ONE per-frame arena buffer, renderer.rs:258-302):
+      pdf    f32 [Dc, 12]  : sorted 3x4 transforms
       pdi    i32 [Dc, 4]   : material_id, joints_offset, skinned, debug_id
       palette f32 [J, 3, 4]
       proj_view f32 [4, 4]
       counts i32 [4]       : num_tris, n_opaque, n_masked, debug_mode
     """
-    cap = arrays["transforms"].shape[0]
-    pdf = np.concatenate(
-        [arrays["transforms"].reshape(cap, 12),
-         arrays["normal_mats"].reshape(cap, 9)], axis=1,
-    )
-    pdi = np.stack(
-        [arrays["material_id"], arrays["joints_offset"],
-         arrays["skinned"], arrays["debug_id"]], axis=1,
-    ).astype(np.int32)
     return {
-        "pdf": pdf,
-        "pdi": pdi,
-        "joint_palette": arrays["joint_palette"],
+        "pdf": fv.pdf,
+        "pdi": fv.pdi,
+        "joint_palette": joint_palette[:, :3, :],
         "proj_view": np.asarray(proj_view, np.float32),
         "counts": np.asarray(counts, np.int32),
     }
@@ -249,16 +278,30 @@ def pack_frame_arrays(arrays: dict, proj_view: np.ndarray,
 
 def unpack_frame(packed: dict) -> dict:
     """Inverse of pack_frame_arrays on device values (slices are free under
-    jit). Accepts already-unpacked dicts unchanged."""
+    jit), plus the per-draw normal matrices — the closed-form cofactor
+    inverse-transpose runs ON DEVICE inside the jitted frame (16k tiny
+    cross products are noise on a TPU but milliseconds of numpy on the
+    host). Accepts already-unpacked dicts unchanged."""
     if "pdf" not in packed:
         return packed
+    import jax.numpy as jnp
+
     pdf = packed["pdf"]
     pdi = packed["pdi"]
     cap = pdf.shape[0]
     counts = packed["counts"]
+    transforms = pdf.reshape(cap, 3, 4)
+    # inv(A)ᵀ row i = cross(row_{i+1}, row_{i+2}) / det
+    r = transforms[:, :, :3]
+    c0 = jnp.cross(r[:, 1], r[:, 2])
+    c1 = jnp.cross(r[:, 2], r[:, 0])
+    c2 = jnp.cross(r[:, 0], r[:, 1])
+    det = jnp.sum(r[:, 0] * c0, axis=-1)
+    inv_det = jnp.reciprocal(jnp.where(jnp.abs(det) > 1e-30, det, 1.0))
+    normal_mats = jnp.stack([c0, c1, c2], axis=1) * inv_det[:, None, None]
     return {
-        "transforms": pdf[:, :12].reshape(cap, 3, 4),
-        "normal_mats": pdf[:, 12:21].reshape(cap, 3, 3),
+        "transforms": transforms,
+        "normal_mats": normal_mats,
         "material_id": pdi[:, 0],
         "joints_offset": pdi[:, 1],
         "skinned": pdi[:, 2],
@@ -269,4 +312,6 @@ def unpack_frame(packed: dict) -> dict:
         "n_opaque": counts[1],
         "n_masked": counts[2],
         "debug_mode": counts[3],
+        # optional UI overlay draw data (renderer_tpu/ui); None = no UI pass
+        "ui": packed.get("ui"),
     }

@@ -43,6 +43,14 @@ def load() -> ctypes.CDLL | None:
             ctypes.c_int, ctypes.c_int,
         ]
         lib.atlas_blit_wrap.restype = None
+        lib.draw_prologue.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.draw_prologue.restype = None
         _lib = lib
     except Exception:
         _load_failed = True
@@ -65,6 +73,35 @@ def atlas_blit_wrap(src: np.ndarray, atlas: np.ndarray, x: int, y: int) -> None:
     packed = np.ascontiguousarray(src, np.uint8).view("<u4")[..., 0]
     bordered = np.pad(packed, ((1, 1), (1, 1)), mode="wrap")
     atlas[y - 1 : y + h + 1, x - 1 : x + w + 1] = bordered
+
+
+def draw_prologue(keys, transforms, material, joints, skinned, cap):
+    """Sort draws by packed key and gather the frame upload arrays in one
+    native pass (see csrc/draw_prologue.cpp). Returns (order i32[n],
+    sorted_keys u64[n], pdf f32[cap,12], pdi i32[cap,4]) or None when the
+    native library is unavailable (caller falls back to numpy)."""
+    lib = load()
+    if lib is None:
+        return None
+    n = len(keys)
+    order = np.empty(n, np.int32)
+    sorted_keys = np.empty(n, np.uint64)
+    pdf = np.zeros((cap, 12), np.float32)
+    pdi = np.zeros((cap, 4), np.int32)
+    if n:
+        lib.draw_prologue(
+            keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            transforms.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            material.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            joints.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            skinned.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            n,
+            order.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            sorted_keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            pdf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            pdi.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+    return order, sorted_keys, pdf, pdi
 
 
 BC7_WEIGHTS4 = np.array(

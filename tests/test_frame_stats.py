@@ -1,0 +1,169 @@
+"""Frame-stats plumbing: loud bin overflow with automatic capacity regrow,
+and layered-capture saturation counters (the TPU analog of the reference's
+loud arena-OOM accounting, arena/buffers.rs:126-163 — resource exhaustion
+must never silently drop work)."""
+
+import numpy as np
+
+import renderer_tpu as rt
+from renderer_tpu.core import math3d
+from tests import np_reference
+from tests.test_alpha_modes import quad
+
+W, H = 128, 96
+
+
+def expected_u8(rgb):
+    return np_reference.aces_srgb_u8(np.asarray(rgb, np.float64))
+
+
+def _blended_assets():
+    registry = rt.MaterialRegistry()
+    builder = rt.VertexLibraryBuilder()
+    mesh = quad(builder, 1.5, half=0.4)
+    bg = quad(builder, 2.2)
+    builder.build()
+    red = registry.create_material(
+        "red", rt.PbrMaterialParameters(base_color_factor=(1, 0, 0, 1))
+    )
+    layers = [
+        registry.create_material(
+            f"l{i}",
+            rt.PbrMaterialParameters(
+                base_color_factor=c, alpha_mode=rt.AlphaMode.BLENDED
+            ),
+        )
+        for i, c in enumerate(
+            [(0, 1, 0, 0.5), (0, 0, 1, 0.5), (1, 1, 1, 0.5)]
+        )
+    ]
+    scene = rt.Scene()
+    scene.queue_mesh(bg, red, None, math3d.IDENTITY)
+    # three stacked blended quads, queued far → near (each accepted fragment
+    # is nearer than the previous, so the ordered-accept chain takes them all)
+    for i, mat in enumerate(layers):
+        dz = np.array([0, 0, 0.3 * (2 - i)], np.float32)
+        scene.queue_mesh(mesh, mat, None, math3d.trs(translation=dz))
+    return registry, scene, (red, layers)
+
+
+class TestBlendedSaturation:
+    def test_over_capacity_underblends_and_counts(self):
+        registry, scene, _keep = _blended_assets()
+        r = rt.Renderer(
+            registry, rt.RenderConfig(width=W, height=H, blend_layers=2)
+        )
+        img = r.render_frame(scene, debug_mode=1)
+        stats = r.frame_stats()
+        assert stats["blended_saturated_px"] > 0, stats
+        assert stats["overflow_opaque"] == 0
+        # only the first 2 accepted layers composite; the 3rd is dropped
+        # (under-blend, never mis-occlusion)
+        center = img[H // 2, W // 2]
+        np.testing.assert_allclose(
+            center, expected_u8([0.25, 0.25, 0.5]), atol=2, err_msg=f"{center}"
+        )
+
+    def test_enough_layers_composites_all(self):
+        registry, scene, _keep = _blended_assets()
+        r = rt.Renderer(
+            registry, rt.RenderConfig(width=W, height=H, blend_layers=4)
+        )
+        img = r.render_frame(scene, debug_mode=1)
+        stats = r.frame_stats()
+        assert stats["blended_saturated_px"] == 0, stats
+        center = img[H // 2, W // 2]
+        np.testing.assert_allclose(
+            center, expected_u8([0.625, 0.625, 0.75]), atol=2,
+            err_msg=f"{center}",
+        )
+
+
+class TestMaskedSaturation:
+    def test_stacked_masked_counts_when_truncated(self):
+        registry = rt.MaterialRegistry()
+        builder = rt.VertexLibraryBuilder()
+        mesh = quad(builder, 1.5, half=0.4)
+        builder.build()
+        mats = [
+            registry.create_material(
+                f"m{i}",
+                rt.PbrMaterialParameters(
+                    base_color_factor=(i / 2.0, 1, 0, 1.0), alpha_cutoff=0.5,
+                    alpha_mode=rt.AlphaMode.ALPHA_TO_COVERAGE,
+                ),
+            )
+            for i in range(2)
+        ]
+        scene = rt.Scene()
+        for i, mat in enumerate(mats):
+            dz = np.array([0, 0, 0.3 * i], np.float32)
+            scene.queue_mesh(mesh, mat, None, math3d.trs(translation=dz))
+        r1 = rt.Renderer(
+            registry, rt.RenderConfig(width=W, height=H, mask_layers=1)
+        )
+        img = r1.render_frame(scene, debug_mode=1)
+        assert r1.frame_stats()["masked_saturated_px"] > 0
+        # the kept layer is the NEAREST candidate — truncation never changes
+        # which fragment wins, only whether fallbacks exist
+        center = img[H // 2, W // 2]
+        np.testing.assert_allclose(center, expected_u8([0, 1, 0]), atol=2)
+
+        r4 = rt.Renderer(
+            registry, rt.RenderConfig(width=W, height=H, mask_layers=4)
+        )
+        r4.render_frame(scene, debug_mode=1)
+        assert r4.frame_stats()["masked_saturated_px"] == 0
+
+
+def _many_quads_scene(n=32):
+    """n full-screen-ish opaque quads → n·2 triangles, each touching every
+    tile: plenty of (tile, triangle) pairs to overflow a tiny capacity."""
+    registry = rt.MaterialRegistry()
+    builder = rt.VertexLibraryBuilder()
+    meshes = [quad(builder, 1.2 + 0.02 * i, half=0.9) for i in range(n)]
+    builder.build()
+    mat = registry.create_material(
+        "gray", rt.PbrMaterialParameters(base_color_factor=(0.5, 0.5, 0.5, 1))
+    )
+    scene = rt.Scene()
+    for m in meshes:
+        scene.queue_mesh(m, mat, None, math3d.IDENTITY)
+    return registry, scene, mat
+
+
+class TestBinOverflow:
+    CFG = dict(width=128, height=64, tile_h=16)
+
+    def test_sync_policy_regrows_until_complete(self):
+        registry, scene, _mat = _many_quads_scene()
+        r = rt.Renderer(
+            registry,
+            rt.RenderConfig(pair_capacity=32, **self.CFG),
+            overflow_policy="sync",
+        )
+        img = r.render_frame(scene, debug_mode=1)
+        assert r.config.pair_capacity > 32
+        assert r.frame_stats()["overflow_opaque"] == 0
+
+        ample = rt.Renderer(registry, rt.RenderConfig(**self.CFG))
+        ref = ample.render_frame(scene, debug_mode=1)
+        assert ample.frame_stats()["overflow_opaque"] == 0
+        np.testing.assert_array_equal(img, ref)
+
+    def test_auto_policy_detects_on_next_frame(self):
+        registry, scene, _mat = _many_quads_scene()
+        r = rt.Renderer(
+            registry,
+            rt.RenderConfig(pair_capacity=32, **self.CFG),
+            overflow_policy="auto",
+        )
+        r.render_frame(scene, debug_mode=1)  # overflows (reported in stats)
+        assert r.frame_stats()["overflow_opaque"] > 0
+        r.render_frame(scene, debug_mode=1)  # detects frame 1's overflow, grows
+        assert r.config.pair_capacity > 32
+        img3 = r.render_frame(scene, debug_mode=1)  # rendered at grown capacity
+        assert r.frame_stats()["overflow_opaque"] == 0
+
+        ample = rt.Renderer(registry, rt.RenderConfig(**self.CFG))
+        np.testing.assert_array_equal(img3, ample.render_frame(scene, 1))

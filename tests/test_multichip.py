@@ -25,9 +25,9 @@ def _device_inputs(config):
     registry, meshes, material = build_triangle_assets()
     scene = build_scene(meshes, material)
     renderer = rt.Renderer(registry, config)
-    draws = draw_stream.sorted_draws(scene)
-    gs, geom_dev = renderer._geometry(draws)
-    frame = renderer._frame_arrays(scene, draws, gs, debug_mode=3)
+    fv = draw_stream.frame_view(scene)
+    gs, geom_dev = renderer._geometry(scene, fv.order, fv.geom_key)
+    frame = renderer._frame_arrays(scene, fv, gs, debug_mode=3)
     mats = renderer._materials()
     return renderer, gs, geom_dev, frame, mats
 
@@ -36,16 +36,19 @@ def test_sharded_matches_single_device(config):
     import jax
 
     renderer, gs, geom, frame, mats = _device_inputs(config)
-    single = pipeline.render_frame(
+    single, single_stats = pipeline.render_frame(
         geom, frame, mats, config=config, skin_start=gs.skin_start,
         interpret=pipeline.interpret_mode(),
     )
     mesh = pmesh.make_mesh(8)
     # jit the sharded step — eager shard_map dispatches per-op multi-device
     # compiles (minutes); one fused compile takes seconds
-    sharded = pmesh.jit_sharded_frame(
+    sharded, sharded_stats = pmesh.jit_sharded_frame(
         config, mesh, interpret=pipeline.interpret_mode()
     )(geom, frame, mats)
+    np.testing.assert_array_equal(
+        np.asarray(single_stats), np.asarray(sharded_stats)
+    )
     single = np.asarray(single)
     sharded = np.asarray(sharded)
     assert sharded.shape == single.shape
@@ -71,7 +74,7 @@ def test_dp_batch_matches_single(config):
                 pipeline.render_frame(
                     geom, f, mats, config=config, skin_start=gs.skin_start,
                     interpret=pipeline.interpret_mode(),
-                )
+                )[0]
             )
         )
     import functools

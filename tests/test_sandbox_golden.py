@@ -1,0 +1,133 @@
+"""Mini-sandbox golden: a deterministic multi-draw scene exercising every
+production pass at once — multi-tile binning of procedural patch geometry
+(the proxy generator the headline bench uses), all three alpha classes,
+skeletal animation with a real joint palette, texture-atlas sampling with
+mips, 4×MSAA with candidate-deduped shading, and the raster-path HUD overlay
+— regression-locked against a checked-in golden. Regenerate deliberately:
+    python -m tests.test_sandbox_golden regen
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import renderer_tpu as rt
+from renderer_tpu.assets import proxy
+from renderer_tpu.core import math3d
+from renderer_tpu.ui import DrawList
+
+GOLDEN = Path(__file__).parent / "golden" / "sandbox-golden.npz"
+W, H = 160, 96
+
+
+def _build():
+    registry = rt.MaterialRegistry()
+    builder = rt.VertexLibraryBuilder()
+
+    # checker texture with a full mip chain (deterministic; exercises atlas
+    # mip selection without needing the asset mount)
+    base = np.zeros((64, 64, 4), np.uint8)
+    base[..., 3] = 255
+    yy, xx = np.mgrid[0:64, 0:64]
+    checker = ((xx // 8 + yy // 8) % 2).astype(np.uint8)
+    base[..., 0] = 40 + 200 * checker
+    base[..., 1] = 120
+    base[..., 2] = 240 - 200 * checker
+    mips = [base]
+    m = base
+    while m.shape[0] > 1:
+        m = m[::2, ::2]
+        mips.append(m)
+    tex = rt.Texture(mips, rt.TextureKind.SRGB_COLOR, "checker")
+
+    # 6 procedural patches (the bench's proxy generator) in a ring
+    meshes = []
+    for i in range(6):
+        p, uv, n, t, idx = proxy._patch_geometry(
+            400, 1200, [-0.8, -0.5, -0.2], [0.8, 0.5, 0.2], seed=100 + i
+        )
+        meshes.append(builder.add_mesh(p, uv, n, t, idx))
+
+    mats = [
+        registry.create_material(
+            "tex-opaque", rt.PbrMaterialParameters(base_color=tex)
+        ),
+        registry.create_material(
+            "masked",
+            rt.PbrMaterialParameters(
+                base_color=tex, alpha_cutoff=0.4,
+                base_color_factor=(1, 1, 1, 0.9),
+                alpha_mode=rt.AlphaMode.ALPHA_TO_COVERAGE,
+            ),
+        ),
+        registry.create_material(
+            "blended",
+            rt.PbrMaterialParameters(
+                base_color_factor=(0.2, 0.9, 0.4, 0.45),
+                alpha_mode=rt.AlphaMode.BLENDED,
+            ),
+        ),
+    ]
+
+    character = proxy.make_skinned_character(builder, registry)
+    builder.build()
+    return registry, meshes, mats, character
+
+
+def _render(msaa: int = 4):
+    registry, meshes, mats, character = _build()
+    scene = rt.Scene(world_space=rt.GLTF)
+    scene.camera.position = np.array([0.0, 0.9, 2.6], np.float32)
+    scene.camera.orientation = math3d.quat_from_axis_angle([0, 1, 0], np.pi)
+    for i, mesh in enumerate(meshes):
+        ang = 2 * np.pi * i / len(meshes)
+        tr = math3d.trs(
+            translation=np.array(
+                [1.2 * np.cos(ang), 0.6 + 0.1 * i, 1.2 * np.sin(ang)], np.float32
+            ),
+            rotation=math3d.quat_from_axis_angle([0, 1, 0], ang),
+        )
+        scene.queue_mesh(mesh, mats[i % 3], None, tr)
+    playing = [(0.4 % a.end_time, a) for a in character.animations]
+    character.queue_animated(scene, math3d.IDENTITY, playing)
+
+    ui = DrawList()
+    ui.push_clip_rect(4, 4, 80, 30)
+    ui.add_rect_filled((4, 4), (100, 30), (20, 20, 28, 166))
+    ui.pop_clip_rect()
+
+    renderer = rt.Renderer(
+        registry, rt.RenderConfig(width=W, height=H, msaa_samples=msaa)
+    )
+    img = renderer.render_frame(scene, debug_mode=0, ui=ui)
+    stats = renderer.frame_stats()
+    return img, stats
+
+
+def test_sandbox_scale_golden():
+    if not GOLDEN.exists():
+        pytest.skip("golden not generated (python -m tests.test_sandbox_golden regen)")
+    img, stats = _render()
+    assert sum(v for k, v in stats.items() if "overflow" in k) == 0, stats
+    expected = np.load(GOLDEN)["mini-sandbox-msaa4"]
+    diff = np.abs(img.astype(int) - expected.astype(int)).max(axis=-1)
+    bad = (diff > 2).mean()
+    assert bad < 0.005, f"{bad:.2%} of pixels drifted (max {diff.max()})"
+
+
+def regenerate():
+    GOLDEN.parent.mkdir(exist_ok=True)
+    img, stats = _render()
+    np.savez_compressed(GOLDEN, **{"mini-sandbox-msaa4": img})
+    print(f"wrote {GOLDEN} (stats: {stats})")
+
+
+if __name__ == "__main__":
+    import sys
+
+    from tests import conftest  # noqa: F401 — force the CPU interpret
+    # platform so the golden matches what pytest renders
+
+    if len(sys.argv) > 1 and sys.argv[1] == "regen":
+        regenerate()

@@ -111,8 +111,7 @@ class TestDrawStream:
         scene.queue_mesh(meshes[1], material, None, math3d.IDENTITY)
         from renderer_tpu.scene import draw_stream
 
-        draws = draw_stream.sorted_draws(scene)
-        arrays = draw_stream.build_frame_arrays(scene, draws)
+        arrays = draw_stream.build_frame_arrays(scene)
         assert arrays["debug_id"][0] == arrays["debug_id"][1]
         assert arrays["debug_id"][2] != arrays["debug_id"][0]
 

@@ -39,17 +39,31 @@ def build_mips(rgba: np.ndarray, color: bool) -> list[np.ndarray]:
     return mips
 
 
-def encode_ntex(rgba: np.ndarray, srgb: bool) -> bytes:
-    mips = build_mips(np.ascontiguousarray(rgba, np.uint8), color=srgb)
-    blocks = [native.bc7_encode_mode6(m).tobytes() for m in mips]
+def _assemble_ntex(rgba: np.ndarray, mips_blocks: list[bytes], srgb: bool) -> bytes:
     fmt = ntex_mod.VK_FORMAT_BC7_SRGB if srgb else ntex_mod.VK_FORMAT_BC7_UNORM
     header = bytearray(1024)
     header[: len(ntex_mod.MAGIC)] = ntex_mod.MAGIC
     struct.pack_into(
         "<8I", header, 992,
-        rgba.shape[1], rgba.shape[0], 1, len(mips), fmt, 4, 4, 16,
+        rgba.shape[1], rgba.shape[0], 1, len(mips_blocks), fmt, 4, 4, 16,
     )
-    return bytes(header) + b"".join(blocks)
+    return bytes(header) + b"".join(mips_blocks)
+
+
+def encode_ntex(rgba: np.ndarray, srgb: bool, pool=None) -> bytes:
+    """Encode one image (optionally fanning the per-mip BC7 encodes out on an
+    executor — the reference runs rayon over files×mips,
+    make-ntex/src/main.rs:76-88,198-210; the native encoder releases the GIL
+    so threads scale)."""
+    mips = build_mips(np.ascontiguousarray(rgba, np.uint8), color=srgb)
+    if pool is None:
+        blocks = [native.bc7_encode_mode6(m).tobytes() for m in mips]
+    else:
+        blocks = [
+            f.result().tobytes()
+            for f in [pool.submit(native.bc7_encode_mode6, m) for m in mips]
+        ]
+    return _assemble_ntex(rgba, blocks, srgb)
 
 
 def is_color_image(path: Path, assume_color: bool, assume_linear: bool) -> bool:
@@ -72,20 +86,39 @@ def main(argv=None) -> int:
     group.add_argument("--assume-linear", action="store_true")
     args = ap.parse_args(argv)
 
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
     from PIL import Image
 
+    todo = []
     for path in args.files:
         out = path.with_suffix(".ntex")
         if out.exists() and not args.overwrite:
             if not args.silent:
                 print(f"skip {out} (exists; use --overwrite)", file=sys.stderr)
             continue
-        rgba = np.asarray(Image.open(path).convert("RGBA"))
-        srgb = is_color_image(path, args.assume_color, args.assume_linear)
-        out.write_bytes(encode_ntex(rgba, srgb))
-        if not args.silent:
+        todo.append((path, out))
+
+    # parallel over files AND mips (make-ntex/src/main.rs:76-88,198-210):
+    # one flat pool; per-file tasks decode + build mips, the per-mip BC7
+    # encodes fan out on a second pool so a lone huge file still uses every
+    # core. PIL decode/resize and the native encoder all release the GIL.
+    nproc = os.cpu_count() or 4
+    with ThreadPoolExecutor(nproc) as files_pool, \
+            ThreadPoolExecutor(nproc) as mips_pool:
+
+        def process(path: Path, out: Path) -> str:
+            rgba = np.asarray(Image.open(path).convert("RGBA"))
+            srgb = is_color_image(path, args.assume_color, args.assume_linear)
+            out.write_bytes(encode_ntex(rgba, srgb, pool=mips_pool))
             kind = "sRGB" if srgb else "linear"
-            print(f"wrote {out} ({rgba.shape[1]}x{rgba.shape[0]}, BC7 {kind})")
+            return f"wrote {out} ({rgba.shape[1]}x{rgba.shape[0]}, BC7 {kind})"
+
+        for f in [files_pool.submit(process, p, o) for p, o in todo]:
+            msg = f.result()
+            if not args.silent:
+                print(msg)
     return 0
 
 
