@@ -34,11 +34,11 @@ from renderer_tpu.raster.setup import BBOX_ROWS, ROWS, TID_ROW, VALID_ROW
 ALIGN = 128
 
 
-def padded_capacity(pair_capacity: int, n_tiles: int) -> int:
+def padded_capacity_classes(pair_capacity: int, n_tiles: int, n_classes: int) -> int:
     # + one raster DMA chunk so the kernel's final over-read stays in bounds
     from renderer_tpu.raster.raster_kernel import CHUNK
 
-    return pair_capacity + ALIGN * n_tiles + CHUNK
+    return pair_capacity + ALIGN * n_tiles * n_classes + CHUNK
 
 
 @functools.partial(
@@ -55,14 +55,53 @@ def bin_triangles(
     tile_h: int,
     pair_capacity: int,
 ):
-    """Returns (binned [ROWS, Pp] f32 SoA, starts [tiles] i32 (128-aligned),
-    counts [tiles] i32, overflow_pairs i32 scalar)."""
+    """Single-class binning (kept for per-stage profiling + tests; the
+    production frame uses `bin_triangle_classes` — one sort for all alpha
+    classes). Returns (binned [ROWS, Pp] f32 SoA, starts [tiles] i32
+    (128-aligned), counts [tiles] i32, overflow_pairs i32 scalar)."""
     tc = tri_data.shape[1]
     if hi is None:
         hi = tc
+    binned, starts, counts, overflow = bin_triangle_classes(
+        tri_data, (lo, hi),
+        tiles_x=tiles_x, tiles_y=tiles_y, tile_w=tile_w, tile_h=tile_h,
+        pair_capacity=pair_capacity,
+    )
+    return binned, starts[0], counts[0], overflow[0]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tiles_x", "tiles_y", "tile_w", "tile_h", "pair_capacity")
+)
+def bin_triangle_classes(
+    tri_data: jnp.ndarray,  # [ROWS, Tc] from triangle_setup
+    bounds,  # (C+1) traced scalars: class c = triangles [bounds[c], bounds[c+1])
+    *,
+    tiles_x: int,
+    tiles_y: int,
+    tile_w: int,
+    tile_h: int,
+    pair_capacity: int,
+):
+    """Bin all alpha classes with ONE stable sort: pairs are keyed by
+    class * n_tiles + tile, so each (class, tile) segment lands contiguous and
+    128-aligned in one shared buffer — the raster kernels for each class index
+    the same binned array through their own starts/counts rows. The stream is
+    ordered [opaque | masked | blended] (scene sort key), so classes are
+    contiguous triangle-index ranges and pair truncation at `pair_capacity`
+    drops from the blended tail first.
+
+    Returns (binned [ROWS, Pp] f32 SoA, starts [C, tiles] i32 (128-aligned),
+    counts [C, tiles] i32, overflow_pairs [C] i32)."""
+    tc = tri_data.shape[1]
+    n_classes = len(bounds) - 1
+    assert n_classes >= 1
     xmin, ymin, xmax, ymax = (tri_data[k] for k in BBOX_ROWS)
     tri_idx = jnp.arange(tc, dtype=jnp.int32)
-    valid = (tri_data[VALID_ROW] > 0.0) & (tri_idx >= lo) & (tri_idx < hi)
+    valid = (tri_data[VALID_ROW] > 0.0) & (tri_idx >= bounds[0]) & (tri_idx < bounds[-1])
+    cls = jnp.zeros(tc, jnp.int32)
+    for c in range(1, n_classes):
+        cls = cls + (tri_idx >= bounds[c]).astype(jnp.int32)
 
     # tile index ranges covering any pixel CENTER in [min, max]
     tx0 = jnp.clip(jnp.ceil((xmin + 0.5) / tile_w - 1.0), 0, tiles_x - 1).astype(jnp.int32)
@@ -90,37 +129,49 @@ def bin_triangles(
     dx = k - dy * w_t
     tile = (ty0[tri_of_pair] + dy) * tiles_x + (tx0[tri_of_pair] + dx)
     n_tiles = tiles_x * tiles_y
-    tile = jnp.where(pair_live, tile, n_tiles)  # dead pairs → overflow bucket
+    n_keys = n_classes * n_tiles
+    key = cls[tri_of_pair] * n_tiles + tile
+    key = jnp.where(pair_live, key, n_keys)  # dead pairs → overflow bucket
 
-    order = jnp.argsort(tile, stable=True)
-    tile_sorted = tile[order]
+    order = jnp.argsort(key, stable=True)
+    key_sorted = key[order]
     tri_sorted = tri_of_pair[order]
 
-    tile_range = jnp.arange(n_tiles, dtype=jnp.int32)
-    starts_raw = jnp.searchsorted(tile_sorted, tile_range).astype(jnp.int32)
-    ends_raw = jnp.searchsorted(tile_sorted, tile_range, side="right").astype(jnp.int32)
+    key_range = jnp.arange(n_keys, dtype=jnp.int32)
+    starts_raw = jnp.searchsorted(key_sorted, key_range).astype(jnp.int32)
+    ends_raw = jnp.searchsorted(key_sorted, key_range, side="right").astype(jnp.int32)
     counts = ends_raw - starts_raw
 
-    # 128-aligned destination offsets per tile
+    # 128-aligned destination offsets per (class, tile) segment
     padded_sizes = (counts + ALIGN - 1) // ALIGN * ALIGN
     padded_starts = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(padded_sizes)[:-1].astype(jnp.int32)]
     )
 
-    p_total = padded_capacity(pair_capacity, n_tiles)
-    rank = pair_idx - jnp.concatenate([starts_raw, total.reshape(1)])[tile_sorted]
+    p_total = padded_capacity_classes(pair_capacity, n_tiles, n_classes)
+    rank = pair_idx - jnp.concatenate([starts_raw, total.reshape(1)])[key_sorted]
     dest = jnp.where(
-        tile_sorted < n_tiles,
-        jnp.concatenate([padded_starts, jnp.zeros(1, jnp.int32)])[tile_sorted] + rank,
+        key_sorted < n_keys,
+        jnp.concatenate([padded_starts, jnp.zeros(1, jnp.int32)])[key_sorted] + rank,
         p_total - 1,  # dead pairs land on the last (padding) column
     )
 
     rows = tri_data.T[tri_sorted]  # [P, ROWS]
     rows = rows.at[:, TID_ROW].set(tri_sorted.astype(jnp.float32))
     # dead rows must not rasterize even via the dump column
-    rows = jnp.where((tile_sorted < n_tiles)[:, None], rows, 0.0)
+    rows = jnp.where((key_sorted < n_keys)[:, None], rows, 0.0)
 
     binned = jnp.zeros((ROWS, p_total), jnp.float32).at[:, dest].set(rows.T)
 
-    overflow = jnp.maximum(total - pair_capacity, 0).astype(jnp.int32)
-    return binned, padded_starts, counts, overflow
+    # Per-class overflow: pair truncation keeps the first `pair_capacity`
+    # pairs in triangle-stream order, so class c (pair-space range
+    # [S_c, E_c)) loses max(0, E_c − cap) − max(0, S_c − cap) pairs.
+    class_pairs = jnp.zeros(n_classes, jnp.int32).at[cls].add(
+        n_pairs.astype(jnp.int32), mode="drop"
+    )
+    e_c = jnp.cumsum(class_pairs)
+    s_c = e_c - class_pairs
+    cap = jnp.int32(pair_capacity)
+    overflow = jnp.maximum(e_c - cap, 0) - jnp.maximum(s_c - cap, 0)
+    return binned, padded_starts.reshape(n_classes, n_tiles), \
+        counts.reshape(n_classes, n_tiles), overflow.astype(jnp.int32)

@@ -143,22 +143,32 @@ def render_shard(
         bbox_pad=(0.5 if msaa > 1 else 0.0),
     )
 
-    def bins(lo, hi):
-        b, s, c, overflow = binning.bin_triangles(
-            tri_data, lo, hi,
-            tiles_x=cfg.tiles_x, tiles_y=cfg.tiles_y,
-            tile_w=cfg.tile_w, tile_h=cfg.tile_h,
-            pair_capacity=cfg.pair_capacity,
-        )
-        return (b, s, c), overflow
-
-    bins_opaque, ov_opaque = bins(0, n_opaque)
-    bins_masked, ov_masked = (
-        bins(n_opaque, n_opaque + n_masked) if has_masked else (None, zero)
+    # One stable sort bins every alpha class at once: pairs are keyed by
+    # class × tile, each class reads the shared binned buffer through its own
+    # starts/counts row (binning.bin_triangle_classes).
+    bounds = [0, n_opaque]
+    if has_masked:
+        bounds.append(n_opaque + n_masked)
+    if has_blended:
+        bounds.append(frame["num_tris"])
+    b_all, s_all, c_all, ov_all = binning.bin_triangle_classes(
+        tri_data, tuple(bounds),
+        tiles_x=cfg.tiles_x, tiles_y=cfg.tiles_y,
+        tile_w=cfg.tile_w, tile_h=cfg.tile_h,
+        pair_capacity=cfg.pair_capacity,
     )
-    bins_blended, ov_blended = (
-        bins(n_opaque + n_masked, frame["num_tris"]) if has_blended else (None, zero)
-    )
+    bins_opaque = (b_all, s_all[0], c_all[0])
+    ov_opaque = ov_all[0]
+    cls_i = 1
+    if has_masked:
+        bins_masked, ov_masked = (b_all, s_all[cls_i], c_all[cls_i]), ov_all[cls_i]
+        cls_i += 1
+    else:
+        bins_masked, ov_masked = None, zero
+    if has_blended:
+        bins_blended, ov_blended = (b_all, s_all[cls_i], c_all[cls_i]), ov_all[cls_i]
+    else:
+        bins_blended, ov_blended = None, zero
 
     def saturated_px(aux, k):
         """Pixels (inside this shard's image area) whose layered capture
