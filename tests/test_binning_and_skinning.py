@@ -84,6 +84,66 @@ class TestBinning:
         )
         assert int(overflow) > 0
 
+    def test_classes_match_per_class_runs(self):
+        """The production path (one sort for all alpha classes,
+        bin_triangle_classes) must produce, per class, exactly the bins a
+        standalone run over that class range produces."""
+        rng = np.random.default_rng(19)
+        tiles_x, tiles_y, tile_w, tile_h = 5, 4, 128, 32
+        n_tiles = tiles_x * tiles_y
+        td = _fake_tri_data(rng, 280, 300, tiles_x, tiles_y, tile_w, tile_h)
+        kw = dict(tiles_x=tiles_x, tiles_y=tiles_y, tile_w=tile_w,
+                  tile_h=tile_h, pair_capacity=4096)
+        bounds = (0, 200, 250, 300)
+        bc, sc, cc, oc = binning.bin_triangle_classes(jnp.asarray(td), bounds, **kw)
+        bc, sc, cc = (np.asarray(a) for a in (bc, sc, cc))
+        assert sc.shape == (3, n_tiles) and cc.shape == (3, n_tiles)
+        assert np.asarray(oc).sum() == 0
+        for ci in range(3):
+            b1, s1, c1, _ = binning.bin_triangles(
+                jnp.asarray(td), bounds[ci], bounds[ci + 1], **kw
+            )
+            b1, s1, c1 = (np.asarray(a) for a in (b1, s1, c1))
+            np.testing.assert_array_equal(c1, cc[ci])
+            for t in range(n_tiles):
+                assert sc[ci, t] % binning.ALIGN == 0
+                np.testing.assert_allclose(
+                    b1[:, s1[t] : s1[t] + c1[t]],
+                    bc[:, sc[ci, t] : sc[ci, t] + cc[ci, t]],
+                )
+
+    def test_classes_overflow_accounting(self):
+        """Per-class overflow + stored counts must add up to each class's
+        true pair total, with truncation dropping from the last class first
+        (stream order opaque|masked|blended)."""
+        rng = np.random.default_rng(23)
+        tiles_x, tiles_y, tile_w, tile_h = 5, 4, 128, 96
+        td = _fake_tri_data(rng, 280, 300, tiles_x, tiles_y, tile_w, tile_h)
+        cap = 64
+        _, _, cc, oc = binning.bin_triangle_classes(
+            jnp.asarray(td), (0, 200, 250, 300),
+            tiles_x=tiles_x, tiles_y=tiles_y, tile_w=tile_w, tile_h=tile_h,
+            pair_capacity=cap,
+        )
+        cc, oc = np.asarray(cc), np.asarray(oc)
+        # oracle pair totals per class
+        xmin, ymin, xmax, ymax = (td[k] for k in BBOX_ROWS)
+        tx0 = np.clip(np.ceil((xmin + 0.5) / tile_w - 1.0), 0, tiles_x - 1)
+        tx1 = np.clip(np.floor((xmax - 0.5) / tile_w), 0, tiles_x - 1)
+        ty0 = np.clip(np.ceil((ymin + 0.5) / tile_h - 1.0), 0, tiles_y - 1)
+        ty1 = np.clip(np.floor((ymax - 0.5) / tile_h), 0, tiles_y - 1)
+        npairs = np.where(
+            td[VALID_ROW] > 0,
+            np.maximum(tx1 - tx0 + 1, 0) * np.maximum(ty1 - ty0 + 1, 0), 0,
+        ).astype(int)
+        totals = np.array(
+            [npairs[0:200].sum(), npairs[200:250].sum(), npairs[250:300].sum()]
+        )
+        np.testing.assert_array_equal(cc.sum(axis=1) + oc, totals)
+        assert oc.sum() == totals.sum() - cap
+        # earlier classes only overflow once later ones are fully dropped
+        assert oc[0] == max(0, totals[0] - cap)
+
 
 class TestSkinning:
     def _geom_frame(self, rng, skinned_flag):

@@ -68,6 +68,71 @@ def test_cli_roundtrip(tmp_path):
     assert main(["--silent", str(src)]) == 0  # skips silently
 
 
+def test_property_random_blocks():
+    """Property test over random 4×4 blocks (flat / gradient / noise /
+    extreme): every encoded block must decode (PIL oracle) within a bounded
+    error, flat blocks near-exactly, and the two encoders (C++ and numpy)
+    must stay within quality parity of each other."""
+    rng = np.random.default_rng(41)
+    blocks: list = []
+    limits: list = []
+    # flat blocks at random colors (incl. the 0/255 extremes) — near-exact
+    for c in ([0, 0, 0, 255], [255, 255, 255, 255], [255, 0, 255, 0]):
+        blocks.append(np.broadcast_to(np.array(c, np.uint8), (4, 4, 4)).copy())
+        limits.append(2.5)
+    for _ in range(8):
+        blocks.append(
+            np.broadcast_to(rng.integers(0, 256, 4, dtype=np.uint8), (4, 4, 4)).copy()
+        )
+        limits.append(2.5)
+    # axis gradients — colors on one line, 4-bit indices resolve them well
+    g = np.linspace(0, 255, 4, dtype=np.uint8)
+    blocks.append(np.stack([np.tile(g, (4, 1))] * 4, -1))
+    limits.append(8.0)
+    blocks.append(np.stack([np.tile(g[:, None], (1, 4))] * 4, -1))
+    limits.append(8.0)
+    # uniform noise: mode 6's worst case (one color line per block). The
+    # property: the encoder must beat the best CONSTANT-color fit of that
+    # block (rmse = per-block channel std).
+    for _ in range(16):
+        blk = rng.integers(0, 256, (4, 4, 4), dtype=np.uint8)
+        blocks.append(blk)
+        const_rmse = float(
+            np.sqrt(blk[..., :3].astype(float).var(axis=(0, 1)).mean())
+        )
+        limits.append(0.97 * const_rmse)
+    # low-variance noise around a random base (the common texture case)
+    for _ in range(16):
+        base = rng.integers(30, 226, 4)
+        blocks.append(
+            np.clip(base + rng.normal(0, 10, (4, 4, 4)), 0, 255).astype(np.uint8)
+        )
+        limits.append(12.0)
+
+    img = np.concatenate([b.reshape(1, 4, 4, 4) for b in blocks], 0)
+    n = img.shape[0]
+    sheet = img.transpose(1, 0, 2, 3).reshape(4, n * 4, 4)  # blocks side by side
+
+    for use_native in (True, False):
+        lib, failed = native._lib, native._load_failed
+        try:
+            if not use_native:
+                native._lib, native._load_failed = None, True
+            enc = native.bc7_encode_mode6(sheet)
+        finally:
+            native._lib, native._load_failed = lib, failed
+        dec = ntex._decode_bc7(enc.tobytes(), n * 4, 4)
+        for i, (blk, limit) in enumerate(zip(blocks, limits)):
+            got = dec[:, i * 4 : (i + 1) * 4]
+            rmse = np.sqrt(
+                ((got[..., :3].astype(float) - blk[..., :3].astype(float)) ** 2).mean()
+            )
+            assert rmse <= limit, (
+                f"block {i} ({'native' if use_native else 'numpy'}): rmse "
+                f"{rmse:.1f} > {limit}"
+            )
+
+
 def test_non_multiple_of_4_dimensions():
     img = _test_image(33, 18)
     blocks = native.bc7_encode_mode6(img)
