@@ -100,6 +100,8 @@ class Animation:
     start_time: float
     end_time: float
     nodes_channels: list[list[AnimationChannel] | None]
+    # lazily built vectorized sampler (see _CompiledAnimation)
+    _compiled: object = None
 
 
 @dataclass
@@ -111,6 +113,19 @@ class Joint:
 @dataclass
 class Skin:
     joints: list[Joint]
+
+
+def skin_arrays(skin: Skin):
+    """Cached (joint node indices [J] i64, stacked inverse bind matrices
+    [J, 4, 4] f32) for the batched palette build."""
+    cached = getattr(skin, "_arrays", None)
+    if cached is None:
+        idx = np.asarray([j.node_index for j in skin.joints], np.int64)
+        ibms = np.stack(
+            [np.asarray(j.inverse_bind_matrix, np.float32) for j in skin.joints]
+        ) if skin.joints else np.zeros((0, 4, 4), np.float32)
+        cached = skin._arrays = (idx, ibms)
+    return cached
 
 
 @dataclass
@@ -145,6 +160,118 @@ def _interpolate(channel: AnimationChannel, time: float, animation_name) -> np.n
     return math3d.lerp(values[k], values[k + 1], float(t))
 
 
+class _CompiledAnimation:
+    """Vectorized sampler for one animation: every channel's keyframe lookup
+    and interpolation runs in a handful of batched numpy calls instead of a
+    per-node / per-channel Python loop (which costs ~1 ms/frame even for a
+    small skeleton — pure interpreter overhead). Bit-equivalent to the
+    sequential `_interpolate` + `_decompose_trs` + `trs` path, which remains
+    as the oracle (tests/test_assets.py) and the multi-animation fallback."""
+
+    def __init__(self, anim: "Animation", nodes: list["Node"]):
+        chans: list[tuple[int, AnimationChannel]] = []
+        self.touched: list[int] = []  # node indices that have a channel list
+        self.has_weights = False
+        for ni, channels in enumerate(anim.nodes_channels):
+            if channels is None:
+                continue
+            slot = len(self.touched)
+            self.touched.append(ni)
+            for ch in channels:
+                if ch.path == "weights":
+                    self.has_weights = True  # fall back (morph unsupported)
+                if len(ch.times) == 0:
+                    raise AnimationError(f"animation {anim.name}: empty channel")
+                chans.append((slot, ch))
+        m = len(self.touched)
+        # static TRS of every touched node, decomposed ONCE (the sequential
+        # path re-decomposes the node's flattened transform every frame)
+        s0 = np.ones((m, 3), np.float32)
+        q0 = np.zeros((m, 4), np.float32)
+        t0 = np.zeros((m, 3), np.float32)
+        for slot, ni in enumerate(self.touched):
+            sc, q, tr = _decompose_trs(nodes[ni].transform)
+            s0[slot], q0[slot], t0[slot] = sc, q, tr
+        self.s0, self.q0, self.t0 = s0, q0, t0
+
+        c = len(chans)
+        self.n_channels = c
+        counts = np.array([len(ch.times) for _, ch in chans], np.int64)
+        self.counts = counts
+        self.offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        self.big = float(
+            max((float(ch.times[-1]) for _, ch in chans), default=0.0)
+        ) + 2.0
+        self.times = (
+            np.concatenate(
+                [ch.times.astype(np.float64) + i * self.big
+                 for i, (_, ch) in enumerate(chans)]
+            ) if c else np.zeros(0)
+        )
+        self.first_times = np.array(
+            [float(ch.times[0]) for _, ch in chans], np.float64
+        )
+        vals = np.zeros((int(self.offsets[-1]), 4), np.float32)
+        for i, (_, ch) in enumerate(chans):
+            v = np.asarray(ch.values, np.float32).reshape(len(ch.times), -1)
+            vals[self.offsets[i] : self.offsets[i + 1], : v.shape[1]] = v
+        self.values = vals
+        self.slot_of_chan = np.array([s for s, _ in chans], np.int64)
+        path_ids = {"translation": 0, "rotation": 1, "scale": 2, "weights": 3}
+        self.path_id = np.array([path_ids[ch.path] for _, ch in chans], np.int64)
+        self.step = np.array(
+            [ch.interpolation == "STEP" for _, ch in chans], bool
+        )
+
+    def local_matrices(self, time: float, name) -> np.ndarray:
+        """[n_touched, 4, 4] animated local transforms (T·R·S over the cached
+        static decompose, channel overrides applied in channel order)."""
+        s = self.s0.copy()
+        q = self.q0.copy()
+        t = self.t0.copy()
+        if self.n_channels:
+            qtime = float(time) + np.arange(self.n_channels) * self.big
+            k = np.searchsorted(self.times, qtime, side="right") - 1 - self.offsets[:-1]
+            below = float(time) < self.first_times
+            single = self.counts == 1
+            use0 = below | single
+            if np.any((k >= self.counts - 1) & ~use0):
+                raise AnimationError(
+                    f"animation {name}: invalid timestamp {time}"
+                )
+            k = np.where(use0, 0, k)
+            i0 = self.offsets[:-1] + k
+            i1 = self.offsets[:-1] + np.minimum(k + 1, self.counts - 1)
+            tk = self.times[i0] - np.arange(self.n_channels) * self.big
+            tk1 = self.times[i1] - np.arange(self.n_channels) * self.big
+            denom = np.where(tk1 > tk, tk1 - tk, 1.0)
+            frac = np.where(use0 | self.step, 0.0, (float(time) - tk) / denom)
+            v0 = self.values[i0]
+            v1 = self.values[i1]
+            fr32 = frac.astype(np.float32)[:, None]
+            out = v0 * (1.0 - fr32) + v1 * fr32  # lerp (f32, `lerp` parity)
+            rot = self.path_id == 1
+            if np.any(rot):
+                res = math3d.quat_slerp_batch(v0[rot], v1[rot], frac[rot])
+                # frac == 0 must return values[k] EXACTLY (the sequential
+                # path's early-outs skip slerp's normalization)
+                out[rot] = np.where((frac[rot] == 0.0)[:, None], v0[rot], res)
+            # scatter overrides; duplicate (node, path) channels keep the
+            # LAST write like the sequential loop
+            for pid, dst, width in ((0, t, 3), (1, q, 4), (2, s, 3)):
+                sel = self.path_id == pid
+                if np.any(sel):
+                    dst[self.slot_of_chan[sel]] = out[sel][:, :width]
+        return math3d.trs_batch(t, q, s)
+
+
+def _compiled_animation(anim: "Animation", nodes) -> _CompiledAnimation | None:
+    if anim._compiled is None:
+        anim._compiled = _CompiledAnimation(anim, nodes)
+    comp = anim._compiled
+    return None if comp.has_weights else comp
+
+
 def _decompose_trs(m: np.ndarray):
     """glam Affine3A::to_scale_rotation_translation parity: scale from column
     norms (x negated if the determinant is negative), rotation from the
@@ -176,6 +303,7 @@ class Gltf:
         self.meshes: list[list[tuple[Mesh, Material]]] = []
         self.materials: list[Material] = []
         self.textures: list[Texture] = []
+        self._walk = None  # cached (order, parent, static_locals) arrays
 
     # -- queueing (scene_queueing.rs) -------------------------------------
 
@@ -208,7 +336,11 @@ class Gltf:
         model transform; static meshes get transform @ animated node pose."""
         all_drawn = True
         joints_offsets_per_skin: dict[int, int] = {}
-        node_transforms = self.get_node_transforms(playing_animations)
+        fast = self._fast_node_transforms(playing_animations)
+        if fast is None:
+            node_transforms = self.get_node_transforms(playing_animations)
+        else:
+            mats, valid = fast
         for node_index, mesh, material, skin_index, _ in self._mesh_iter():
             if skin_index is not None:
                 offset = joints_offsets_per_skin.get(skin_index)
@@ -218,17 +350,29 @@ class Gltf:
                     if alloc is None:
                         raise RuntimeError("too many bones in scene")
                     offset, palette = alloc
-                    for i, joint in enumerate(skin.joints):
-                        animated = node_transforms[joint.node_index]
-                        if animated is None:
-                            animated = math3d.IDENTITY
-                        palette[i] = animated @ joint.inverse_bind_matrix
+                    if fast is not None:
+                        # batched: palette = animated[joints] @ ibms
+                        idx, ibms = skin_arrays(skin)
+                        a = np.where(
+                            valid[idx][:, None, None], mats[idx],
+                            math3d.IDENTITY,
+                        )
+                        np.matmul(a, ibms, out=palette[: len(skin.joints)])
+                    else:
+                        for i, joint in enumerate(skin.joints):
+                            animated = node_transforms[joint.node_index]
+                            if animated is None:
+                                animated = math3d.IDENTITY
+                            palette[i] = animated @ joint.inverse_bind_matrix
                     joints_offsets_per_skin[skin_index] = offset
                 all_drawn &= scene.queue_mesh(mesh, material, offset, transform)
             else:
-                animated = node_transforms[node_index]
-                if animated is None:
-                    animated = math3d.IDENTITY
+                if fast is not None:
+                    animated = mats[node_index] if valid[node_index] else math3d.IDENTITY
+                else:
+                    animated = node_transforms[node_index]
+                    if animated is None:
+                        animated = math3d.IDENTITY
                 all_drawn &= scene.queue_mesh(mesh, material, None, transform @ animated)
         return all_drawn
 
@@ -244,6 +388,10 @@ class Gltf:
         """lib.rs:181-193: walk from roots multiplying parent poses (note the
         node transforms are already parent-flattened, matching the reference's
         behavior exactly)."""
+        fast = self._fast_node_transforms(playing_animations)
+        if fast is not None:
+            mats, valid = fast
+            return [mats[i] if valid[i] else None for i in range(len(self.nodes))]
         transforms: list[np.ndarray | None] = [None] * len(self.nodes)
         stack = [(n, math3d.IDENTITY) for n in self.root_nodes]
         while stack:
@@ -253,6 +401,52 @@ class Gltf:
             for child in self.nodes[node_index].children:
                 stack.append((child, current))
         return transforms
+
+    def _walk_arrays(self):
+        """Cached hierarchy-walk order: (order [R] i64 in the same pop order
+        as get_node_transforms, parent [R] i64 (-1 = root), static_locals
+        [n, 4, 4])."""
+        if self._walk is None:
+            order: list[int] = []
+            parents: list[int] = []
+            stack = [(ni, -1) for ni in self.root_nodes]
+            while stack:
+                ni, p = stack.pop()
+                order.append(ni)
+                parents.append(p)
+                for child in self.nodes[ni].children:
+                    stack.append((child, ni))
+            n = len(self.nodes)
+            static = np.zeros((max(n, 1), 4, 4), np.float32)
+            for i, node in enumerate(self.nodes):
+                static[i] = node.transform
+            self._walk = (
+                np.asarray(order, np.int64), np.asarray(parents, np.int64), static
+            )
+        return self._walk
+
+    def _fast_node_transforms(self, playing_animations):
+        """Vectorized single-animation pose evaluation: (mats [n, 4, 4] f32,
+        valid [n] bool) or None when the sequential path must run (several
+        animations layered, or morph-target channels)."""
+        if len(playing_animations) != 1:
+            return None
+        time, anim = playing_animations[0]
+        comp = _compiled_animation(anim, self.nodes)
+        if comp is None:
+            return None
+        order, parents, static = self._walk_arrays()
+        local = static.copy()
+        if comp.touched:
+            local[np.asarray(comp.touched)] = comp.local_matrices(time, anim.name)
+        mats = np.empty_like(local)
+        valid = np.zeros(local.shape[0], bool)
+        # sequential parent-chain multiply (inherent data dependence; the
+        # order array makes it a tight loop of 4x4 matmuls)
+        for ni, p in zip(order.tolist(), parents.tolist()):
+            mats[ni] = local[ni] if p < 0 else mats[p] @ local[ni]
+            valid[ni] = True
+        return mats, valid
 
     def _animated_transform(self, node_index, playing_animations) -> np.ndarray:
         node = self.nodes[node_index]

@@ -83,6 +83,59 @@ def lerp(a: np.ndarray, b: np.ndarray, t: float) -> np.ndarray:
     return (np.asarray(a, np.float32) * (1.0 - t) + np.asarray(b, np.float32) * t).astype(np.float32)
 
 
+def quat_slerp_batch(a: np.ndarray, b: np.ndarray, t: np.ndarray) -> np.ndarray:
+    """Batched quat_slerp ([N,4], [N,4], [N] → [N,4]) — same branches
+    (shortest path, nlerp above dot 0.9995) evaluated with np.where."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    t = np.asarray(t, np.float64)[:, None]
+    dot = np.sum(a * b, axis=-1, keepdims=True)
+    b = np.where(dot < 0.0, -b, b)
+    dot = np.abs(dot)
+    # nlerp branch
+    near = a + t * (b - a)
+    near_n = near / np.maximum(np.linalg.norm(near, axis=-1, keepdims=True), 1e-30)
+    # slerp branch (guard theta for the near branch's dot ≈ 1)
+    theta = np.arccos(np.clip(dot, -1.0, 1.0))
+    s = np.where(np.abs(np.sin(theta)) > 1e-30, np.sin(theta), 1.0)
+    far = (np.sin((1.0 - t) * theta) / s) * a + (np.sin(t * theta) / s) * b
+    return np.where(dot > 0.9995, near_n, far).astype(np.float32)
+
+
+def quat_to_mat3_batch(q: np.ndarray) -> np.ndarray:
+    """Batched quat_to_mat3: [N,4] → [N,3,3]."""
+    q = np.asarray(q, np.float32)
+    x, y, z, w = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    xx, yy, zz = x * x, y * y, z * z
+    xy, xz, yz = x * y, x * z, y * z
+    wx, wy, wz = w * x, w * y, w * z
+    m = np.empty((q.shape[0], 3, 3), np.float32)
+    m[:, 0, 0] = 1 - 2 * (yy + zz)
+    m[:, 0, 1] = 2 * (xy - wz)
+    m[:, 0, 2] = 2 * (xz + wy)
+    m[:, 1, 0] = 2 * (xy + wz)
+    m[:, 1, 1] = 1 - 2 * (xx + zz)
+    m[:, 1, 2] = 2 * (yz - wx)
+    m[:, 2, 0] = 2 * (xz - wy)
+    m[:, 2, 1] = 2 * (yz + wx)
+    m[:, 2, 2] = 1 - 2 * (xx + yy)
+    return m
+
+
+def trs_batch(translation: np.ndarray, rotation: np.ndarray,
+              scale: np.ndarray) -> np.ndarray:
+    """Batched trs: [N,3], [N,4] quat, [N,3] → [N,4,4] (T * R * S, column
+    scaling like the scalar version)."""
+    n = translation.shape[0]
+    m = np.zeros((n, 4, 4), np.float32)
+    m[:, :3, :3] = quat_to_mat3_batch(rotation) * np.asarray(
+        scale, np.float32
+    )[:, None, :]
+    m[:, :3, 3] = translation
+    m[:, 3, 3] = 1.0
+    return m
+
+
 def trs(
     translation: np.ndarray | None = None,
     rotation: np.ndarray | None = None,

@@ -170,11 +170,11 @@ class Renderer:
         proj, view = scene.camera.proj_view(
             float(self.config.width), float(self.config.height), scene.world_space
         )
-        packed = draw_stream.pack_frame_arrays(
+        blob = draw_stream.pack_frame_blob(
             fv, scene.joint_palette, proj @ view,
             (gs.num_tris, gs.num_opaque_tris, gs.num_masked_tris, debug_mode),
         )
-        return {k: jnp.asarray(v) for k, v in packed.items()}
+        return {"blob": jnp.asarray(blob)}
 
     # -- frame loop ----------------------------------------------------------
 

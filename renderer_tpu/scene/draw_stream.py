@@ -276,12 +276,53 @@ def pack_frame_arrays(fv: FrameView, joint_palette: np.ndarray,
     }
 
 
+def pack_frame_blob(fv: FrameView, joint_palette: np.ndarray,
+                    proj_view: np.ndarray,
+                    counts: tuple[int, int, int, int]) -> np.ndarray:
+    """ONE i32 upload for the whole per-frame state (pdf | pdi | palette |
+    proj_view | counts) — the literal analog of the reference writing all
+    temp uniforms into one per-frame arena buffer (renderer.rs:258-302).
+    Each host→device upload carries a fixed dispatch cost that dominates at
+    these sizes (~50 KB total), so five uploads → one. f32 sections are
+    bit-preserved via .view(int32) (i32 payloads are never canonicalized in
+    transfer, unlike f32 NaN bit patterns)."""
+    cap = fv.pdf.shape[0]
+    jp = np.ascontiguousarray(joint_palette[:, :3, :], np.float32)
+    j12 = jp.size
+    blob = np.empty(cap * 16 + j12 + 16 + 4, np.int32)
+    blob[: cap * 12] = fv.pdf.reshape(-1).view(np.int32)
+    blob[cap * 12 : cap * 16] = fv.pdi.reshape(-1)
+    blob[cap * 16 : cap * 16 + j12] = jp.reshape(-1).view(np.int32)
+    blob[cap * 16 + j12 : cap * 16 + j12 + 16] = (
+        np.asarray(proj_view, np.float32).reshape(-1).view(np.int32)
+    )
+    blob[-4:] = np.asarray(counts, np.int32)
+    return blob
+
+
 def unpack_frame(packed: dict) -> dict:
-    """Inverse of pack_frame_arrays on device values (slices are free under
-    jit), plus the per-draw normal matrices — the closed-form cofactor
-    inverse-transpose runs ON DEVICE inside the jitted frame (16k tiny
-    cross products are noise on a TPU but milliseconds of numpy on the
-    host). Accepts already-unpacked dicts unchanged."""
+    """Inverse of pack_frame_arrays / pack_frame_blob on device values
+    (slices and bitcasts are free under jit), plus the per-draw normal
+    matrices — the closed-form cofactor inverse-transpose runs ON DEVICE
+    inside the jitted frame (16k tiny cross products are noise on a TPU but
+    milliseconds of numpy on the host). Accepts already-unpacked dicts
+    unchanged."""
+    if "blob" in packed:
+        import jax
+        import jax.numpy as jnp
+
+        blob = packed["blob"]
+        j12 = constants.MAX_JOINT_COUNT * 12
+        cap = (blob.shape[0] - j12 - 16 - 4) // 16
+        f = jax.lax.bitcast_convert_type(blob, jnp.float32)
+        packed = {
+            "pdf": f[: cap * 12].reshape(cap, 12),
+            "pdi": blob[cap * 12 : cap * 16].reshape(cap, 4),
+            "joint_palette": f[cap * 16 : cap * 16 + j12].reshape(-1, 3, 4),
+            "proj_view": f[cap * 16 + j12 : cap * 16 + j12 + 16].reshape(4, 4),
+            "counts": blob[-4:],
+            "ui": packed.get("ui"),
+        }
     if "pdf" not in packed:
         return packed
     import jax.numpy as jnp

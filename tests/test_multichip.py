@@ -67,7 +67,7 @@ def test_dp_batch_matches_single(config):
     frames = []
     for mode in (1, 3):
         f = dict(frame)
-        f["counts"] = f["counts"].at[3].set(mode)  # debug mode slot
+        f["blob"] = f["blob"].at[-1].set(mode)  # counts[3] = debug mode slot
         frames.append(f)
         singles.append(
             np.asarray(
