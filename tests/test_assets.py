@@ -123,6 +123,94 @@ class TestSkinnedCharacter:
         assert (imgs[0] != imgs[1]).any()
 
 
+class TestFastAnimationParity:
+    """The vectorized single-animation pose path (_fast_node_transforms /
+    _CompiledAnimation) against the sequential per-node oracle
+    (_animated_transform + explicit hierarchy walk)."""
+
+    @pytest.fixture(scope="class")
+    def gltf(self):
+        registry = rt.MaterialRegistry()
+        builder = rt.VertexLibraryBuilder()
+        from renderer_tpu.assets import proxy
+
+        return proxy.make_skinned_character(builder, registry, n_joints=5,
+                                            segments=8, radial=6)
+
+    def _sequential_walk(self, gltf, playing):
+        transforms = [None] * len(gltf.nodes)
+        stack = [(n, math3d.IDENTITY) for n in gltf.root_nodes]
+        while stack:
+            ni, parent = stack.pop()
+            current = parent @ gltf._animated_transform(ni, playing)
+            transforms[ni] = current
+            for child in gltf.nodes[ni].children:
+                stack.append((child, current))
+        return transforms
+
+    def test_matches_sequential(self, gltf):
+        anim = gltf.animations[0]
+        times = np.linspace(0.0, anim.end_time, 16, dtype=np.float32)
+        for t in [0.0, 1e-4, *times[:-1].tolist(), anim.end_time - 1e-4]:
+            fast = gltf._fast_node_transforms([(float(t), anim)])
+            assert fast is not None
+            mats, valid = fast
+            oracle = self._sequential_walk(gltf, [(float(t), anim)])
+            assert valid.all()
+            for ni, m in enumerate(oracle):
+                np.testing.assert_allclose(
+                    mats[ni], m, atol=2e-6, rtol=1e-5,
+                    err_msg=f"node {ni} at t={t}",
+                )
+
+    def test_step_and_scale_channels(self, gltf):
+        # mutate one node's channels to exercise STEP interpolation and the
+        # scale path (+ last-write-wins duplicate), then force a recompile
+        import copy
+
+        anim0 = gltf.animations[0]
+        anim = gltf_loader.Animation(
+            "mutated", anim0.start_time, anim0.end_time,
+            copy.deepcopy(anim0.nodes_channels),
+        )
+        for channels in anim.nodes_channels:
+            if channels:
+                ch = channels[0]
+                channels[0] = gltf_loader.AnimationChannel(
+                    "STEP", ch.path, ch.times, ch.values
+                )
+                tt = np.array([0.0, anim.end_time], np.float32)
+                channels.append(gltf_loader.AnimationChannel(
+                    "LINEAR", "scale", tt,
+                    np.array([[1.0, 1.0, 1.0], [2.0, 0.5, 1.5]], np.float32),
+                ))
+                # duplicate (node, path): the later channel must win
+                channels.append(gltf_loader.AnimationChannel(
+                    "LINEAR", "scale", tt,
+                    np.array([[1.0, 2.0, 1.0], [0.5, 1.0, 2.0]], np.float32),
+                ))
+                break
+        for t in (0.0, 0.37 * anim.end_time, 0.93 * anim.end_time):
+            fast = gltf._fast_node_transforms([(float(t), anim)])
+            assert fast is not None
+            mats, valid = fast
+            oracle = self._sequential_walk(gltf, [(float(t), anim)])
+            for ni, m in enumerate(oracle):
+                np.testing.assert_allclose(
+                    mats[ni], m, atol=2e-6, rtol=1e-5,
+                    err_msg=f"node {ni} at t={t}",
+                )
+
+    def test_past_end_raises(self, gltf):
+        anim = gltf.animations[0]
+        with pytest.raises(gltf_loader.AnimationError):
+            gltf._fast_node_transforms([(float(anim.end_time) + 1.0, anim)])
+
+    def test_multi_animation_falls_back(self, gltf):
+        anim = gltf.animations[0]
+        assert gltf._fast_node_transforms([(0.0, anim), (0.1, anim)]) is None
+
+
 class TestAnimationInterpolation:
     def _channel(self, interp="LINEAR"):
         times = np.array([1.0, 2.0, 4.0], np.float32)
