@@ -71,9 +71,10 @@ def main():
 
     def run_pass(label: str):
         """Warmup (compile) + timed loop. NO device→host copies before or
-        inside the timing (on tunneled TPU runtimes the first readback
-        permanently degrades dispatch latency); per-frame stats are collected
-        as device arrays and verified after timing."""
+        inside the timing (on tunneled TPU runtimes ANY readback permanently
+        degrades subsequent dispatch latency, so even a pre-check would
+        poison the timing); per-frame stats are collected as device arrays
+        and verified after timing."""
         for i in range(warmup):
             img = renderer.render_frame_device(make_scene(0.01 * i), debug_mode=0)
         img.block_until_ready()
@@ -87,12 +88,34 @@ def main():
             stats.append(renderer.last_stats)
         img.block_until_ready()
         dt = time.perf_counter() - t0
-        overflow = max(
-            int(np.asarray(s)[:4].sum()) for s in stats
-        ) if stats and stats[0] is not None else 0
-        return frames / dt, overflow
+        return frames / dt, [s for s in stats if s is not None]
 
-    fps, overflow = run_pass("timed")
+    def checked_overflow(stats, timeout_s: float = 150.0):
+        """Max dropped-pair count across the run's frames — read back through
+        a watchdog thread: on tunneled TPU runtimes a device→host copy after
+        a long dispatch history can wedge for many minutes (readback latency
+        scales with the number of dispatched frames), and a hung verification
+        must never prevent the fps line from being printed. Returns None when
+        the check could not complete in time."""
+        import threading
+
+        import jax.numpy as jnp
+
+        if not stats:
+            return 0
+        agg = jnp.max(jnp.stack(stats), axis=0)  # one aggregated device array
+        box = {}
+
+        def read():
+            box["overflow"] = int(np.asarray(agg)[:4].sum())
+
+        th = threading.Thread(target=read, daemon=True)
+        th.start()
+        th.join(timeout_s)
+        return box.get("overflow")
+
+    fps, stats = run_pass("timed")
+    overflow = checked_overflow(stats)
     if overflow:
         # a frame dropped (tile, triangle) pairs: grow the bin capacity to
         # cover the worst frame and re-time, so the reported number never
@@ -107,7 +130,12 @@ def main():
         print(f"# overflow of {overflow} pairs detected; re-timing at "
               f"pair_capacity={cap}", file=sys.stderr)
         renderer.config = replace(renderer.config, pair_capacity=cap).validate()
-        fps, overflow = run_pass("retimed")
+        fps, stats = run_pass("retimed")
+        overflow = checked_overflow(stats)
+    if overflow is None:
+        print("# overflow check did not complete in time (tunneled readback "
+              "wedge); pair_capacity was pre-sized for this scene+path",
+              file=sys.stderr)
 
     print(
         json.dumps(
@@ -116,10 +144,15 @@ def main():
                 "value": round(fps, 2),
                 "unit": "fps",
                 "vs_baseline": round(fps / 60.0, 3),
-                "dropped_pairs": overflow,
+                "dropped_pairs": overflow if overflow is not None else "unchecked",
             }
-        )
+        ),
+        flush=True,
     )
+    # a wedged tunnel readback (daemon thread) must never hang process exit
+    import os
+
+    os._exit(0)
 
 
 if __name__ == "__main__":

@@ -193,6 +193,7 @@ class _CompiledAnimation:
             sc, q, tr = _decompose_trs(nodes[ni].transform)
             s0[slot], q0[slot], t0[slot] = sc, q, tr
         self.s0, self.q0, self.t0 = s0, q0, t0
+        self.touched_arr = np.asarray(self.touched, np.int64)
 
         c = len(chans)
         self.n_channels = c
@@ -438,7 +439,7 @@ class Gltf:
         order, parents, static = self._walk_arrays()
         local = static.copy()
         if comp.touched:
-            local[np.asarray(comp.touched)] = comp.local_matrices(time, anim.name)
+            local[comp.touched_arr] = comp.local_matrices(time, anim.name)
         mats = np.empty_like(local)
         valid = np.zeros(local.shape[0], bool)
         # sequential parent-chain multiply (inherent data dependence; the

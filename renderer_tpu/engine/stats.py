@@ -113,6 +113,7 @@ def device_stage_timings(renderer, scene, iters: int = 10) -> dict[str, float]:
     )
     timings["raster (opaque)"] = _time_call(raster_fn, b, s, c, iters=iters)
     depth, trid = raster_fn(b, s, c)
+    depth1, trid = depth, trid[0]  # [1, Hp, Wp] single-sample stage timings
 
     def interpolants_of(t, geom_, vs_):
         return shade.interpolants(t[: cfg.height, : cfg.width], geom_, vs_,
@@ -130,9 +131,10 @@ def device_stage_timings(renderer, scene, iters: int = 10) -> dict[str, float]:
         bm = bin_fn(td, frame["n_opaque"], frame["n_opaque"] + frame["n_masked"])[:3]
         timings["raster (masked layers)"] = _time_call(
             functools.partial(layer_fn, mode="masked", n_layers=cfg.mask_layers),
-            *bm, depth, iters=iters,
+            *bm, depth1, iters=iters,
         )
-        lz, lt, _aux = layer_fn(*bm, depth, mode="masked", n_layers=cfg.mask_layers)
+        lz, lt, _aux = layer_fn(*bm, depth1, mode="masked", n_layers=cfg.mask_layers)
+        lt = lt[0]  # single-sample: [K, Hp, Wp]
 
         def alpha_fn(lt_, geom_, vs_, frame_, mats_):
             it = interpolants_of(lt_[0], geom_, vs_)
@@ -147,10 +149,11 @@ def device_stage_timings(renderer, scene, iters: int = 10) -> dict[str, float]:
         bb = bin_fn(td, frame["n_opaque"] + frame["n_masked"], frame["num_tris"])[:3]
         timings["raster (blended layers)"] = _time_call(
             functools.partial(layer_fn, mode="blended", n_layers=cfg.blend_layers),
-            *bb, depth, iters=iters,
+            *bb, depth1, iters=iters,
         )
-        _lzb, ltb, _auxb = layer_fn(*bb, depth, mode="blended",
+        _lzb, ltb, _auxb = layer_fn(*bb, depth1, mode="blended",
                                     n_layers=cfg.blend_layers)
+        ltb = ltb[0]
 
         def blend_fn(ltb_, geom_, vs_, frame_, mats_):
             return shade.shade_interpolated(

@@ -21,7 +21,9 @@ a single winner-takes-all z-test:
 Both kernels process their (binned, per-tile) triangle lists strictly
 sequentially — required for insertion/ordering — reading per-triangle scalars
 from an SMEM-staged copy of the list so the vector unit only ever touches
-[tile_h, tile_w] blocks.
+[tile_h, tile_w] blocks. MSAA: every sample position maintains its own
+K-layer state, updated from ONE shared pass over the triangle list (one DMA
+stream for all samples).
 """
 
 from __future__ import annotations
@@ -65,8 +67,9 @@ def _fragment(t_col, px3, py3, in_range):
 
 
 def _make_layer_kernel(mode: str, n_layers: int, tile_h: int, tile_w: int,
-                       tiles_x: int, sample_dx: float, sample_dy: float):
+                       tiles_x: int, sample_positions: tuple):
     assert mode in ("masked", "blended")
+    n_s = len(sample_positions)
 
     def kernel(starts_ref, counts_ref, tri_ref, depth_in_ref,
                lz_ref, lt_ref, aux_ref, smem, sem):
@@ -74,20 +77,22 @@ def _make_layer_kernel(mode: str, n_layers: int, tile_h: int, tile_w: int,
         tx = pl.program_id(1)
         tile_index = ty * tiles_x + tx
 
-        lz_ref[:] = jnp.full((n_layers, tile_h, tile_w), -1.0, jnp.float32)
-        lt_ref[:] = jnp.full((n_layers, tile_h, tile_w), -1, jnp.int32)
-        # aux: per-pixel count of candidate (masked) / accepted (blended)
-        # fragments — may exceed n_layers, flagging truncated capture.
-        # The running depth starts from the solid depth.
-        aux_ref[:] = jnp.zeros((tile_h, tile_w), jnp.int32)
-        cur_z0 = depth_in_ref[:]
+        lz_ref[:] = jnp.full((n_s, n_layers, tile_h, tile_w), -1.0, jnp.float32)
+        lt_ref[:] = jnp.full((n_s, n_layers, tile_h, tile_w), -1, jnp.int32)
+        # aux: per-(sample, pixel) count of candidate (masked) / accepted
+        # (blended) fragments — may exceed n_layers, flagging truncated
+        # capture. The running depth starts from the (per-sample) solid depth.
+        aux_ref[:] = jnp.zeros((n_s, tile_h, tile_w), jnp.int32)
+        cur_z0 = depth_in_ref[:]  # [n_s, th, tw]
 
         tile_x0 = (tx * tile_w).astype(jnp.float32)
         tile_y0 = (ty * tile_h).astype(jnp.float32)
-        px3 = tile_x0 + sample_dx + jax.lax.broadcasted_iota(
+        iota_x = jax.lax.broadcasted_iota(
             jnp.int32, (tile_h, tile_w), 1).astype(jnp.float32)
-        py3 = tile_y0 + sample_dy + jax.lax.broadcasted_iota(
+        iota_y = jax.lax.broadcasted_iota(
             jnp.int32, (tile_h, tile_w), 0).astype(jnp.float32)
+        px3 = [tile_x0 + dx + iota_x for dx, _ in sample_positions]
+        py3 = [tile_y0 + dy + iota_y for _, dy in sample_positions]
 
         start = pl.multiple_of(starts_ref[tile_index], 128)
         count = counts_ref[tile_index]
@@ -105,45 +110,51 @@ def _make_layer_kernel(mode: str, n_layers: int, tile_h: int, tile_w: int,
                 def t_col(k):
                     return smem[k, i]
 
-                cover, z, tid = _fragment(t_col, px3, py3, base + i < count)
+                in_range = base + i < count
+                new_z = []
+                for s in range(n_s):
+                    cover, z, tid = _fragment(t_col, px3[s], py3[s], in_range)
 
-                if mode == "masked":
-                    # top-K nearest insertion; ≥ keeps later-submission-wins
-                    # on equal depth. cur_z is the opaque depth floor. aux
-                    # counts every candidate so aux > K flags pixels whose
-                    # K-nearest capture may have dropped a passing fragment.
-                    c = cover & (z >= cur_z)
-                    aux_ref[:] = aux_ref[:] + c.astype(jnp.int32)
-                    cz = jnp.where(c, z, -1.0)
-                    ct = jnp.where(c, tid, -1)
-                    for k in range(n_layers):
-                        lzk = lz_ref[k]
-                        ltk = lt_ref[k]
-                        sw = cz >= lzk
-                        lz_ref[k] = jnp.where(sw, cz, lzk)
-                        lt_ref[k] = jnp.where(sw, ct, ltk)
-                        cz = jnp.where(sw, lzk, cz)
-                        ct = jnp.where(sw, ltk, ct)
-                    return cur_z
-                else:
-                    # ordered accept: depth test vs the running chain depth,
-                    # accepted fragments write depth (pipeline_parameters.rs
-                    # blended inherits depth_write from opaque). A fragment
-                    # past the K-layer capacity is dropped WITHOUT writing
-                    # depth: the truncation may under-blend but never makes a
-                    # dropped fragment occlude later geometry (the reference's
-                    # fixed-function blending has no layer cap,
-                    # pipelines.rs:112-132). aux counts all accepts, so
-                    # aux > K flags saturated pixels.
-                    c = cover & (z >= cur_z)
-                    nacc = aux_ref[:]
-                    stored = c & (nacc < n_layers)
-                    for k in range(n_layers):
-                        put = c & (nacc == k)
-                        lt_ref[k] = jnp.where(put, tid, lt_ref[k])
-                        lz_ref[k] = jnp.where(put, z, lz_ref[k])
-                    aux_ref[:] = nacc + c.astype(jnp.int32)
-                    return jnp.where(stored, z, cur_z)
+                    if mode == "masked":
+                        # top-K nearest insertion; ≥ keeps later-submission-
+                        # wins on equal depth. cur_z is the opaque depth
+                        # floor. aux counts every candidate so aux > K flags
+                        # pixels whose K-nearest capture may have dropped a
+                        # passing fragment.
+                        c = cover & (z >= cur_z[s])
+                        aux_ref[s] = aux_ref[s] + c.astype(jnp.int32)
+                        cz = jnp.where(c, z, -1.0)
+                        ct = jnp.where(c, tid, -1)
+                        for k in range(n_layers):
+                            lzk = lz_ref[s, k]
+                            ltk = lt_ref[s, k]
+                            sw = cz >= lzk
+                            lz_ref[s, k] = jnp.where(sw, cz, lzk)
+                            lt_ref[s, k] = jnp.where(sw, ct, ltk)
+                            cz = jnp.where(sw, lzk, cz)
+                            ct = jnp.where(sw, ltk, ct)
+                        new_z.append(cur_z[s])
+                    else:
+                        # ordered accept: depth test vs the running chain
+                        # depth, accepted fragments write depth
+                        # (pipeline_parameters.rs blended inherits depth_write
+                        # from opaque). A fragment past the K-layer capacity
+                        # is dropped WITHOUT writing depth: the truncation may
+                        # under-blend but never makes a dropped fragment
+                        # occlude later geometry (the reference's fixed-
+                        # function blending has no layer cap,
+                        # pipelines.rs:112-132). aux counts all accepts, so
+                        # aux > K flags saturated pixels.
+                        c = cover & (z >= cur_z[s])
+                        nacc = aux_ref[s]
+                        stored = c & (nacc < n_layers)
+                        for k in range(n_layers):
+                            put = c & (nacc == k)
+                            lt_ref[s, k] = jnp.where(put, tid, lt_ref[s, k])
+                            lz_ref[s, k] = jnp.where(put, z, lz_ref[s, k])
+                        aux_ref[s] = nacc + c.astype(jnp.int32)
+                        new_z.append(jnp.where(stored, z, cur_z[s]))
+                return jnp.stack(new_z)
 
             return jax.lax.fori_loop(0, LCHUNK, tri_body, cur_z)
 
@@ -156,14 +167,14 @@ def _make_layer_kernel(mode: str, n_layers: int, tile_h: int, tile_w: int,
     jax.jit,
     static_argnames=(
         "mode", "n_layers", "padded_height",
-        "padded_width", "tile_h", "tile_w", "sample_pos", "interpret",
+        "padded_width", "tile_h", "tile_w", "sample_positions", "interpret",
     ),
 )
 def rasterize_layers(
     binned: jnp.ndarray,  # [ROWS, Pp] f32 SoA (binning.bin_triangles output)
     starts: jnp.ndarray,
     counts: jnp.ndarray,
-    depth_in: jnp.ndarray,  # [Hp, Wp] f32 — depth floor (opaque/solid pass)
+    depth_in: jnp.ndarray,  # [S, Hp, Wp] f32 — per-sample depth floor
     *,
     mode: str,
     n_layers: int,
@@ -172,15 +183,17 @@ def rasterize_layers(
     padded_width: int,
     tile_h: int = 32,
     tile_w: int = 128,
-    sample_pos: tuple = (0.5, 0.5),  # in-pixel sample position (MSAA)
+    sample_positions: tuple = ((0.5, 0.5),),  # in-pixel positions (MSAA)
     interpret: bool = False,
 ):
-    """Returns (layer_z [K,Hp,Wp] f32, layer_tid [K,Hp,Wp] i32,
-    aux [Hp,Wp] i32 — per-pixel candidate/accept count; aux > n_layers marks
-    pixels whose capture was truncated). Layer order: masked = nearest first;
-    blended = acceptance (submission) order."""
+    """Returns (layer_z [S,K,Hp,Wp] f32, layer_tid [S,K,Hp,Wp] i32,
+    aux [S,Hp,Wp] i32 — per-(sample, pixel) candidate/accept count;
+    aux > n_layers marks pixels whose capture was truncated). Layer order:
+    masked = nearest first; blended = acceptance (submission) order."""
     tiles_y = padded_height // tile_h
     tiles_x = padded_width // tile_w
+    n_s = len(sample_positions)
+    assert depth_in.shape == (n_s, padded_height, padded_width), depth_in.shape
 
     starts_plus = jnp.concatenate(
         [starts.astype(jnp.int32), jnp.asarray(tile_row_offset, jnp.int32).reshape(1)]
@@ -190,12 +203,14 @@ def rasterize_layers(
         grid=(tiles_y, tiles_x),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((tile_h, tile_w), lambda ty, tx, s, c: (ty, tx)),
+            pl.BlockSpec((n_s, tile_h, tile_w), lambda ty, tx, s, c: (0, ty, tx)),
         ],
         out_specs=(
-            pl.BlockSpec((n_layers, tile_h, tile_w), lambda ty, tx, s, c: (0, ty, tx)),
-            pl.BlockSpec((n_layers, tile_h, tile_w), lambda ty, tx, s, c: (0, ty, tx)),
-            pl.BlockSpec((tile_h, tile_w), lambda ty, tx, s, c: (ty, tx)),
+            pl.BlockSpec((n_s, n_layers, tile_h, tile_w),
+                         lambda ty, tx, s, c: (0, 0, ty, tx)),
+            pl.BlockSpec((n_s, n_layers, tile_h, tile_w),
+                         lambda ty, tx, s, c: (0, 0, ty, tx)),
+            pl.BlockSpec((n_s, tile_h, tile_w), lambda ty, tx, s, c: (0, ty, tx)),
         ),
         scratch_shapes=[
             pltpu.SMEM((ROWS, LCHUNK), jnp.float32),
@@ -203,14 +218,16 @@ def rasterize_layers(
         ],
     )
     kernel = _make_layer_kernel(mode, n_layers, tile_h, tile_w, tiles_x,
-                                float(sample_pos[0]), float(sample_pos[1]))
+                                tuple(sample_positions))
     lz, lt, aux = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((n_layers, padded_height, padded_width), jnp.float32),
-            jax.ShapeDtypeStruct((n_layers, padded_height, padded_width), jnp.int32),
-            jax.ShapeDtypeStruct((padded_height, padded_width), jnp.int32),
+            jax.ShapeDtypeStruct((n_s, n_layers, padded_height, padded_width),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((n_s, n_layers, padded_height, padded_width),
+                                 jnp.int32),
+            jax.ShapeDtypeStruct((n_s, padded_height, padded_width), jnp.int32),
         ),
         interpret=interpret,
     )(starts_plus, counts.astype(jnp.int32), binned, depth_in)

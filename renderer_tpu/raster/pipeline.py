@@ -195,50 +195,52 @@ def render_shard(
     extra = max(cfg.msaa_shade_candidates - 1, 0) if msaa > 1 else 0
     clamp_mask = jnp.zeros((pad_h, cfg.padded_width), bool)
 
-    def pos_of(s):
-        """In-pixel sample position passed into the kernels as compile-time
-        constants — one shared binned buffer across all samples (no per-
-        sample 200 MB plane-shift copies at large pair capacities)."""
-        return MSAA4_POSITIONS[s] if msaa > 1 else (0.5, 0.5)
+    # In-pixel sample positions passed into the kernels as compile-time
+    # constants — ONE kernel launch and one shared binned-buffer DMA stream
+    # evaluates every sample (no per-sample re-streaming of the bins, no
+    # per-sample 200 MB plane-shift copies at large pair capacities).
+    spos = tuple(MSAA4_POSITIONS[:msaa]) if msaa > 1 else ((0.5, 0.5),)
 
-    def raster_opaque(s):
+    def raster_opaque_all():
         return raster_kernel.rasterize_binned(
             *bins_opaque,
             tile_row_offset=tile_row_offset,
             padded_height=pad_h, padded_width=cfg.padded_width,
             tile_h=cfg.tile_h, tile_w=cfg.tile_w, sub=cfg.tri_chunk,
-            sample_pos=pos_of(s),
+            sample_positions=spos,
             interpret=interpret,
         )
 
-    def raster_layers(b, s, floor, mode, n_layers):
+    def raster_layers_all(b, floor, mode, n_layers):
         return layers.rasterize_layers(
             *b, floor,
             mode=mode, n_layers=n_layers,
             tile_row_offset=tile_row_offset,
             padded_height=pad_h, padded_width=cfg.padded_width,
             tile_h=cfg.tile_h, tile_w=cfg.tile_w,
-            sample_pos=pos_of(s),
+            sample_positions=spos,
             interpret=interpret,
         )
 
     def clampc(c):  # -2 candidate sentinel → background for interpolation
         return jnp.maximum(c, -1)
 
-    # -- phase 1: per-sample opaque + masked visibility ----------------------
+    # -- phase 1: opaque + masked visibility (all samples per kernel pass) ---
     mask_sat = zero
     blend_sat = zero
-    solid_z, solid_tid, lt_m, lz_m = [], [], [], []
-    for s in range(msaa):
-        z, t = raster_opaque(s)
-        solid_z.append(z)
-        solid_tid.append(t)
-        if has_masked:
-            lz, lt, aux_m = raster_layers(bins_masked, s, z, "masked",
-                                          cfg.mask_layers)
-            mask_sat = jnp.maximum(mask_sat, saturated_px(aux_m, cfg.mask_layers))
-            lz_m.append(lz)
-            lt_m.append(lt)
+    zs, ts = raster_opaque_all()
+    solid_z = [zs[s] for s in range(msaa)]
+    solid_tid = [ts[s] for s in range(msaa)]
+    lt_m, lz_m = [], []
+    if has_masked:
+        lzm, ltm, aux_m = raster_layers_all(bins_masked, zs, "masked",
+                                            cfg.mask_layers)
+        for s in range(msaa):
+            mask_sat = jnp.maximum(
+                mask_sat, saturated_px(aux_m[s], cfg.mask_layers)
+            )
+            lz_m.append(lzm[s])
+            lt_m.append(ltm[s])
 
     # -- phase 2: masked alpha test (alpha deduped per distinct tid) + merge --
     if has_masked:
@@ -268,14 +270,17 @@ def render_shard(
                 solid_tid[s] = jnp.where(passes, t, solid_tid[s])
                 solid_z[s] = jnp.where(passes, lz_m[s][k], solid_z[s])
 
-    # -- phase 3: per-sample blended visibility (floor = merged solid depth) --
+    # -- phase 3: blended visibility (floor = merged per-sample solid depth) --
     lt_b = []
     if has_blended:
+        _, ltb, aux_b = raster_layers_all(
+            bins_blended, jnp.stack(solid_z), "blended", cfg.blend_layers
+        )
         for s in range(msaa):
-            _, lt, aux_b = raster_layers(bins_blended, s, solid_z[s], "blended",
-                                         cfg.blend_layers)
-            blend_sat = jnp.maximum(blend_sat, saturated_px(aux_b, cfg.blend_layers))
-            lt_b.append(lt)
+            blend_sat = jnp.maximum(
+                blend_sat, saturated_px(aux_b[s], cfg.blend_layers)
+            )
+            lt_b.append(ltb[s])
 
     # -- phase 4: solid shading, once per distinct candidate -----------------
     n_c = min(msaa, max(cfg.msaa_shade_candidates, 1))

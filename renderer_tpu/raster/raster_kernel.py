@@ -15,6 +15,11 @@ over all tile pixels at once ([C, th, tw] VPU ops, zero per-pixel control
 flow), reduced over C with max (reverse-Z: nearer = larger), then merged into
 the tile's running z-buffer.
 
+MSAA: ALL sample positions are evaluated per streamed chunk (the edge/depth
+planes at each Vulkan standard position), writing [S, th, tw] blocks — one
+pass over the binned buffer serves every sample, instead of one kernel launch
+(and one full bin-stream DMA) per sample.
+
 Depth semantics parity: clear depth = 0.0, compare GREATER_OR_EQUAL
 (reference: renderer/src/renderer/pipeline_parameters/render_passes.rs:192-197,
 renderer/src/renderer/pipelines.rs:152-158); on equal depth the
@@ -45,8 +50,8 @@ def _binned_kernel(
     starts_ref,  # scalar prefetch [tiles+1] i32 (last = tile_row_offset)
     counts_ref,  # scalar prefetch [tiles] i32
     tri_ref,  # [ROWS, Pp] f32 binned rows (SoA, HBM)
-    depth_ref,  # [th,tw] f32 out block
-    trid_ref,  # [th,tw] i32 out block
+    depth_ref,  # [S,th,tw] f32 out block
+    trid_ref,  # [S,th,tw] i32 out block
     buf,  # VMEM [ROWS, 2*CHUNK]
     sems,  # DMA sems [2]
     *,
@@ -54,26 +59,30 @@ def _binned_kernel(
     tile_w: int,
     sub: int,
     tiles_x: int,
-    sample_dx: float = 0.5,  # in-pixel sample position (0.5 = center; MSAA
-    sample_dy: float = 0.5,  # samples pass the Vulkan standard positions —
-    # evaluating the planes at the shifted point is equivalent to shifting
-    # the geometry, and shares ONE binned buffer across all samples)
+    # in-pixel sample positions ((0.5, 0.5) = center; MSAA passes the Vulkan
+    # standard positions — evaluating the planes at the shifted point is
+    # equivalent to shifting the geometry, and shares ONE binned buffer and
+    # ONE DMA stream across all samples)
+    sample_positions: tuple = ((0.5, 0.5),),
 ):
     # layout constants from setup.py: rows 0-8 edge planes, 9-11 depth plane,
     # 12-14 1/w plane, VALID/TID/EPS rows
+    n_s = len(sample_positions)
     ty = pl.program_id(0) + starts_ref[counts_ref.shape[0]]
     tx = pl.program_id(1)
     tile_index = ty * tiles_x + tx
 
-    depth_ref[:] = jnp.zeros((tile_h, tile_w), jnp.float32)
-    trid_ref[:] = jnp.full((tile_h, tile_w), -1, jnp.int32)
+    depth_ref[:] = jnp.zeros((n_s, tile_h, tile_w), jnp.float32)
+    trid_ref[:] = jnp.full((n_s, tile_h, tile_w), -1, jnp.int32)
 
     tile_x0 = (tx * tile_w).astype(jnp.float32)
     tile_y0 = (ty * tile_h).astype(jnp.float32)
-    px3 = (tile_x0 + sample_dx + jax.lax.broadcasted_iota(
-        jnp.int32, (tile_h, tile_w), 1).astype(jnp.float32))[None]
-    py3 = (tile_y0 + sample_dy + jax.lax.broadcasted_iota(
-        jnp.int32, (tile_h, tile_w), 0).astype(jnp.float32))[None]
+    iota_x = jax.lax.broadcasted_iota(
+        jnp.int32, (tile_h, tile_w), 1).astype(jnp.float32)
+    iota_y = jax.lax.broadcasted_iota(
+        jnp.int32, (tile_h, tile_w), 0).astype(jnp.float32)
+    px3 = [(tile_x0 + dx + iota_x)[None] for dx, _ in sample_positions]
+    py3 = [(tile_y0 + dy + iota_y)[None] for _, dy in sample_positions]
 
     # bin starts are 128-aligned (binning.ALIGN) so lane-dim DMA slices are
     # tile-aligned
@@ -101,39 +110,43 @@ def _binned_kernel(
 
         live = (col(VALID_ROW) > 0.0) & (base_in_bin + sub_iota < count)
         eps = col(EPS_ROW)
-
-        # Fill rule: pixels in the ±eps boundary band of an edge belong to
-        # exactly one of the two triangles sharing it (top-left ownership by
-        # the edge plane's coefficient signs) — no cracks, no double hits
-        # [fixed-function → kernel: the Vulkan watertightness rule].
-        def edge(a, b, c):
-            e = a * px3 + b * py3 + c
-            own = (a > 0.0) | ((a == 0.0) & (b > 0.0))
-            return (e > eps) | ((e >= -eps) & own)
-
-        cover = (
-            edge(col(0), col(1), col(2))
-            & edge(col(3), col(4), col(5))
-            & edge(col(6), col(7), col(8))
-            & live
-        )
-
-        z = col(9) * px3 + col(10) * py3 + col(11)
-        # 1/w > 0 excludes the anti-triangle branch of near-crossing
-        # triangles; z∈[0,1] is the Vulkan depth-range clip (= near clip
-        # under reverse-Z).
-        inv_w = col(12) * px3 + col(13) * py3 + col(14)
-        zc = jnp.where(
-            cover & (inv_w > 0.0) & (z >= 0.0) & (z <= 1.0), z, -1.0
-        )
-
-        zbest = jnp.max(zc, axis=0)
         tid = col(TID_ROW).astype(jnp.int32)
-        tid_best = jnp.max(jnp.where(zc == zbest[None], tid, -1), axis=0)
 
-        write = (zbest >= 0.0) & (zbest >= depth_ref[:])
-        depth_ref[:] = jnp.where(write, zbest, depth_ref[:])
-        trid_ref[:] = jnp.where(write, tid_best, trid_ref[:])
+        for s in range(n_s):
+            px, py = px3[s], py3[s]
+
+            # Fill rule: pixels in the ±eps boundary band of an edge belong
+            # to exactly one of the two triangles sharing it (top-left
+            # ownership by the edge plane's coefficient signs) — no cracks,
+            # no double hits [fixed-function → kernel: the Vulkan
+            # watertightness rule].
+            def edge(a, b, c):
+                e = a * px + b * py + c
+                own = (a > 0.0) | ((a == 0.0) & (b > 0.0))
+                return (e > eps) | ((e >= -eps) & own)
+
+            cover = (
+                edge(col(0), col(1), col(2))
+                & edge(col(3), col(4), col(5))
+                & edge(col(6), col(7), col(8))
+                & live
+            )
+
+            z = col(9) * px + col(10) * py + col(11)
+            # 1/w > 0 excludes the anti-triangle branch of near-crossing
+            # triangles; z∈[0,1] is the Vulkan depth-range clip (= near clip
+            # under reverse-Z).
+            inv_w = col(12) * px + col(13) * py + col(14)
+            zc = jnp.where(
+                cover & (inv_w > 0.0) & (z >= 0.0) & (z <= 1.0), z, -1.0
+            )
+
+            zbest = jnp.max(zc, axis=0)
+            tid_best = jnp.max(jnp.where(zc == zbest[None], tid, -1), axis=0)
+
+            write = (zbest >= 0.0) & (zbest >= depth_ref[s])
+            depth_ref[s] = jnp.where(write, zbest, depth_ref[s])
+            trid_ref[s] = jnp.where(write, tid_best, trid_ref[s])
 
     def chunk_body(ci, _):
         slot = jax.lax.rem(ci, 2)
@@ -158,7 +171,7 @@ def _binned_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("padded_height", "padded_width", "tile_h", "tile_w",
-                     "sub", "sample_pos", "interpret"),
+                     "sub", "sample_positions", "interpret"),
 )
 def rasterize_binned(
     binned: jnp.ndarray,  # [ROWS, Pp] f32 SoA from binning.bin_triangles
@@ -171,13 +184,15 @@ def rasterize_binned(
     tile_h: int = 32,
     tile_w: int = 128,
     sub: int = 8,
-    sample_pos: tuple = (0.5, 0.5),  # in-pixel sample position (MSAA)
+    sample_positions: tuple = ((0.5, 0.5),),  # in-pixel positions (MSAA)
     interpret: bool = False,
 ):
     """Per-tile-binned visibility raster: each grid step streams only its own
-    tile's (contiguous) triangle rows. Returns (depth, tri_id)."""
+    tile's (contiguous) triangle rows ONCE and evaluates every sample
+    position. Returns (depth [S, Hp, Wp], tri_id [S, Hp, Wp])."""
     tiles_y = padded_height // tile_h
     tiles_x = padded_width // tile_w
+    n_s = len(sample_positions)
 
     starts_plus = jnp.concatenate(
         [starts.astype(jnp.int32),
@@ -189,8 +204,8 @@ def rasterize_binned(
         grid=(tiles_y, tiles_x),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(
-            pl.BlockSpec((tile_h, tile_w), lambda ty, tx, s, c: (ty, tx)),
-            pl.BlockSpec((tile_h, tile_w), lambda ty, tx, s, c: (ty, tx)),
+            pl.BlockSpec((n_s, tile_h, tile_w), lambda ty, tx, s, c: (0, ty, tx)),
+            pl.BlockSpec((n_s, tile_h, tile_w), lambda ty, tx, s, c: (0, ty, tx)),
         ),
         scratch_shapes=[
             pltpu.VMEM((ROWS, 2 * CHUNK), jnp.float32),
@@ -199,14 +214,14 @@ def rasterize_binned(
     )
     kernel = functools.partial(
         _binned_kernel, tile_h=tile_h, tile_w=tile_w, sub=sub, tiles_x=tiles_x,
-        sample_dx=float(sample_pos[0]), sample_dy=float(sample_pos[1]),
+        sample_positions=tuple(sample_positions),
     )
     depth, trid = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((padded_height, padded_width), jnp.float32),
-            jax.ShapeDtypeStruct((padded_height, padded_width), jnp.int32),
+            jax.ShapeDtypeStruct((n_s, padded_height, padded_width), jnp.float32),
+            jax.ShapeDtypeStruct((n_s, padded_height, padded_width), jnp.int32),
         ),
         interpret=interpret,
     )(starts_plus, counts.astype(jnp.int32), binned)

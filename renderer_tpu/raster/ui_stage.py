@@ -60,7 +60,7 @@ def rasterize_ui(
     )
     # constant z = 0.5 vs floor 0.0 → every covered fragment passes GE and
     # the accept chain is pure submission (painter's) order
-    floor = jnp.zeros((pad_h, cfg.padded_width), jnp.float32)
+    floor = jnp.zeros((1, pad_h, cfg.padded_width), jnp.float32)
     _lz, lt, aux = layers.rasterize_layers(
         binned, starts, counts, floor,
         mode="blended", n_layers=cfg.ui_layers,
@@ -69,7 +69,7 @@ def rasterize_ui(
         tile_h=cfg.tile_h, tile_w=cfg.tile_w,
         interpret=interpret,
     )
-    return lt, overflow, aux
+    return lt[0], overflow, aux[0]
 
 
 def shade_ui_layer(
