@@ -46,3 +46,7 @@ if __name__ == "__main__":
         probe(1920, 1080, 4, 1 << 21, "msaa4-1080p-cap21")
     elif which == "d":
         probe(1280, 720, 4, 1 << 18, "msaa4-720p-cap18")
+
+def probe_tiny(tag):
+    """Small graph for cache-key debugging."""
+    probe(256, 128, 1, 1 << 14, tag)
