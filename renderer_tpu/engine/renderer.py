@@ -57,6 +57,7 @@ class Renderer:
         config: RenderConfig | None = None,
         profiler: Profiler | None = None,
         overflow_policy: str = "auto",
+        shrink_after: int = 120,
     ) -> None:
         """overflow_policy — what to do when the frame's stats vector reports
         dropped work (bin pair_capacity exceeded), the analog of the
@@ -72,13 +73,23 @@ class Renderer:
           tunneled TPU runtimes (axon): there, any device→host copy —
           including the 32-byte stats read — permanently degrades dispatch
           latency, so bench.py/apps use "off" and verify the collected stats
-          after timing."""
+          after timing.
+
+        shrink_after — under "auto"/"sync", the binning pair bucket is also
+        shrunk back (recompile) after this many CONSECUTIVE frames whose
+        total_pairs would fit a bucket ≤ half the current one with 2×
+        headroom — the binning sort costs O(capacity log capacity)
+        regardless of scene size, so a bucket grown for one heavy camera
+        angle would otherwise tax every later frame. Hysteresis avoids
+        recompile thrash on oscillating scenes."""
         _enable_compilation_cache()
         assert overflow_policy in ("auto", "sync", "off")
         self.config = (config or RenderConfig()).validate()
         self.registry = registry
         self.profiler = profiler or Profiler(enabled=False)
         self.overflow_policy = overflow_policy
+        self.shrink_after = shrink_after
+        self._shrink_streak = 0
         self._geom_cache: dict = {}
         self._mat_cache: tuple[int, dict] | None = None
         self._interpret = pipeline.interpret_mode()
@@ -131,7 +142,33 @@ class Renderer:
         from dataclasses import replace
 
         self.config = replace(self.config, pair_capacity=new_cap).validate()
+        self._shrink_streak = 0
         return True
+
+    def _maybe_shrink_pair_capacity(self, stats_host) -> None:
+        """Shrink the binning bucket when the scene has sustainedly needed
+        ≤ half of it (with 2× headroom) — see `shrink_after`."""
+        idx = pipeline.STAT_NAMES.index("total_pairs")
+        if len(stats_host) <= idx:
+            return
+        total = int(stats_host[idx])
+        desired = 1 << max(14, (max(total, 1) * 2 - 1).bit_length())
+        if desired >= self.config.pair_capacity:
+            self._shrink_streak = 0
+            return
+        self._shrink_streak += 1
+        if self._shrink_streak < self.shrink_after:
+            return
+        print(
+            f"[renderer] binning bucket oversized for {self._shrink_streak} "
+            f"consecutive frames (scene needs ~{total} pairs); shrinking "
+            f"pair_capacity {self.config.pair_capacity} -> {desired} "
+            "(recompiles)",
+        )
+        from dataclasses import replace
+
+        self.config = replace(self.config, pair_capacity=desired).validate()
+        self._shrink_streak = 0
 
     # -- device array preparation -------------------------------------------
 
@@ -214,7 +251,10 @@ class Renderer:
                 # loop: regrow until the frame reports no dropped pairs
                 for _ in range(8):
                     host = np.asarray(stats)
-                    if self._total_overflow(host) == 0 or not self._grow_pair_capacity(host):
+                    if self._total_overflow(host) == 0:
+                        self._maybe_shrink_pair_capacity(host)
+                        break
+                    if not self._grow_pair_capacity(host):
                         break
                     img, stats = self._dispatch(scene, debug_mode, ui)
                     self._last_stats = stats
@@ -225,6 +265,8 @@ class Renderer:
                 host = np.asarray(prev_stats)
                 if self._total_overflow(host) > 0:
                     self._grow_pair_capacity(host)
+                else:
+                    self._maybe_shrink_pair_capacity(host)
         return img
 
     def render_frame(self, scene: Scene, debug_mode: int = 0,

@@ -97,9 +97,12 @@ def render_frame_sharded(
             out_rows=rows_per_dev,
             interpret=interpret,
         )
-        # overflow entries ([:4]) come from binning the FULL screen — every
-        # device computes the same values; saturation counts are per-shard.
-        stats = jnp.concatenate([stats[:4], jax.lax.psum(stats[4:], axis)])
+        # overflow ([:4]) and total_pairs ([8:]) come from binning the FULL
+        # screen — every device computes the same values; the per-pixel
+        # saturation counts ([4:8]) are per-shard and psum'd.
+        stats = jnp.concatenate(
+            [stats[:4], jax.lax.psum(stats[4:8], axis), stats[8:]]
+        )
         return img, stats
 
     sharded = jax.shard_map(

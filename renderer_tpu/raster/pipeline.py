@@ -65,6 +65,12 @@ STAT_NAMES = (
     "blended_saturated_px",
     "ui_saturated_px",
     "shade_clamped_px",
+    # total (tile, triangle) pairs the scene requested this frame (binned +
+    # overflowed) — the feedback signal for right-sizing pair_capacity: the
+    # binning sort costs O(capacity log capacity) REGARDLESS of scene size,
+    # so the Renderer shrinks oversized buckets from this (like the
+    # reference's exact measure-then-allocate arenas, arena/buffers.rs).
+    "total_pairs",
 )
 N_STATS = len(STAT_NAMES)
 
@@ -336,9 +342,10 @@ def render_shard(
 
     img = post.tonemap(jnp.stack(hdr) if msaa > 1 else hdr[0])
     clamped = jnp.sum(clamp_mask[:out_rows, : cfg.width].astype(jnp.int32))
+    total_pairs = jnp.sum(c_all) + jnp.sum(ov_all)
     stats = jnp.stack(
         [ov_opaque, ov_masked, ov_blended, ov_ui, mask_sat, blend_sat, ui_sat,
-         clamped]
+         clamped, total_pairs]
     ).astype(jnp.int32)
     return img[:out_rows, : cfg.width], stats
 

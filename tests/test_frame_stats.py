@@ -132,6 +132,60 @@ def _many_quads_scene(n=32):
     return registry, scene, mat
 
 
+class TestTotalPairsAndShrink:
+    CFG = dict(width=128, height=64, tile_h=16)
+
+    def test_total_pairs_matches_binning(self):
+        import jax
+
+        from renderer_tpu.raster import binning, setup, vertex_stage
+        from renderer_tpu.scene import draw_stream
+
+        registry, scene, _mat = _many_quads_scene(n=4)
+        cfg = rt.RenderConfig(**self.CFG)
+        r = rt.Renderer(registry, cfg)
+        r.render_frame(scene, debug_mode=1)
+        stats = r.frame_stats()
+        # oracle: bin the same setup directly and count pairs + overflow
+        fv = draw_stream.frame_view(scene)
+        gs, geom = r._geometry(scene, fv.order, fv.geom_key)
+        frame = draw_stream.unpack_frame(r._frame_arrays(scene, fv, gs))
+        vs = vertex_stage.run_vertex_stage(geom, frame, skin_start=gs.skin_start)
+        td = setup.triangle_setup(vs["clip"], geom["tri_v"], frame["num_tris"],
+                                  cfg.width, cfg.height)
+        _, _, counts, overflow = binning.bin_triangle_classes(
+            td, (0, frame["num_tris"]),
+            tiles_x=cfg.tiles_x, tiles_y=cfg.tiles_y,
+            tile_w=cfg.tile_w, tile_h=cfg.tile_h,
+            pair_capacity=cfg.pair_capacity,
+        )
+        expect = int(np.asarray(counts).sum() + np.asarray(overflow).sum())
+        assert stats["total_pairs"] == expect > 0, stats
+
+    def test_auto_policy_shrinks_oversized_bucket(self):
+        registry, scene, _mat = _many_quads_scene(n=2)
+        r = rt.Renderer(
+            registry,
+            rt.RenderConfig(pair_capacity=1 << 18, **self.CFG),
+            overflow_policy="auto", shrink_after=2,
+        )
+        imgs = [r.render_frame(scene, debug_mode=1) for _ in range(4)]
+        assert r.config.pair_capacity < (1 << 18), r.config.pair_capacity
+        assert r.frame_stats()["overflow_opaque"] == 0
+        # identical image before and after the shrink recompile
+        np.testing.assert_array_equal(imgs[0], imgs[-1])
+
+    def test_stable_bucket_not_shrunk(self):
+        registry, scene, _mat = _many_quads_scene(n=32)
+        cfg = rt.RenderConfig(pair_capacity=1 << 13, **self.CFG)
+        r = rt.Renderer(registry, cfg, overflow_policy="auto", shrink_after=1)
+        for _ in range(3):
+            r.render_frame(scene, debug_mode=1)
+        # 32 full-screen quads need more than 4096 pairs: no shrink below a
+        # fitting bucket even with an aggressive shrink_after
+        assert r.config.pair_capacity * 2 >= r.frame_stats()["total_pairs"]
+
+
 class TestBinOverflow:
     CFG = dict(width=128, height=64, tile_h=16)
 
