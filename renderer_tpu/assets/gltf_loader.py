@@ -320,11 +320,40 @@ class Gltf:
                 for mesh, material in self.meshes[node.mesh]:
                     yield node_index, mesh, material, node.skin, node.transform
 
+    def _split_rows(self):
+        """Cached queue-order split of _mesh_iter: (skinned rows
+        [(node_index, mesh, material, skin_index)], static DrawBlock,
+        static node indices [M]). Statics batch into one vectorized
+        queue_block; interleaving order vs the sequential loop only moves
+        draws with DIFFERENT sort keys relative to each other (the skinned
+        flag bit separates the groups), so the sorted stream is identical."""
+        cached = getattr(self, "_rows_cache", None)
+        if cached is None:
+            from renderer_tpu.scene.scene import make_draw_block
+
+            skinned_rows = []
+            static_items = []
+            static_idx = []
+            for ni, mesh, material, skin_index, _ in self._mesh_iter():
+                if skin_index is not None:
+                    skinned_rows.append((ni, mesh, material, skin_index))
+                else:
+                    static_items.append((mesh, material, None))
+                    static_idx.append(ni)
+            cached = self._rows_cache = (
+                skinned_rows,
+                make_draw_block(static_items),
+                np.asarray(static_idx, np.int64),
+            )
+        return cached
+
     def queue(self, scene: Scene, transform: np.ndarray) -> bool:
-        ok = True
-        for _, mesh, material, _, node_transform in self._mesh_iter():
-            ok &= scene.queue_mesh(mesh, material, None, transform @ node_transform)
-        return ok
+        skinned_rows, block, static_idx = self._split_rows()
+        assert not skinned_rows, "skinned meshes must have joints defined"
+        locals_ = self._walk_arrays()[2][static_idx]  # [M, 4, 4] node poses
+        return scene.queue_block(
+            block, np.asarray(transform, np.float32) @ locals_
+        )
 
     def queue_animated(
         self,
@@ -340,41 +369,59 @@ class Gltf:
         fast = self._fast_node_transforms(playing_animations)
         if fast is None:
             node_transforms = self.get_node_transforms(playing_animations)
-        else:
-            mats, valid = fast
-        for node_index, mesh, material, skin_index, _ in self._mesh_iter():
-            if skin_index is not None:
-                offset = joints_offsets_per_skin.get(skin_index)
-                if offset is None:
-                    skin = self.skins[skin_index]
-                    alloc = scene.allocate_joint_offset(len(skin.joints))
-                    if alloc is None:
-                        raise RuntimeError("too many bones in scene")
-                    offset, palette = alloc
-                    if fast is not None:
-                        # batched: palette = animated[joints] @ ibms
-                        idx, ibms = skin_arrays(skin)
-                        a = np.where(
-                            valid[idx][:, None, None], mats[idx],
-                            math3d.IDENTITY,
-                        )
-                        np.matmul(a, ibms, out=palette[: len(skin.joints)])
-                    else:
+            for node_index, mesh, material, skin_index, _ in self._mesh_iter():
+                if skin_index is not None:
+                    offset = joints_offsets_per_skin.get(skin_index)
+                    if offset is None:
+                        skin = self.skins[skin_index]
+                        alloc = scene.allocate_joint_offset(len(skin.joints))
+                        if alloc is None:
+                            raise RuntimeError("too many bones in scene")
+                        offset, palette = alloc
                         for i, joint in enumerate(skin.joints):
                             animated = node_transforms[joint.node_index]
                             if animated is None:
                                 animated = math3d.IDENTITY
                             palette[i] = animated @ joint.inverse_bind_matrix
-                    joints_offsets_per_skin[skin_index] = offset
-                all_drawn &= scene.queue_mesh(mesh, material, offset, transform)
-            else:
-                if fast is not None:
-                    animated = mats[node_index] if valid[node_index] else math3d.IDENTITY
+                        joints_offsets_per_skin[skin_index] = offset
+                    all_drawn &= scene.queue_mesh(mesh, material, offset, transform)
                 else:
                     animated = node_transforms[node_index]
                     if animated is None:
                         animated = math3d.IDENTITY
-                all_drawn &= scene.queue_mesh(mesh, material, None, transform @ animated)
+                    all_drawn &= scene.queue_mesh(
+                        mesh, material, None, transform @ animated
+                    )
+            return all_drawn
+
+        # fast path: skinned palettes batched per skin; the static subset is
+        # ONE vectorized queue_block (see _split_rows for the order argument)
+        mats, valid = fast
+        skinned_rows, block, static_idx = self._split_rows()
+        for _, mesh, material, skin_index in skinned_rows:
+            offset = joints_offsets_per_skin.get(skin_index)
+            if offset is None:
+                skin = self.skins[skin_index]
+                alloc = scene.allocate_joint_offset(len(skin.joints))
+                if alloc is None:
+                    raise RuntimeError("too many bones in scene")
+                offset, palette = alloc
+                # batched: palette = animated[joints] @ ibms
+                idx, ibms = skin_arrays(skin)
+                a = np.where(
+                    valid[idx][:, None, None], mats[idx], math3d.IDENTITY
+                )
+                np.matmul(a, ibms, out=palette[: len(skin.joints)])
+                joints_offsets_per_skin[skin_index] = offset
+            all_drawn &= scene.queue_mesh(mesh, material, offset, transform)
+        if len(static_idx):
+            a = np.where(
+                valid[static_idx][:, None, None], mats[static_idx],
+                math3d.IDENTITY,
+            )
+            all_drawn &= scene.queue_block(
+                block, np.asarray(transform, np.float32) @ a
+            )
         return all_drawn
 
     def get_animation(self, name: str) -> Animation | None:

@@ -65,6 +65,45 @@ GEOMETRY_KEY_MASK = np.uint64(
 )
 
 
+@dataclass
+class DrawBlock:
+    """Precomputed SoA columns for a FIXED list of (mesh, material, joints)
+    draws — build once with `make_draw_block`, queue every frame with fresh
+    transforms via `Scene.queue_block` (one vectorized append instead of M
+    Python `queue_mesh` calls; the reference's per-frame queue costs ~20 µs
+    for the whole scene, renderer.rs:219-256 — per-draw Python cannot)."""
+
+    sources: list[tuple[Mesh, Material]]
+    keys: np.ndarray  # [M] u64 packed sort keys
+    material_id: np.ndarray  # [M] i32
+    joints_offset: np.ndarray  # [M] i32
+    skinned: np.ndarray  # [M] i32
+
+
+def make_draw_block(
+    items: list[tuple[Mesh, Material, int | None]]
+) -> DrawBlock:
+    m = len(items)
+    keys = np.zeros(m, np.uint64)
+    material_id = np.zeros(m, np.int32)
+    joints_offset = np.zeros(m, np.int32)
+    skinned = np.zeros(m, np.int32)
+    sources = []
+    for i, (mesh, material, joints) in enumerate(items):
+        assert mesh.skinned == (joints is not None), (
+            "skinned meshes must have joints defined"
+        )
+        keys[i] = _pack_key(
+            pipeline_index(material, mesh.skinned),
+            mesh.library.library_id, mesh.mesh_id, material.id, joints,
+        )
+        material_id[i] = material.id
+        joints_offset[i] = 0 if joints is None else joints
+        skinned[i] = 0 if joints is None else 1
+        sources.append((mesh, material))
+    return DrawBlock(sources, keys, material_id, joints_offset, skinned)
+
+
 def _pack_key(pipeline: int, library: int, mesh: int, material: int,
               joints_offset) -> int:
     assert library < (1 << _LIBRARY_BITS), "too many vertex libraries"
@@ -221,6 +260,31 @@ class Scene:
         self._n = i + n
         self._draws_cache = None
         return True
+
+    def queue_block(self, block: DrawBlock, transforms: np.ndarray) -> bool:
+        """Queue a precomputed DrawBlock with per-draw transforms [M, 4, 4]
+        in one vectorized append. Equivalent to M queue_mesh calls in block
+        order (partial fill at the draw cap, like the reference's per-draw
+        refusal, scene.rs:78-92)."""
+        transforms = np.asarray(transforms, np.float32)
+        m = block.keys.shape[0]
+        assert transforms.shape == (m, 4, 4)
+        fit = min(m, constants.MAX_DRAW_CALLS - self._n)
+        if fit <= 0:
+            return m == 0
+        self._ensure(fit)
+        i = self._n
+        self._transforms[i : i + fit] = transforms[:fit]
+        self._keys[i : i + fit] = block.keys[:fit]
+        self._material_id[i : i + fit] = block.material_id[:fit]
+        self._joints_offset[i : i + fit] = block.joints_offset[:fit]
+        self._skinned[i : i + fit] = block.skinned[:fit]
+        base = len(self._sources)
+        self._source[i : i + fit] = np.arange(base, base + fit, dtype=np.int32)
+        self._sources.extend(block.sources[:fit])
+        self._n = i + fit
+        self._draws_cache = None
+        return fit == m
 
     def allocate_joint_offset(self, count: int) -> tuple[int, np.ndarray] | None:
         """Returns (offset, [count,4,4] view to write joint matrices into),
