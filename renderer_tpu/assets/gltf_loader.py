@@ -701,9 +701,19 @@ def load_gltf(
         uri = image.get("uri")
         kind = kinds.get(i, TextureKind.LINEAR_COLOR)
         if uri is not None:
+            # LAZY: header-only now (reference measure phase), full decode
+            # only if the atlas bundle cache misses (materials/atlas.py).
             ntex_path = (resource_dir / uri).with_suffix(".ntex")
-            _, mips = ntex.decode_file(ntex_path)
-            name = uri
+            header = ntex.decode_header_file(ntex_path)
+            tex = Texture(
+                None, kind, name=uri,
+                loader=lambda p=ntex_path: ntex.decode_file(p)[1],
+                shape=(header.height, header.width),
+                fingerprint=ntex.file_fingerprint(ntex_path),
+            )
+            registry.register_texture(tex)
+            images.append(tex)
+            continue
         elif "bufferView" in image:
             # Embedded image (e.g. testbox.glb): decode + generate a mip
             # chain. (The reference requires ntex uris, lib.rs:396-398; this

@@ -128,6 +128,22 @@ def _cache_dir():
     return Path(__file__).resolve().parents[2] / ".cache" / "ntex"
 
 
+def decode_header_file(path) -> NtexHeader:
+    """Header-only read (the reference's measure-phase mmap of the first
+    1 KiB, gltf/src/lib.rs:393-409) — no pixel decode."""
+    with open(path, "rb") as f:
+        return decode_header(f.read(2048))
+
+
+def file_fingerprint(path) -> str:
+    """Cheap content identity for cache keys: absolute path + size + mtime."""
+    from pathlib import Path
+
+    p = Path(path)
+    st = p.stat()
+    return f"{p.resolve()}|{st.st_size}|{st.st_mtime_ns}"
+
+
 def decode_file(path, cache: bool = True) -> tuple[NtexHeader, list[np.ndarray]]:
     """decode() for an on-disk ntex file, with a decoded-mips disk cache."""
     import hashlib

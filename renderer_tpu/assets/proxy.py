@@ -148,8 +148,13 @@ def load_gltf_proxy(
     for i, image in enumerate(gltf.get("images", [])):
         uri = image["uri"]
         ntex_path = (resource_dir / uri).with_suffix(".ntex")
-        _, mips = ntex.decode_file(ntex_path)
-        tex = Texture(mips, kinds.get(i, TextureKind.LINEAR_COLOR), name=uri)
+        header = ntex.decode_header_file(ntex_path)
+        tex = Texture(
+            None, kinds.get(i, TextureKind.LINEAR_COLOR), name=uri,
+            loader=lambda p=ntex_path: ntex.decode_file(p)[1],
+            shape=(header.height, header.width),
+            fingerprint=ntex.file_fingerprint(ntex_path),
+        )
         registry.register_texture(tex)
         images.append(tex)
     out.textures = images

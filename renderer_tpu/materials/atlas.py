@@ -50,7 +50,60 @@ def _with_wrap_border(img: np.ndarray) -> np.ndarray:
     return np.pad(img, ((1, 1), (1, 1), (0, 0)), mode="wrap")
 
 
+def _atlas_cache_file(registry: MaterialRegistry):
+    import hashlib
+    import os
+    from pathlib import Path
+
+    h = hashlib.sha1(f"atlas-v1|{ATLAS_WIDTH}|{MAX_MIPS}".encode())
+    for slot, tex in sorted(registry.textures.items()):
+        h.update(f"|{slot}|{tex.kind}|{tex.fingerprint}".encode())
+    root = os.environ.get("RENDERER_TPU_CACHE")
+    cdir = (Path(root) if root
+            else Path(__file__).resolve().parents[2] / ".cache") / "atlas"
+    return cdir / h.hexdigest()  # a DIRECTORY of raw .npy files
+
+
 def build_atlas(registry: MaterialRegistry) -> Atlas:
+    """Pack every registered texture's mips into the shared atlas. The
+    finished bundle (data/table/srgb/flat) is disk-cached by the textures'
+    content fingerprints: a warm startup loads ONE array instead of decoding
+    69 BC7 files (with lazy Textures the decode never runs at all) — the
+    SURVEY §5.4 preprocessed-bundle analog of the reference's precompiled
+    ntex assets."""
+    cdir = _atlas_cache_file(registry)
+    if cdir.is_dir():
+        try:
+            # data is ~500 MB for a Sponza-scale registry: mmap it so the
+            # open is instant and pages stream in during the device upload
+            # (an npz of the same bundle takes tens of seconds to re-read).
+            return Atlas(
+                data=np.load(cdir / "data.npy", mmap_mode="r",
+                             allow_pickle=False),
+                table=np.load(cdir / "table.npy", allow_pickle=False),
+                srgb=np.load(cdir / "srgb.npy", allow_pickle=False),
+                flat=np.load(cdir / "flat.npy", allow_pickle=False),
+            )
+        except Exception:
+            pass  # corrupt/stale bundle → rebuild
+
+    atlas = _build_atlas_uncached(registry)
+    try:
+        cdir.parent.mkdir(parents=True, exist_ok=True)
+        tmp = cdir.with_name(cdir.name + ".tmp")
+        tmp.mkdir(exist_ok=True)
+        for name, arr in (("data", atlas.data), ("table", atlas.table),
+                          ("srgb", atlas.srgb), ("flat", atlas.flat)):
+            np.save(tmp / f"{name}.npy", arr, allow_pickle=False)
+        import os
+
+        os.replace(tmp, cdir)
+    except Exception:
+        pass  # cache is an optimization only
+    return atlas
+
+
+def _build_atlas_uncached(registry: MaterialRegistry) -> Atlas:
     from renderer_tpu.raster.post import srgb_decode_np
 
     rects = []  # (slot, mip, h+2, w+2, image)

@@ -62,24 +62,68 @@ class TextureKind:
 
 class Texture:
     """A decoded RGBA8 texture with a full mip chain. `mips[i]` is a
-    [h, w, 4] u8 array; mips[0] is the base level."""
+    [h, w, 4] u8 array; mips[0] is the base level.
 
-    def __init__(self, mips: list[np.ndarray], kind: str, name: str = "") -> None:
-        assert mips, "texture needs at least one mip"
-        for m in mips:
-            assert m.dtype == np.uint8 and m.ndim == 3 and m.shape[2] == 4
-        self.mips = mips
+    May be LAZY (`mips=None` + `loader`/`shape`/`fingerprint`): the decode
+    runs only if the mips are actually needed — the two-phase
+    preload(header-only)/upload(decode) split of the reference
+    (gltf/src/lib.rs:152-175, pending_gltf.rs:122-138). With the atlas
+    bundle cache (materials/atlas.py) a warm startup never decodes at all."""
+
+    def __init__(self, mips: list[np.ndarray] | None, kind: str,
+                 name: str = "", *, loader=None, shape=None,
+                 fingerprint: str | None = None) -> None:
+        if mips is None:
+            assert loader is not None and shape is not None
+            assert fingerprint is not None, "lazy textures need a fingerprint"
+            self._mips = None
+            self._loader = loader
+            self._shape = (int(shape[0]), int(shape[1]))
+        else:
+            assert mips, "texture needs at least one mip"
+            for m in mips:
+                assert m.dtype == np.uint8 and m.ndim == 3 and m.shape[2] == 4
+            self._mips = mips
+            self._loader = None
+            self._shape = mips[0].shape[:2]
+        self._fingerprint = fingerprint
         self.kind = kind
         self.name = name
         self.slot = -1  # assigned by MaterialRegistry
 
     @property
+    def mips(self) -> list[np.ndarray]:
+        if self._mips is None:
+            mips = self._loader()
+            assert mips and mips[0].shape[:2] == self._shape, (
+                f"texture {self.name}: loader shape {mips[0].shape[:2]} != "
+                f"declared {self._shape}"
+            )
+            self._mips = mips
+        return self._mips
+
+    @property
+    def fingerprint(self) -> str:
+        """Content identity for caching (atlas bundles). Lazy textures carry
+        an explicit one (file path+size+mtime); eager textures hash their
+        pixels on first request."""
+        if self._fingerprint is None:
+            import hashlib
+
+            h = hashlib.sha1()
+            for m in self._mips:
+                h.update(repr(m.shape).encode())
+                h.update(m.tobytes())
+            self._fingerprint = "sha1:" + h.hexdigest()
+        return self._fingerprint
+
+    @property
     def width(self) -> int:
-        return self.mips[0].shape[1]
+        return self._shape[1]
 
     @property
     def height(self) -> int:
-        return self.mips[0].shape[0]
+        return self._shape[0]
 
 
 class AlphaMode:

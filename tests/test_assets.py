@@ -271,6 +271,50 @@ class TestAtlas:
         # missing mips point at the last real mip
         assert tuple(at.table[tex.slot, 5][2:]) == (16, 8)
 
+    def test_bundle_cache_roundtrip(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("RENDERER_TPU_CACHE", str(tmp_path))
+
+        def make():
+            registry = rt.MaterialRegistry()
+            rng = np.random.default_rng(1)
+            img = rng.integers(0, 255, (16, 32, 4), np.uint8).astype(np.uint8)
+            tex = rt.Texture([img, img[::2, ::2]], rt.TextureKind.SRGB_COLOR, "t")
+            registry.register_texture(tex)
+            return registry
+
+        cold = atlas_mod.build_atlas(make())
+        assert atlas_mod._atlas_cache_file(make()).exists()
+        warm = atlas_mod.build_atlas(make())
+        np.testing.assert_array_equal(cold.data, warm.data)
+        np.testing.assert_array_equal(cold.table, warm.table)
+        np.testing.assert_array_equal(cold.srgb, warm.srgb)
+        np.testing.assert_allclose(cold.flat, warm.flat)
+        # different content → different cache key
+        registry2 = rt.MaterialRegistry()
+        img2 = np.zeros((16, 32, 4), np.uint8)
+        registry2.register_texture(
+            rt.Texture([img2], rt.TextureKind.SRGB_COLOR, "t")
+        )
+        assert atlas_mod._atlas_cache_file(registry2) != \
+            atlas_mod._atlas_cache_file(make())
+
+    def test_lazy_texture_defers_decode(self):
+        calls = []
+
+        def loader():
+            calls.append(1)
+            return [np.full((4, 8, 4), 7, np.uint8)]
+
+        tex = rt.Texture(None, rt.TextureKind.LINEAR_COLOR, "z",
+                         loader=loader, shape=(4, 8), fingerprint="fp-z")
+        assert (tex.width, tex.height) == (8, 4)
+        assert tex.fingerprint == "fp-z"
+        assert not calls
+        assert tex.mips[0].shape == (4, 8, 4)
+        assert calls == [1]
+        tex.mips  # memoized
+        assert calls == [1]
+
     def test_default_textures_present(self):
         registry = rt.MaterialRegistry()
         at = atlas_mod.build_atlas(registry)
