@@ -102,6 +102,30 @@ def run_all(outdir: str = "configs_out", frames: int = 10) -> list[dict]:
     img, ms = _timed(renderer, scene, 0, frames)
     record("sandbox-lit-1080p-msaa4", img, ms)
 
+    # 6. device-resident flythrough: 16 frames (camera orbit + animation)
+    # per dispatch via lax.scan — the offline-throughput mode that amortizes
+    # the per-dispatch host/tunnel overhead bounding config 5.
+    k = 16
+    times = [1.0 + i / 30.0 for i in range(k)]
+    scenes = [full.build_scene(t) for t in times]
+    for i, (t, s) in enumerate(zip(times, scenes)):
+        ang = 0.25 * t
+        eye = np.array([5.0 * np.cos(ang), 1.8, 2.0 * np.sin(ang)], np.float32)
+        pos, orient = math3d.look_at(
+            eye, np.array([0.0, 1.5, 0.0], np.float32),
+            np.array([0, 1, 0], np.float32),
+        )
+        s.camera.position, s.camera.orientation = pos, orient
+    imgs, _stats = renderer.render_frames_device(scenes, debug_mode=0)  # compile
+    imgs.block_until_ready()
+    t0 = time.perf_counter()
+    reps = max(frames // 4, 2)
+    for _ in range(reps):
+        imgs, _stats = renderer.render_frames_device(scenes, debug_mode=0)
+    imgs.block_until_ready()
+    ms = (time.perf_counter() - t0) / (reps * k) * 1e3
+    record(f"sandbox-flythrough-batch{k}-1080p-msaa4", imgs[0], ms)
+
     # deferred readbacks (see _timed docstring)
     for name, img in pending_images:
         Image.fromarray(np.asarray(img)).save(out / f"{name}.png")

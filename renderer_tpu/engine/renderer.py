@@ -98,6 +98,11 @@ class Renderer:
             functools.partial(pipeline.render_frame, interpret=self._interpret),
             static_argnames=("config", "skin_start", "has_masked", "has_blended"),
         )
+        self._frames_fn = jax.jit(
+            functools.partial(pipeline.render_frames_scan,
+                              interpret=self._interpret),
+            static_argnames=("config", "skin_start", "has_masked", "has_blended"),
+        )
 
     # -- frame stats / overflow recovery --------------------------------------
 
@@ -204,11 +209,8 @@ class Renderer:
         return dev
 
     def _frame_arrays(self, scene: Scene, fv, gs, debug_mode: int = 0) -> dict:
-        proj, view = scene.camera.proj_view(
-            float(self.config.width), float(self.config.height), scene.world_space
-        )
         blob = draw_stream.pack_frame_blob(
-            fv, scene.joint_palette, proj @ view,
+            fv, scene.joint_palette, self._proj_view(scene),
             (gs.num_tris, gs.num_opaque_tris, gs.num_masked_tris, debug_mode),
         )
         return {"blob": jnp.asarray(blob)}
@@ -268,6 +270,46 @@ class Renderer:
                 else:
                     self._maybe_shrink_pair_capacity(host)
         return img
+
+    def render_frames_device(self, scenes, debug_mode: int = 0):
+        """Device-resident multi-frame rendering: ONE dispatch renders all
+        `scenes` (a camera path / animation timeline sharing one draw list)
+        and returns (u8 device images [K, H, W, 3], stats [K, N_STATS]).
+        Amortizes per-dispatch overhead ~K× vs. the interactive loop — the
+        offline/flythrough throughput mode (no UI pass). The last scene's
+        stats feed the overflow bookkeeping like a normal frame."""
+        assert scenes, "need at least one scene"
+        fvs = [draw_stream.frame_view(s) for s in scenes]
+        for fv in fvs[1:]:
+            assert fv.geom_key == fvs[0].geom_key, (
+                "render_frames_device: all scenes must queue the same draw "
+                "list (geometry stream is shared across the batch)"
+            )
+        gs, geom_dev = self._geometry(scenes[0], fvs[0].order, fvs[0].geom_key)
+        blobs = np.stack([
+            draw_stream.pack_frame_blob(
+                fv, scene.joint_palette, self._proj_view(scene),
+                (gs.num_tris, gs.num_opaque_tris, gs.num_masked_tris,
+                 debug_mode),
+            )
+            for fv, scene in zip(fvs, scenes)
+        ])
+        mats = self._materials()
+        imgs, stats = self._frames_fn(
+            geom_dev, jnp.asarray(blobs), mats,
+            config=self.config, skin_start=gs.skin_start,
+            has_masked=gs.num_masked_tris > 0,
+            has_blended=gs.num_tris > gs.num_opaque_tris + gs.num_masked_tris,
+        )
+        self._last_stats = stats[-1]
+        return imgs, stats
+
+    def _proj_view(self, scene: Scene) -> np.ndarray:
+        proj, view = scene.camera.proj_view(
+            float(self.config.width), float(self.config.height),
+            scene.world_space,
+        )
+        return proj @ view
 
     def render_frame(self, scene: Scene, debug_mode: int = 0,
                      ui=None) -> np.ndarray:

@@ -350,6 +350,38 @@ def render_shard(
     return img[:out_rows, : cfg.width], stats
 
 
+def render_frames_scan(
+    geom: dict,
+    blobs: jnp.ndarray,  # [K, blob_len] i32 — K packed frame blobs
+    materials: dict,
+    *,
+    config: RenderConfig,
+    skin_start: int,
+    has_masked: bool = True,
+    has_blended: bool = True,
+    interpret: bool = False,
+):
+    """Device-resident multi-frame rendering: ONE dispatch renders K frames
+    (camera path + animation states packed host-side into stacked frame
+    blobs) via lax.scan over the full single-frame pipeline. Amortizes the
+    per-dispatch host/tunnel overhead that bounds the interactive loop —
+    the TPU-native offline/flythrough throughput mode (the single-chip
+    analog of the dp mesh axis, parallel/mesh.render_frames_batched).
+    Returns (u8 [K, H, W, 3], stats i32 [K, N_STATS])."""
+
+    def body(carry, blob):
+        img, stats = render_frame(
+            geom, {"blob": blob}, materials,
+            config=config, skin_start=skin_start,
+            has_masked=has_masked, has_blended=has_blended,
+            interpret=interpret,
+        )
+        return carry, (img, stats)
+
+    _, (imgs, stats) = jax.lax.scan(body, 0, blobs)
+    return imgs, stats
+
+
 def render_frame(
     geom: dict,
     frame: dict,

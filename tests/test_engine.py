@@ -49,6 +49,29 @@ def test_msaa4_smooths_edges():
     assert uniq4 > uniq1
 
 
+def test_render_frames_device_matches_single():
+    """Device-resident multi-frame scan (one dispatch, K frames) must
+    reproduce the per-frame path bit-exactly for every frame in the batch."""
+    from renderer_tpu.core import math3d
+
+    registry, meshes, material = build_triangle_assets()
+    r = rt.Renderer(registry, rt.RenderConfig(width=160, height=96))
+
+    def scene_at(dx):
+        s = build_scene(meshes, material)
+        s.camera.position = s.camera.position + np.array([dx, 0, 0], np.float32)
+        return s
+
+    scenes = [scene_at(0.0), scene_at(0.15), scene_at(-0.15)]
+    imgs, stats = r.render_frames_device(scenes, debug_mode=3)
+    imgs = np.asarray(imgs)
+    assert imgs.shape == (3, 96, 160, 3)
+    assert np.asarray(stats).shape[0] == 3
+    for k, s in enumerate(scenes):
+        single = r.render_frame(scene_at([0.0, 0.15, -0.15][k]), debug_mode=3)
+        np.testing.assert_array_equal(imgs[k], single, err_msg=f"frame {k}")
+
+
 def test_profiler_sections_and_format():
     p = Profiler(enabled=True)
     with p.span("load"):
