@@ -126,14 +126,34 @@ def run_all(outdir: str = "configs_out", frames: int = 10) -> list[dict]:
     ms = (time.perf_counter() - t0) / (reps * k) * 1e3
     record(f"sandbox-flythrough-batch{k}-1080p-msaa4", imgs[0], ms)
 
-    # deferred readbacks (see _timed docstring)
-    for name, img in pending_images:
-        Image.fromarray(np.asarray(img)).save(out / f"{name}.png")
-
+    # results FIRST: the deferred PNG readbacks can wedge for minutes on
+    # tunneled runtimes (readback latency scales with dispatch history —
+    # see tools/readback_probe.py), and the numbers must never be lost
     (out / "results.json").write_text(json.dumps(results, indent=2))
+
+    # deferred readbacks (see _timed docstring), watchdog-bounded per image
+    import threading
+
+    for name, img in pending_images:
+        done = {}
+
+        def read(name=name, img=img):
+            done["arr"] = np.asarray(img)
+
+        th = threading.Thread(target=read, daemon=True)
+        th.start()
+        th.join(180.0)
+        if "arr" in done:
+            Image.fromarray(done["arr"]).save(out / f"{name}.png")
+        else:
+            print(f"# readback of {name} wedged; PNGs skipped", flush=True)
+            break
     return results
 
 
 if __name__ == "__main__":
     run_all(*(sys.argv[1:2] or ["configs_out"]),
             frames=int(sys.argv[2]) if len(sys.argv) > 2 else 10)
+    import os
+
+    os._exit(0)  # a wedged readback thread must not hang process exit
