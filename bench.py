@@ -29,7 +29,9 @@ def build_triangle_bench():
 
     registry, meshes, material = build_triangle_assets()
     config = rt.RenderConfig(width=1920, height=1080)
-    renderer = rt.Renderer(registry, config)
+    # "off" like the sponza path: policy "auto" reads stats back every frame,
+    # which poisons the timed loop on tunneled runtimes
+    renderer = rt.Renderer(registry, config, overflow_policy="off")
 
     def make_scene(game_time: float):
         return build_scene(meshes, material)

@@ -90,6 +90,7 @@ class Renderer:
         self.overflow_policy = overflow_policy
         self.shrink_after = shrink_after
         self._shrink_streak = 0
+        self._skip_stat_checks = 0  # frames dispatched before a capacity change
         self._geom_cache: dict = {}
         self._mat_cache: tuple[int, dict] | None = None
         self._interpret = pipeline.interpret_mode()
@@ -263,12 +264,18 @@ class Renderer:
             elif self.overflow_policy == "auto" and prev_stats is not None:
                 # one-frame-delayed check: the previous frame has completed by
                 # now (this frame was just dispatched behind it), so this host
-                # read does not stall the pipeline.
-                host = np.asarray(prev_stats)
-                if self._total_overflow(host) > 0:
-                    self._grow_pair_capacity(host)
+                # read does not stall the pipeline. A frame rendered BEFORE a
+                # capacity grow still reports the old overflow — acting on it
+                # would double-grow from one event, so skip its check.
+                if self._skip_stat_checks > 0:
+                    self._skip_stat_checks -= 1
                 else:
-                    self._maybe_shrink_pair_capacity(host)
+                    host = np.asarray(prev_stats)
+                    if self._total_overflow(host) > 0:
+                        if self._grow_pair_capacity(host):
+                            self._skip_stat_checks = 1
+                    else:
+                        self._maybe_shrink_pair_capacity(host)
         return img
 
     def render_frames_device(self, scenes, debug_mode: int = 0):

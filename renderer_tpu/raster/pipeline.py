@@ -178,9 +178,11 @@ def render_shard(
 
     def saturated_px(aux, k):
         """Pixels (inside this shard's image area) whose layered capture
-        dropped fragments past the K-layer capacity."""
+        dropped fragments past the K-layer capacity in ANY sample
+        (aux is [S, Hp, Wp]; the count is the union over samples, matching
+        STAT_NAMES' 'pixels whose capture was truncated')."""
         return jnp.sum(
-            (aux[:out_rows, : cfg.width] > k).astype(jnp.int32)
+            jnp.any(aux[:, :out_rows, : cfg.width] > k, axis=0).astype(jnp.int32)
         )
 
     def interpolants_of(tid):
@@ -241,10 +243,8 @@ def render_shard(
     if has_masked:
         lzm, ltm, aux_m = raster_layers_all(bins_masked, zs, "masked",
                                             cfg.mask_layers)
+        mask_sat = saturated_px(aux_m, cfg.mask_layers)
         for s in range(msaa):
-            mask_sat = jnp.maximum(
-                mask_sat, saturated_px(aux_m[s], cfg.mask_layers)
-            )
             lz_m.append(lzm[s])
             lt_m.append(ltm[s])
 
@@ -282,10 +282,8 @@ def render_shard(
         _, ltb, aux_b = raster_layers_all(
             bins_blended, jnp.stack(solid_z), "blended", cfg.blend_layers
         )
+        blend_sat = saturated_px(aux_b, cfg.blend_layers)
         for s in range(msaa):
-            blend_sat = jnp.maximum(
-                blend_sat, saturated_px(aux_b[s], cfg.blend_layers)
-            )
             lt_b.append(ltb[s])
 
     # -- phase 4: solid shading, once per distinct candidate -----------------
@@ -299,8 +297,12 @@ def render_shard(
     hdr = []
     for s in range(msaa):
         color, unmatched = _select(solid_tid[s], cands_s, shaded_s)
-        clamp_mask |= unmatched & (solid_tid[s] >= 0)
-        hdr.append(color[..., :3])
+        covered_s = solid_tid[s] >= 0
+        clamp_mask |= unmatched & covered_s
+        # a BACKGROUND sample whose -1 didn't fit the candidate set must
+        # resolve to the clear color, not candidate 0's fallback color
+        # (silhouette pixels against the sky would otherwise over-opaque)
+        hdr.append(jnp.where(covered_s[..., None], color[..., :3], 0.0))
 
     # -- phase 5: blended shading (deduped) + per-sample ordered composite ---
     if has_blended:
@@ -331,7 +333,7 @@ def render_shard(
             ui, config=cfg, local_tiles_y=local_tiles_y,
             tile_row_offset=tile_row_offset, interpret=interpret,
         )
-        ui_sat = saturated_px(aux_ui, cfg.ui_layers)
+        ui_sat = saturated_px(aux_ui[None], cfg.ui_layers)  # UI is 1-sample
         for k in range(cfg.ui_layers):
             rgb_k, a_k = ui_stage.shade_ui_layer(
                 lt_ui[k], ui, materials, config=cfg, row0=row0

@@ -234,11 +234,7 @@ def frame_view(scene: Scene) -> FrameView:
     return FrameView(order, sorted_keys, geom_key, pdf, pdi)
 
 
-def build_frame_arrays(
-    scene: Scene,
-    order: np.ndarray | None = None,
-    sorted_keys: np.ndarray | None = None,
-) -> dict[str, np.ndarray]:
+def build_frame_arrays(scene: Scene) -> dict[str, np.ndarray]:
     """Per-frame arrays as a dict of views over the packed FrameView
     (introspection/tests; the renderer consumes FrameView directly). Normal
     matrices are not here — they are derived from the transforms on device

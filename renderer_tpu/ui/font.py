@@ -77,11 +77,19 @@ class Font:
         rgba[..., 0] = coverage  # alpha lives in R (R8 parity)
         rgba[..., 1] = rgba[..., 2] = coverage
         rgba[..., 3] = coverage
-        self.texture = Texture([rgba], TextureKind.LINEAR_COLOR, "ui-font")
-        self._registered_in: set[int] = set()
+        self._rgba = rgba
+        # one Texture PER registry: a Texture carries the slot the registry
+        # that registered it assigned, so sharing one object across
+        # registries would leak the first registry's slot into the second
+        # (register_texture short-circuits on slot >= 0)
+        self._textures: dict[int, Texture] = {}
 
     def slot(self, registry: MaterialRegistry) -> int:
-        return registry.register_texture(self.texture)
+        tex = self._textures.get(id(registry))
+        if tex is None:
+            tex = Texture([self._rgba], TextureKind.LINEAR_COLOR, "ui-font")
+            self._textures[id(registry)] = tex
+        return registry.register_texture(tex)
 
     def text_width(self, text: str) -> int:
         return sum(self.glyphs.get(c, self.glyphs["?"]).advance for c in text)

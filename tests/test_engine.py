@@ -49,6 +49,29 @@ def test_msaa4_smooths_edges():
     assert uniq4 > uniq1
 
 
+def test_msaa_candidate_overflow_never_brightens():
+    """When a pixel references more distinct (triangle | background) values
+    across its samples than msaa_shade_candidates, the fallback must only
+    ever DARKEN (unmatched covered samples fall back and are counted in
+    shade_clamped_px; background samples must resolve to the clear color,
+    never to a candidate's color — the over-opaque-silhouette bug)."""
+    registry, meshes, material = build_triangle_assets()
+    scene = build_scene(meshes, material)
+    imgs = {}
+    for cands in (1, 4):
+        r = rt.Renderer(registry, rt.RenderConfig(
+            width=160, height=96, msaa_samples=4, msaa_shade_candidates=cands
+        ))
+        imgs[cands] = r.render_frame(scene, 1).astype(int)
+    # starved candidate set can only lose light vs the exact resolve
+    assert (imgs[1] <= imgs[4] + 1).all(), (
+        (imgs[1] - imgs[4]).max(), "background samples painted with a "
+        "candidate's color",
+    )
+    # edge pixels exist where both agree and are intermediate (sanity)
+    assert (imgs[4].sum(-1) > 0).any()
+
+
 def test_render_frames_device_matches_single():
     """Device-resident multi-frame scan (one dispatch, K frames) must
     reproduce the per-frame path bit-exactly for every frame in the batch."""
