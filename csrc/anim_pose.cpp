@@ -1,0 +1,158 @@
+// Native animation pose evaluation (the hot half of
+// assets/gltf_loader._fast_node_transforms).
+//
+// The reference evaluates keyframe animations on the CPU every frame in ~20
+// us for the demo skeleton (gltf/src/gltf_json.rs:238-286 sampling +
+// scene_queueing.rs joint palettes, README.md:85-86). The vectorized numpy
+// path costs ~0.3 ms/frame in interpreter overhead; this native pass does
+// the same work — per-channel keyframe search + LINEAR/STEP interpolation
+// (slerp for rotations), TRS composition over the cached static decompose,
+// and the parent-chain hierarchy walk — in a few microseconds. Arithmetic
+// mirrors the numpy path operation-for-operation (f64 keyframe math and
+// slerp, f32 lerp/compose/matmul) so the two stay within float tolerance;
+// the numpy path remains as the fallback and test oracle.
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+void quat_to_mat3(const float* q, float* m /*9*/) {
+  const float x = q[0], y = q[1], z = q[2], w = q[3];
+  const float xx = x * x, yy = y * y, zz = z * z;
+  const float xy = x * y, xz = x * z, yz = y * z;
+  const float wx = w * x, wy = w * y, wz = w * z;
+  m[0] = 1 - 2 * (yy + zz); m[1] = 2 * (xy - wz); m[2] = 2 * (xz + wy);
+  m[3] = 2 * (xy + wz); m[4] = 1 - 2 * (xx + zz); m[5] = 2 * (yz - wx);
+  m[6] = 2 * (xz - wy); m[7] = 2 * (yz + wx); m[8] = 1 - 2 * (xx + yy);
+}
+
+// glam Quat::slerp parity (core/math3d.quat_slerp: f64 internals,
+// shortest-path, nlerp above dot 0.9995, f32 result).
+void quat_slerp(const float* af, const float* bf, double t, float* out) {
+  double a[4] = {af[0], af[1], af[2], af[3]};
+  double b[4] = {bf[0], bf[1], bf[2], bf[3]};
+  double dot = a[0] * b[0] + a[1] * b[1] + a[2] * b[2] + a[3] * b[3];
+  if (dot < 0.0) {
+    for (int i = 0; i < 4; i++) b[i] = -b[i];
+    dot = -dot;
+  }
+  if (dot > 0.9995) {
+    double o[4], n = 0.0;
+    for (int i = 0; i < 4; i++) { o[i] = a[i] + t * (b[i] - a[i]); n += o[i] * o[i]; }
+    n = std::sqrt(n);
+    for (int i = 0; i < 4; i++) out[i] = float(o[i] / n);
+    return;
+  }
+  const double theta = std::acos(dot < -1.0 ? -1.0 : (dot > 1.0 ? 1.0 : dot));
+  const double s = std::sin(theta);
+  const double wa = std::sin((1.0 - t) * theta) / s;
+  const double wb = std::sin(t * theta) / s;
+  for (int i = 0; i < 4; i++) out[i] = float(wa * a[i] + wb * b[i]);
+}
+
+// c = a @ b for row-major 4x4 f32 (numpy matmul parity within ulp)
+void mat4_mul(const float* a, const float* b, float* c) {
+  for (int i = 0; i < 4; i++)
+    for (int j = 0; j < 4; j++) {
+      float acc = 0.0f;
+      for (int k = 0; k < 4; k++) acc += a[i * 4 + k] * b[k * 4 + j];
+      c[i * 4 + j] = acc;
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Evaluate one animation at `time` and return every node's GLOBAL pose.
+// Channel arrays are the _CompiledAnimation layout (channel c owns
+// times/values rows [offsets[c], offsets[c+1])); duplicate (slot, path)
+// channels apply in channel order (last write wins). Returns 0 on success,
+// 1 for an invalid (past-the-end) timestamp — the caller raises
+// AnimationError exactly like the numpy path.
+int anim_pose(
+    int n_channels, const int64_t* offsets, const double* times,
+    const float* values /*[total,4]*/, const int64_t* slot_of_chan,
+    const int32_t* path_id /*0=T 1=R 2=S*/, const uint8_t* step, double time,
+    int n_touched, const float* s0 /*[m,3]*/, const float* q0 /*[m,4]*/,
+    const float* t0 /*[m,3]*/, const int64_t* touched_idx /*[m]*/,
+    int n_nodes, const float* static_locals /*[n,16]*/, int n_order,
+    const int64_t* order, const int64_t* parents, float* mats /*[n,16]*/) {
+  std::vector<float> s(s0, s0 + size_t(n_touched) * 3);
+  std::vector<float> q(q0, q0 + size_t(n_touched) * 4);
+  std::vector<float> t(t0, t0 + size_t(n_touched) * 3);
+
+  for (int c = 0; c < n_channels; c++) {
+    const int64_t o = offsets[c], o1 = offsets[c + 1];
+    const int64_t count = o1 - o;
+    const double* ts = times + o;
+    float v[4];
+    if (count == 1 || time < ts[0]) {
+      std::memcpy(v, values + o * 4, 4 * sizeof(float));
+    } else {
+      // searchsorted(side="right") - 1
+      int64_t lo = 0, hi = count;
+      while (lo < hi) {
+        const int64_t mid = (lo + hi) / 2;
+        if (ts[mid] <= time) lo = mid + 1; else hi = mid;
+      }
+      const int64_t k = lo - 1;
+      if (k >= count - 1) return 1;  // past the end
+      const float* v0 = values + (o + k) * 4;
+      const float* v1 = values + (o + k + 1) * 4;
+      if (step[c]) {
+        std::memcpy(v, v0, 4 * sizeof(float));
+      } else {
+        const double frac = (time - ts[k]) / (ts[k + 1] - ts[k]);
+        if (path_id[c] == 1) {
+          if (frac == 0.0) std::memcpy(v, v0, 4 * sizeof(float));
+          else quat_slerp(v0, v1, frac, v);
+        } else {
+          const float f = float(frac);
+          for (int i = 0; i < 4; i++) v[i] = v0[i] * (1.0f - f) + v1[i] * f;
+        }
+      }
+    }
+    const int64_t slot = slot_of_chan[c];
+    switch (path_id[c]) {
+      case 0: std::memcpy(&t[slot * 3], v, 3 * sizeof(float)); break;
+      case 1: std::memcpy(&q[slot * 4], v, 4 * sizeof(float)); break;
+      case 2: std::memcpy(&s[slot * 3], v, 3 * sizeof(float)); break;
+      default: break;  // weights: callers fall back before reaching here
+    }
+  }
+
+  // locals = static poses, touched nodes overridden by T*R*S (column scale)
+  std::vector<float> locals(static_locals,
+                            static_locals + size_t(n_nodes) * 16);
+  for (int i = 0; i < n_touched; i++) {
+    float m3[9];
+    quat_to_mat3(&q[size_t(i) * 4], m3);
+    float* m = &locals[size_t(touched_idx[i]) * 16];
+    for (int r = 0; r < 3; r++)
+      for (int col = 0; col < 3; col++)
+        m[r * 4 + col] = m3[r * 3 + col] * s[size_t(i) * 3 + col];
+    m[3] = t[size_t(i) * 3 + 0];
+    m[7] = t[size_t(i) * 3 + 1];
+    m[11] = t[size_t(i) * 3 + 2];
+    m[12] = m[13] = m[14] = 0.0f;
+    m[15] = 1.0f;
+  }
+
+  // parent-chain walk in the cached DFS order (lib.rs:181-193 parity:
+  // flattened node transforms ARE re-multiplied by parents, a deliberate
+  // reference quirk — see gltf_loader.get_node_transforms)
+  for (int r = 0; r < n_order; r++) {
+    const int64_t ni = order[r], p = parents[r];
+    if (p < 0)
+      std::memcpy(mats + ni * 16, &locals[ni * 16], 16 * sizeof(float));
+    else
+      mat4_mul(mats + p * 16, &locals[ni * 16], mats + ni * 16);
+  }
+  return 0;
+}
+
+}  // extern "C"

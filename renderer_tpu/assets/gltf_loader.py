@@ -223,6 +223,14 @@ class _CompiledAnimation:
         self.step = np.array(
             [ch.interpolation == "STEP" for _, ch in chans], bool
         )
+        # native-sampler (csrc/anim_pose.cpp) layouts: raw per-channel times
+        # (no big-offset packing) + narrow dtypes
+        self.times_raw = (
+            np.concatenate([ch.times.astype(np.float64) for _, ch in chans])
+            if c else np.zeros(0)
+        )
+        self.path_id32 = self.path_id.astype(np.int32)
+        self.step_u8 = self.step.astype(np.uint8)
 
     def local_matrices(self, time: float, name) -> np.ndarray:
         """[n_touched, 4, 4] animated local transforms (T·R·S over the cached
@@ -484,6 +492,28 @@ class Gltf:
         if comp is None:
             return None
         order, parents, static = self._walk_arrays()
+
+        sampler = getattr(comp, "_native_pose", False)
+        if sampler is False:  # build once; None = library unavailable
+            from renderer_tpu.tools import native
+
+            sampler = comp._native_pose = native.make_anim_pose(
+                comp, static, order, parents
+            )
+        if sampler is not None:
+            try:
+                mats = sampler(float(time))
+            except ValueError:
+                raise AnimationError(
+                    f"animation {anim.name}: invalid timestamp {time}"
+                ) from None
+            valid = getattr(self, "_walk_valid", None)
+            if valid is None:
+                valid = np.zeros(mats.shape[0], bool)
+                valid[order] = True
+                self._walk_valid = valid
+            return mats, valid
+
         local = static.copy()
         if comp.touched:
             local[comp.touched_arr] = comp.local_matrices(time, anim.name)

@@ -51,6 +51,19 @@ def load() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
         ]
         lib.draw_prologue.restype = None
+        lib.anim_pose.argtypes = [
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_double,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.anim_pose.restype = ctypes.c_int
         _lib = lib
     except Exception:
         _load_failed = True
@@ -102,6 +115,58 @@ def draw_prologue(keys, transforms, material, joints, skinned, cap):
             pdi.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         )
     return order, sorted_keys, pdf, pdi
+
+
+def make_anim_pose(comp, static_locals, order, parents):
+    """Build the native single-animation pose evaluator
+    (csrc/anim_pose.cpp): returns `sample(time) -> mats f32 [n, 4, 4]` of
+    GLOBAL node poses, or None when the native library is unavailable
+    (caller falls back to the vectorized numpy path). The closure marshals
+    every ctypes pointer ONCE (pointer construction costs more than the
+    native call itself); the input arrays must stay alive and unmodified
+    (they are — the compiled-animation/walk caches own them). `sample`
+    raises ValueError on a past-the-end timestamp (caller converts to
+    AnimationError)."""
+    lib = load()
+    if lib is None:
+        return None
+    n_nodes = static_locals.shape[0]
+
+    def ptr(a, ct):
+        a = np.ascontiguousarray(a)
+        keep.append(a)
+        return a.ctypes.data_as(ctypes.POINTER(ct))
+
+    keep: list = []
+    fixed = (
+        comp.n_channels, ptr(comp.offsets, ctypes.c_int64),
+        ptr(comp.times_raw, ctypes.c_double),
+        ptr(comp.values, ctypes.c_float),
+        ptr(comp.slot_of_chan, ctypes.c_int64),
+        ptr(comp.path_id32, ctypes.c_int32),
+        ptr(comp.step_u8, ctypes.c_uint8),
+    )
+    fixed2 = (
+        len(comp.touched), ptr(comp.s0, ctypes.c_float),
+        ptr(comp.q0, ctypes.c_float), ptr(comp.t0, ctypes.c_float),
+        ptr(comp.touched_arr, ctypes.c_int64),
+        n_nodes, ptr(static_locals, ctypes.c_float),
+        len(order), ptr(order, ctypes.c_int64),
+        ptr(parents, ctypes.c_int64),
+    )
+    c_float_p = ctypes.POINTER(ctypes.c_float)
+    fn = lib.anim_pose
+
+    def sample(time: float) -> np.ndarray:
+        mats = np.empty((n_nodes, 4, 4), np.float32)
+        rc = fn(*fixed, float(time), *fixed2,
+                mats.ctypes.data_as(c_float_p))
+        if rc != 0:
+            raise ValueError("invalid timestamp")
+        return mats
+
+    sample._keepalive = keep  # the arrays behind the raw pointers
+    return sample
 
 
 BC7_WEIGHTS4 = np.array(
