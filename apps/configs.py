@@ -126,6 +126,33 @@ def run_all(outdir: str = "configs_out", frames: int = 10) -> list[dict]:
     ms = (time.perf_counter() - t0) / (reps * k) * 1e3
     record(f"sandbox-flythrough-batch{k}-1080p-msaa4", imgs[0], ms)
 
+    # 7. capacity stress: >1M triangles (4x Sponza-scale) through the full
+    # pipeline — exercises the max_triangles bucket and multi-million-pair
+    # binning (SURVEY §5.7 scale axis)
+    from renderer_tpu.assets import proxy as proxy_mod
+
+    sreg = rt.MaterialRegistry()
+    sbuilder = rt.VertexLibraryBuilder()
+    smeshes, smat = proxy_mod.make_stress_field(sbuilder, sreg, n_meshes=32,
+                                                tris_per_mesh=32768)
+    sbuilder.build()
+    stress_renderer = rt.Renderer(
+        sreg,
+        # 607k pairs measured for this camera; 1<<20 keeps 1.7x headroom
+        rt.RenderConfig(width=1920, height=1080, max_triangles=1 << 21,
+                        pair_capacity=1 << 20),
+        overflow_policy="off",
+    )
+    scene = rt.Scene(world_space=rt.GLTF)
+    eye = np.array([0.0, 14.0, 26.0], np.float32)
+    pos, orient = math3d.look_at(eye, np.array([0.0, 0.0, 0.0], np.float32),
+                                 np.array([0, 1, 0], np.float32))
+    scene.camera.position, scene.camera.orientation = pos, orient
+    for m in smeshes:
+        scene.queue_mesh(m, smat, None, math3d.IDENTITY)
+    img, ms = _timed(stress_renderer, scene, 0, max(frames // 2, 3))
+    record("stress-1M-tris-1080p", img, ms)
+
     # results FIRST: the deferred PNG readbacks can wedge for minutes on
     # tunneled runtimes (readback latency scales with dispatch history —
     # see tools/readback_probe.py), and the numbers must never be lost

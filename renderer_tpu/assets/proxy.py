@@ -342,3 +342,38 @@ def make_skinned_character(
         gltf_loader.Animation("sway", 0.0, float(duration), channels)
     ]
     return out
+
+
+def make_stress_field(
+    builder: VertexLibraryBuilder,
+    registry,
+    n_meshes: int = 32,
+    tris_per_mesh: int = 32768,
+    extent: float = 40.0,
+    seed: int = 7,
+):
+    """A >1M-triangle stress workload: n_meshes ripple patches tiled over a
+    square field — the capacity axis (SURVEY §5.7) exercised well beyond
+    Sponza scale (binning pair counts in the millions, triangle stream at
+    the max_triangles bucket). Returns (meshes, material)."""
+    from renderer_tpu.materials.registry import PbrMaterialParameters
+
+    material = registry.create_material(
+        "stress-field",
+        PbrMaterialParameters(base_color_factor=(0.7, 0.7, 0.75, 1.0)),
+    )
+    side = int(np.ceil(np.sqrt(n_meshes)))
+    cell = extent / side
+    meshes = []
+    for i in range(n_meshes):
+        gx, gz = i % side, i // side
+        lo = (gx * cell - extent / 2, 0.0, gz * cell - extent / 2)
+        hi = (lo[0] + cell, 2.0, lo[2] + cell)
+        # grid verts for T tris ≈ T/2 + O(sqrt(T)); headroom avoids padded
+        # degenerate triangles in _patch_geometry
+        vcount = tris_per_mesh // 2 + int(3 * np.sqrt(tris_per_mesh)) + 8
+        p, uv, n, t, idx = _patch_geometry(
+            vcount, tris_per_mesh * 3, lo, hi, seed + i
+        )
+        meshes.append(builder.add_mesh(p, uv, n, t, idx))
+    return meshes, material
