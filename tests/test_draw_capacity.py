@@ -160,3 +160,25 @@ class TestCapacityScale:
         img = r.render_frame(scene, debug_mode=1)
         assert r.frame_stats()["overflow_opaque"] == 0
         assert (img.sum(axis=-1) > 0).mean() > 0.2  # plenty of quads visible
+
+
+def test_stress_field_shape_invariants():
+    """make_stress_field must deliver exactly n x tris_per_mesh real
+    (non-degenerate-by-construction) triangles with valid mesh-local
+    indices."""
+    import renderer_tpu as rt
+    from renderer_tpu.assets import proxy
+
+    registry = rt.MaterialRegistry()
+    builder = rt.VertexLibraryBuilder()
+    meshes, mat = proxy.make_stress_field(builder, registry, n_meshes=4,
+                                          tris_per_mesh=2048)
+    lib = builder.build()
+    assert len(meshes) == 4
+    assert sum(m.index_count for m in meshes) == 4 * 2048 * 3
+    for m in meshes:
+        idx = lib.indices[m.first_index : m.first_index + m.index_count]
+        assert idx.max() < m.vertex_count
+        tris = idx.reshape(-1, 3)
+        # grid triangulation: no padded degenerate (0,0,0) triangles
+        assert (tris[:, 0] != tris[:, 1]).all()
