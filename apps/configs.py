@@ -104,7 +104,15 @@ def run_all(outdir: str = "configs_out", frames: int = 10) -> list[dict]:
 
     # 6. device-resident flythrough: 16 frames (camera orbit + animation)
     # per dispatch via lax.scan — the offline-throughput mode that amortizes
-    # the per-dispatch host/tunnel overhead bounding config 5.
+    # the per-dispatch host/tunnel overhead bounding config 5. Its own
+    # renderer: the orbit's worst frame needs ~776k binning pairs
+    # (sandbox.build_bench), far beyond config 5's fixed-camera default.
+    renderer = rt.Renderer(
+        full.registry,
+        rt.RenderConfig(width=1920, height=1080, msaa_samples=4,
+                        pair_capacity=1 << 20),
+        overflow_policy="off",
+    )
     k = 16
     times = [1.0 + i / 30.0 for i in range(k)]
     scenes = [full.build_scene(t) for t in times]

@@ -98,8 +98,8 @@ def build_bench(for_bench: bool = False):
     sandbox = Sandbox()
     # 1<<20 covers the orbit's measured worst frame (776k (tile, triangle)
     # pairs at the widest atrium angle) with 29% headroom; the binning sort
-    # is O(cap log cap) REGARDLESS of scene size, so oversizing the bucket
-    # directly costs device time (2M pairs ≈ 215 µs vs ~110 µs at 1M).
+    # and scatter are dense over the static capacity, so the bucket is
+    # sized to the scene (measure-then-allocate) rather than to the max.
     config = rt.RenderConfig(
         width=1920, height=1080, msaa_samples=4,
         pair_capacity=(1 << 20) if for_bench else (1 << 18),

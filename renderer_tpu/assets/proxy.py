@@ -362,6 +362,14 @@ def make_stress_field(
         "stress-field",
         PbrMaterialParameters(base_color_factor=(0.7, 0.7, 0.75, 1.0)),
     )
+    # round DOWN to a SQUARE-grid-exact count (2·g²): _patch_geometry
+    # zero-pads the index stream past its grid's triangles, which would
+    # silently count degenerate (0,0,0) triangles toward the stress total; a
+    # square grid is a fixed point of its gw/gh derivation, so the requested
+    # count is delivered exactly (32768 = 2·128² stays 32768)
+    g = max(int(np.sqrt(max(tris_per_mesh // 2, 1))), 1)
+    gw = gh = g
+    tris_per_mesh = 2 * g * g
     side = int(np.ceil(np.sqrt(n_meshes)))
     cell = extent / side
     meshes = []
@@ -369,9 +377,8 @@ def make_stress_field(
         gx, gz = i % side, i // side
         lo = (gx * cell - extent / 2, 0.0, gz * cell - extent / 2)
         hi = (lo[0] + cell, 2.0, lo[2] + cell)
-        # grid verts for T tris ≈ T/2 + O(sqrt(T)); headroom avoids padded
-        # degenerate triangles in _patch_geometry
-        vcount = tris_per_mesh // 2 + int(3 * np.sqrt(tris_per_mesh)) + 8
+        # exact grid verts for 2·gw·gh triangles
+        vcount = (gw + 1) * (gh + 1)
         p, uv, n, t, idx = _patch_geometry(
             vcount, tris_per_mesh * 3, lo, hi, seed + i
         )

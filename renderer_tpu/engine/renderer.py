@@ -123,33 +123,56 @@ class Renderer:
         return dict(zip(pipeline.STAT_NAMES, (int(v) for v in vals)))
 
     def _total_overflow(self, stats_host) -> int:
+        """Dropped pairs across BOTH bucket kinds (geometry [0:3] + UI [3])
+        — anything nonzero means the last checked frame lost work."""
         return int(np.sum(stats_host[:4]))
 
     def _grow_pair_capacity(self, stats_host) -> bool:
-        """Regrow the binning pair capacity to cover the reported overflow
-        (pow-2, like every other capacity bucket). Recompiles the frame."""
-        overflow = self._total_overflow(stats_host)
-        needed = self.config.pair_capacity + overflow
-        new_cap = self.config.pair_capacity
-        while new_cap < needed and new_cap < MAX_PAIR_CAPACITY:
-            new_cap *= 2
-        if new_cap == self.config.pair_capacity:
-            print(
-                f"[renderer] bin overflow of {overflow} pairs but "
-                f"pair_capacity is already at the {MAX_PAIR_CAPACITY} max; "
-                "triangles WILL be dropped",
-            )
-            return False
-        print(
-            f"[renderer] bin overflow: {overflow} (tile, triangle) pairs "
-            f"dropped; regrowing pair_capacity "
-            f"{self.config.pair_capacity} -> {new_cap} (recompiles)",
-        )
+        """Regrow whichever binning bucket overflowed — the geometry
+        pair_capacity for scene overflow ([0:3]), ui_pair_capacity for UI
+        overflow ([3]); each is pow-2 like every other capacity bucket.
+        Recompiles the frame. Returns True if any bucket grew."""
         from dataclasses import replace
 
-        self.config = replace(self.config, pair_capacity=new_cap).validate()
-        self._shrink_streak = 0
-        return True
+        def grown(name, current, overflow, max_cap):
+            needed = current + overflow
+            new = current
+            while new < needed and new < max_cap:
+                new *= 2
+            if new == current:
+                print(
+                    f"[renderer] bin overflow of {overflow} pairs but "
+                    f"{name} is already at the {max_cap} max; work WILL be "
+                    "dropped",
+                )
+                return None
+            print(
+                f"[renderer] bin overflow: {overflow} (tile, triangle) "
+                f"pairs dropped; regrowing {name} {current} -> {new} "
+                "(recompiles)",
+            )
+            return new
+
+        changed = False
+        geo = int(np.sum(stats_host[:3]))
+        if geo > 0:
+            new = grown("pair_capacity", self.config.pair_capacity, geo,
+                        MAX_PAIR_CAPACITY)
+            if new is not None:
+                self.config = replace(self.config, pair_capacity=new).validate()
+                changed = True
+        ui = int(stats_host[3])
+        if ui > 0:
+            new = grown("ui_pair_capacity", self.config.ui_pair_capacity, ui,
+                        MAX_PAIR_CAPACITY)
+            if new is not None:
+                self.config = replace(
+                    self.config, ui_pair_capacity=new
+                ).validate()
+                changed = True
+        if changed:
+            self._shrink_streak = 0
+        return changed
 
     def _maybe_shrink_pair_capacity(self, stats_host) -> None:
         """Shrink the binning bucket when the scene has sustainedly needed

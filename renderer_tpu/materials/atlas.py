@@ -89,15 +89,23 @@ def build_atlas(registry: MaterialRegistry) -> Atlas:
 
     atlas = _build_atlas_uncached(registry)
     try:
+        import os
+
         cdir.parent.mkdir(parents=True, exist_ok=True)
-        tmp = cdir.with_name(cdir.name + ".tmp")
+        # per-process tmp name: a SHARED staging dir would let two
+        # concurrent cold starts truncate each other's half-published inodes
+        # (and SIGBUS readers that already mmap'd them)
+        tmp = cdir.with_name(f"{cdir.name}.tmp{os.getpid()}")
         tmp.mkdir(exist_ok=True)
         for name, arr in (("data", atlas.data), ("table", atlas.table),
                           ("srgb", atlas.srgb), ("flat", atlas.flat)):
             np.save(tmp / f"{name}.npy", arr, allow_pickle=False)
-        import os
+        try:
+            os.replace(tmp, cdir)
+        except OSError:
+            import shutil
 
-        os.replace(tmp, cdir)
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the publish race
     except Exception:
         pass  # cache is an optimization only
     return atlas

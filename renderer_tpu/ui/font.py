@@ -81,14 +81,19 @@ class Font:
         # one Texture PER registry: a Texture carries the slot the registry
         # that registered it assigned, so sharing one object across
         # registries would leak the first registry's slot into the second
-        # (register_texture short-circuits on slot >= 0)
-        self._textures: dict[int, Texture] = {}
+        # (register_texture short-circuits on slot >= 0). Weak keys so a
+        # dead registry can't alias a recycled id and the cache can't grow
+        # unboundedly.
+        import weakref
+
+        self._textures: "weakref.WeakKeyDictionary[MaterialRegistry, Texture]" \
+            = weakref.WeakKeyDictionary()
 
     def slot(self, registry: MaterialRegistry) -> int:
-        tex = self._textures.get(id(registry))
+        tex = self._textures.get(registry)
         if tex is None:
             tex = Texture([self._rgba], TextureKind.LINEAR_COLOR, "ui-font")
-            self._textures[id(registry)] = tex
+            self._textures[registry] = tex
         return registry.register_texture(tex)
 
     def text_width(self, text: str) -> int:

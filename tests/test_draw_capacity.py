@@ -173,6 +173,17 @@ def test_stress_field_shape_invariants():
     builder = rt.VertexLibraryBuilder()
     meshes, mat = proxy.make_stress_field(builder, registry, n_meshes=4,
                                           tris_per_mesh=2048)
+    # a non-square-exact request rounds DOWN to a grid-exact count instead
+    # of zero-padding degenerate triangles (1000 → 2·22² = 968)
+    r2 = rt.MaterialRegistry()
+    b2 = rt.VertexLibraryBuilder()
+    meshes2, _ = proxy.make_stress_field(b2, r2, n_meshes=1,
+                                         tris_per_mesh=1000)
+    lib2 = b2.build()
+    assert meshes2[0].index_count == 968 * 3
+    idx2 = lib2.indices[:meshes2[0].index_count].reshape(-1, 3)
+    assert (idx2[:, 0] != idx2[:, 1]).all()
+
     lib = builder.build()
     assert len(meshes) == 4
     assert sum(m.index_count for m in meshes) == 4 * 2048 * 3

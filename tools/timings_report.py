@@ -4,7 +4,8 @@ Runs renderer_tpu.engine.stats.device_stage_timings on the bench scene at
 the bench config. Host-side timing only (block_until_ready; no device→host
 copies, which wedge tunneled runtimes — see tools/readback_probe.py).
 
-Usage: python -m tools.timings_report [msaa]
+Usage: python -m tools.timings_report [msaa] [pair_capacity]
+(defaults match the shipped bench config: msaa4, pair_capacity 1<<20)
 """
 import sys
 import time
@@ -15,11 +16,12 @@ from renderer_tpu.engine import stats
 
 def main():
     msaa = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    pair_cap = int(sys.argv[2]) if len(sys.argv) > 2 else 1 << 20
     import renderer_tpu as rt
 
     sb = sb_mod.Sandbox(with_smol_ame=True)
     config = rt.RenderConfig(width=1920, height=1080, msaa_samples=msaa,
-                             pair_capacity=1 << 21).validate()
+                             pair_capacity=pair_cap).validate()
     renderer = rt.Renderer(sb.registry, config, overflow_policy="off")
     scene = sb.build_scene(1.0)
     t0 = time.time()
