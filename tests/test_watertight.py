@@ -1,0 +1,177 @@
+"""Watertightness property test: two triangles sharing an edge (with
+DUPLICATED vertices, so each triangle computes the shared edge from its own
+vertex order — the hard case for cracks) must tile the quad with no holes
+at ANY orientation. This is the Vulkan fill-rule guarantee the raster
+kernels reimplement via the ±eps boundary band + top-left ownership
+(raster_kernel.py; reference relies on the hardware rasterizer,
+pipelines.rs fixed state)."""
+
+import numpy as np
+import pytest
+
+import renderer_tpu as rt
+from renderer_tpu.core import math3d
+
+W, H = 96, 64
+
+
+@pytest.fixture(scope="module")
+def renderer_and_assets():
+    registry = rt.MaterialRegistry()
+    builder = rt.VertexLibraryBuilder()
+    # unit quad split along the diagonal, 6 independent vertices
+    corners = {
+        "a": (-0.5, -0.5), "b": (0.5, -0.5), "c": (0.5, 0.5), "d": (-0.5, 0.5)
+    }
+
+    def vert(k):
+        x, y = corners[k]
+        return (x, y, 0.0)
+
+    # winding matches apps/triangle.py's front-facing sense (clockwise in
+    # math axes); shared diagonal a-c appears in both with opposite order
+    tri_keys = [("a", "c", "b"), ("a", "d", "c")]
+    pos = np.array([vert(k) for tri in tri_keys for k in tri], np.float32)
+    n = np.tile(np.array([[0, 0, 1]], np.float32), (6, 1))
+    t = np.tile(np.array([[1, 0, 0, 1]], np.float32), (6, 1))
+    uv = np.zeros((6, 2), np.float32)
+    mesh = builder.add_mesh(pos, uv, n, t, np.arange(6, dtype=np.uint32))
+    builder.build()
+    material = registry.create_material(
+        "flat", rt.PbrMaterialParameters(base_color_factor=(0, 1, 0, 1))
+    )
+    renderer = rt.Renderer(registry, rt.RenderConfig(width=W, height=H))
+    return renderer, mesh, material
+
+
+def _hole_pixels(covered):
+    """Background pixels whose full 8-neighborhood is covered (cracks)."""
+    interior_bg = ~covered.copy()
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy or dx:
+                interior_bg &= np.roll(np.roll(covered, dy, 0), dx, 1)
+    interior_bg[0, :] = interior_bg[-1, :] = False
+    interior_bg[:, 0] = interior_bg[:, -1] = False
+    return np.argwhere(interior_bg)
+
+
+def test_edge_through_pixel_centers_never_cracks():
+    """Adversarial exact-tie case: a 4-triangle diamond fan whose spokes run
+    EXACTLY along pixel-center rows/columns (half-pixel aligned center).
+    Every pixel on a spoke evaluates a shared edge to exactly 0 for two
+    triangles at once — the ±eps band + top-left ownership must assign each
+    exactly once (dropping the band leaves a 1-px crack down each spoke)."""
+    registry = rt.MaterialRegistry()
+    builder = rt.VertexLibraryBuilder()
+    # center at clip (1/W, 1/H) = half a pixel off the image center → lands
+    # exactly ON a pixel center
+    cx, cy = 1.0 / W, 1.0 / H
+    m = (cx, cy)
+    a, b, c, d = (cx - 0.5, cy), (cx, cy - 0.5), (cx + 0.5, cy), (cx, cy + 0.5)
+    fan = [(m, b, a), (m, c, b), (m, d, c), (m, a, d)]  # demo winding sense
+    pos = np.array([(x, y, 0.8) for tri in fan for (x, y) in tri], np.float32)
+    k = pos.shape[0]
+    n = np.tile(np.array([[0, 0, 1]], np.float32), (k, 1))
+    t = np.tile(np.array([[1, 0, 0, 1]], np.float32), (k, 1))
+    uv = np.zeros((k, 2), np.float32)
+    mesh = builder.add_mesh(pos, uv, n, t, np.arange(k, dtype=np.uint32))
+    builder.build()
+    material = registry.create_material(
+        "flat", rt.PbrMaterialParameters(base_color_factor=(0, 1, 0, 1))
+    )
+    renderer = rt.Renderer(registry, rt.RenderConfig(width=W, height=H))
+    scene = rt.Scene()
+    scene.queue_mesh(mesh, material, None, math3d.IDENTITY)
+    img = renderer.render_frame(scene, debug_mode=1)
+    covered = img.sum(axis=-1) > 0
+    assert covered.sum() > 400
+    holes = _hole_pixels(covered)
+    assert holes.size == 0, f"cracks along fan spokes at {holes[:8]}"
+
+
+def test_fill_rule_exact_tie_unit():
+    """Surgical kernel-level fill-rule test: two hand-built triangles whose
+    shared edge planes are EXACT f32 negations (the property triangle_setup
+    guarantees for shared mesh edges) with e == 0.0 exactly along pixel row
+    32. The ±eps band + top-left ownership must give that row to exactly
+    one triangle; dropping the band (e > eps only) leaves the row uncovered
+    — the crack class the random black-box test can't reliably hit (the
+    band is ~1e-4 px wide)."""
+    import jax.numpy as jnp
+
+    from renderer_tpu.raster import binning, raster_kernel
+    from renderer_tpu.raster.setup import EPS_ROW, ROWS, VALID_ROW
+
+    w, h = 128, 64
+    tc = 8  # padded triangle capacity
+    td = np.zeros((ROWS, tc), np.float32)
+
+    def tri(col, e0, e1, e2, z_c):
+        td[0:3, col] = e0
+        td[3:6, col] = e1
+        td[6:9, col] = e2
+        td[9:12, col] = (0.0, 0.0, z_c)   # constant depth plane
+        td[12:15, col] = (0.0, 0.0, 1.0)  # 1/w > 0 everywhere
+        td[15:19, col] = (0.0, 0.0, w, h)  # bbox = full screen
+        td[VALID_ROW, col] = 1.0
+        td[EPS_ROW, col] = 1e-4
+
+    wide_open = [(1.0, 0.0, 1000.0), (-1.0, 0.0, 1000.0)]
+    # tri 0 covers py >= 32.5 via edge (a=0, b=1, c=-32.5): a==0, b>0 → it
+    # OWNS the e==0 boundary. tri 1's shared edge is the exact negation
+    # (a=0, b=-1, c=+32.5): ownership False at the boundary.
+    tri(0, (0.0, 1.0, -32.5), *wide_open, z_c=0.5)
+    tri(1, (0.0, -1.0, 32.5), *wide_open, z_c=0.5)
+
+    cfg = dict(tiles_x=1, tiles_y=2, tile_w=128, tile_h=32)
+    binned, starts, counts, _ = binning.bin_triangles(
+        jnp.asarray(td), 0, 2, pair_capacity=1 << 10, **cfg
+    )
+    depth, tid = raster_kernel.rasterize_binned(
+        binned, starts, counts, padded_height=h, padded_width=w,
+        tile_h=32, tile_w=128, interpret=True,
+    )
+    tid = np.asarray(tid[0])
+    # pixel centers at py = row + 0.5; the shared edge sits at py = 32.5
+    assert (tid[33:] == 0).all(), "tri 0 must own py > 32.5"
+    assert (tid[:32] == 1).all(), "tri 1 must own py < 32.5"
+    # the exact-tie row: covered by EXACTLY the owning triangle, no crack
+    assert (tid[32] == 0).all(), (
+        f"boundary row must go to the owning triangle, got {np.unique(tid[32])}"
+    )
+
+
+def test_shared_edge_never_cracks(renderer_and_assets):
+    renderer, mesh, material = renderer_and_assets
+    rng = np.random.default_rng(42)
+    for trial in range(8):
+        angle = float(rng.uniform(0, np.pi))
+        axis = rng.normal(size=3)
+        axis[2] = abs(axis[2]) + 1.0  # keep mostly screen-facing
+        q = math3d.quat_from_axis_angle(axis / np.linalg.norm(axis),
+                                        angle * 0.4)
+        offset = rng.uniform(-0.2, 0.2, 3).astype(np.float32)
+        offset[2] = 0.8  # demo-scene depth, default camera (apps/triangle.py)
+        scene = rt.Scene()
+        scene.queue_mesh(
+            mesh, material, None,
+            math3d.trs(translation=offset, rotation=q),
+        )
+        img = renderer.render_frame(scene, debug_mode=1)
+        covered = img.sum(axis=-1) > 0
+        assert covered.sum() > 200, f"trial {trial}: quad off screen"
+        # a crack along the shared diagonal = a background pixel whose full
+        # 8-neighborhood is covered
+        interior_bg = ~covered.copy()
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy or dx:
+                    interior_bg &= np.roll(np.roll(covered, dy, 0), dx, 1)
+        # exclude the image border (roll wraps)
+        interior_bg[0, :] = interior_bg[-1, :] = False
+        interior_bg[:, 0] = interior_bg[:, -1] = False
+        holes = np.argwhere(interior_bg)
+        assert holes.size == 0, (
+            f"trial {trial} (angle {angle:.3f}): crack pixels at {holes[:5]}"
+        )
