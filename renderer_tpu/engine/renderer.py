@@ -90,6 +90,7 @@ class Renderer:
         self.overflow_policy = overflow_policy
         self.shrink_after = shrink_after
         self._shrink_streak = 0
+        self._streak_max_pairs = 0  # max total_pairs across the streak
         self._skip_stat_checks = 0  # frames dispatched before a capacity change
         self._geom_cache: dict = {}
         self._mat_cache: tuple[int, dict] | None = None
@@ -176,23 +177,35 @@ class Renderer:
 
     def _maybe_shrink_pair_capacity(self, stats_host) -> None:
         """Shrink the binning bucket when the scene has sustainedly needed
-        ≤ half of it (with 2× headroom) — see `shrink_after`."""
+        ≤ half of it (with 2× headroom) — see `shrink_after`. The target is
+        sized from the MAX total_pairs across the whole streak, not the last
+        frame, so a scene oscillating within the window (a camera swinging
+        back to a heavy angle) can never shrink below its own peak demand."""
         idx = pipeline.STAT_NAMES.index("total_pairs")
         if len(stats_host) <= idx:
             return
         total = int(stats_host[idx])
-        desired = 1 << max(14, (max(total, 1) * 2 - 1).bit_length())
-        if desired >= self.config.pair_capacity:
+        desired_now = 1 << max(14, (max(total, 1) * 2 - 1).bit_length())
+        if desired_now >= self.config.pair_capacity:
             self._shrink_streak = 0
             return
+        self._streak_max_pairs = (
+            total if self._shrink_streak == 0
+            else max(self._streak_max_pairs, total)
+        )
         self._shrink_streak += 1
         if self._shrink_streak < self.shrink_after:
             return
+        # every frame in the streak individually fit under the current
+        # capacity with headroom, so the max's bucket is a strict shrink
+        desired = 1 << max(
+            14, (max(self._streak_max_pairs, 1) * 2 - 1).bit_length()
+        )
         print(
             f"[renderer] binning bucket oversized for {self._shrink_streak} "
-            f"consecutive frames (scene needs ~{total} pairs); shrinking "
-            f"pair_capacity {self.config.pair_capacity} -> {desired} "
-            "(recompiles)",
+            f"consecutive frames (streak peak ~{self._streak_max_pairs} "
+            f"pairs); shrinking pair_capacity {self.config.pair_capacity} "
+            f"-> {desired} (recompiles)",
         )
         from dataclasses import replace
 
@@ -306,8 +319,14 @@ class Renderer:
         `scenes` (a camera path / animation timeline sharing one draw list)
         and returns (u8 device images [K, H, W, 3], stats [K, N_STATS]).
         Amortizes per-dispatch overhead ~K× vs. the interactive loop — the
-        offline/flythrough throughput mode (no UI pass). The last scene's
-        stats feed the overflow bookkeeping like a normal frame."""
+        offline/flythrough throughput mode (no UI pass).
+
+        Overflow policy applies to the MAX over all K frames' stats rows (no
+        frame's dropped work can hide behind a clean final frame): "sync"
+        re-renders the whole batch at grown capacity until clean, "auto"
+        grows for the next call and logs loudly, "off" leaves verification
+        to the caller via the returned stats (timed loops — any host read
+        here would sync the dispatch)."""
         assert scenes, "need at least one scene"
         fvs = [draw_stream.frame_view(s) for s in scenes]
         for fv in fvs[1:]:
@@ -325,12 +344,29 @@ class Renderer:
             for fv, scene in zip(fvs, scenes)
         ])
         mats = self._materials()
-        imgs, stats = self._frames_fn(
-            geom_dev, jnp.asarray(blobs), mats,
-            config=self.config, skin_start=gs.skin_start,
-            has_masked=gs.num_masked_tris > 0,
-            has_blended=gs.num_tris > gs.num_opaque_tris + gs.num_masked_tris,
-        )
+
+        def dispatch():
+            return self._frames_fn(
+                geom_dev, jnp.asarray(blobs), mats,
+                config=self.config, skin_start=gs.skin_start,
+                has_masked=gs.num_masked_tris > 0,
+                has_blended=gs.num_tris > gs.num_opaque_tris + gs.num_masked_tris,
+            )
+
+        imgs, stats = dispatch()
+        if self.overflow_policy != "off":
+            # batch-wide overflow check: the worst frame's stats, not the
+            # last frame's (a frame mid-batch must not drop work silently)
+            for _ in range(8):
+                host = np.asarray(jnp.max(stats, axis=0))
+                if self._total_overflow(host) == 0:
+                    self._maybe_shrink_pair_capacity(host)
+                    break
+                if not self._grow_pair_capacity(host):
+                    break
+                if self.overflow_policy != "sync":
+                    break  # grown for the next call; this batch stays as-is
+                imgs, stats = dispatch()
         self._last_stats = stats[-1]
         return imgs, stats
 

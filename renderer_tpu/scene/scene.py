@@ -238,28 +238,32 @@ class Scene:
     ) -> bool:
         """Queue N instances of one mesh in a single vectorized call — the
         capacity-scale path (equal sort keys merge into one instanced command
-        exactly like N queue_mesh calls, renderer.rs:236-254)."""
+        exactly like N queue_mesh calls, renderer.rs:236-254). Partial-fills
+        at MAX_DRAW_CALLS and returns False when any instance was refused —
+        the same per-draw refusal contract as queue_mesh/queue_block
+        (scene.rs:78-92)."""
         transforms = np.asarray(transforms, np.float32)
         n = transforms.shape[0]
         assert transforms.shape[1:] == (4, 4)
-        if self._n + n > constants.MAX_DRAW_CALLS:
-            return False
         assert mesh.skinned == (joints_offset is not None)
-        self._ensure(n)
+        fit = min(n, constants.MAX_DRAW_CALLS - self._n)
+        if fit <= 0:
+            return n == 0
+        self._ensure(fit)
         i = self._n
-        self._transforms[i : i + n] = transforms
-        self._keys[i : i + n] = _pack_key(
+        self._transforms[i : i + fit] = transforms[:fit]
+        self._keys[i : i + fit] = _pack_key(
             pipeline_index(material, mesh.skinned),
             mesh.library.library_id, mesh.mesh_id, material.id, joints_offset,
         )
-        self._material_id[i : i + n] = material.id
-        self._joints_offset[i : i + n] = 0 if joints_offset is None else joints_offset
-        self._skinned[i : i + n] = 0 if joints_offset is None else 1
-        self._source[i : i + n] = len(self._sources)
+        self._material_id[i : i + fit] = material.id
+        self._joints_offset[i : i + fit] = 0 if joints_offset is None else joints_offset
+        self._skinned[i : i + fit] = 0 if joints_offset is None else 1
+        self._source[i : i + fit] = len(self._sources)
         self._sources.append((mesh, material))
-        self._n = i + n
+        self._n = i + fit
         self._draws_cache = None
-        return True
+        return fit == n
 
     def queue_block(self, block: DrawBlock, transforms: np.ndarray) -> bool:
         """Queue a precomputed DrawBlock with per-draw transforms [M, 4, 4]

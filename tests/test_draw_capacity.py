@@ -103,6 +103,26 @@ class TestVectorizedPrologue:
         assert scene.queue_instanced(meshes[0], mats[0], big)
         assert not scene.queue_mesh(meshes[0], mats[0], None, math3d.IDENTITY)
         assert not scene.queue_instanced(meshes[0], mats[0], big[:1])
+        assert scene.draw_count == constants.MAX_DRAW_CALLS
+
+    def test_instanced_partial_fills_like_queue_block(self):
+        """One refusal contract across queueing paths (scene.rs:78-92
+        per-draw refusal): at the cap, queue_instanced keeps the instances
+        that fit and reports False — not all-or-nothing."""
+        registry, _b, meshes, mats = _assets()
+        scene = rt.Scene()
+        head = np.tile(np.eye(4, dtype=np.float32),
+                       (constants.MAX_DRAW_CALLS - 5, 1, 1))
+        assert scene.queue_instanced(meshes[0], mats[0], head)
+        tail = np.tile(np.eye(4, dtype=np.float32), (10, 1, 1))
+        tail[:, 0, 3] = np.arange(10)
+        assert not scene.queue_instanced(meshes[1], mats[1], tail)
+        assert scene.draw_count == constants.MAX_DRAW_CALLS
+        # the 5 that fit are the FIRST 5, in order
+        kept = scene.draws[-5:]
+        for i, d in enumerate(kept):
+            assert d.mesh is meshes[1]
+            assert d.transform[0, 3] == i
 
 
 class TestCapacityScale:

@@ -186,6 +186,93 @@ class TestTotalPairsAndShrink:
         assert r.config.pair_capacity * 2 >= r.frame_stats()["total_pairs"]
 
 
+class TestShrinkUsesStreakPeak:
+    CFG = dict(width=128, height=64, tile_h=16)
+
+    def test_oscillating_scene_never_shrinks_below_peak(self):
+        """A scene alternating light/heavy within the shrink window must
+        size the shrunk bucket from the streak's PEAK total_pairs — sizing
+        from the last (light) frame would drop the next heavy frame's work
+        (advisor finding, round 2)."""
+        registry, heavy_scene, _m = _many_quads_scene(n=32)
+        light = rt.Scene()  # empty: near-zero pairs
+        r = rt.Renderer(
+            registry,
+            rt.RenderConfig(pair_capacity=1 << 18, **self.CFG),
+            overflow_policy="auto", shrink_after=4,
+        )
+        peak = 0
+        for i in range(8):
+            scene = heavy_scene if i % 2 == 0 else light
+            r.render_frame(scene, debug_mode=1)
+            peak = max(peak, r.frame_stats()["total_pairs"])
+        # shrink has happened (bucket was 8x oversized even for the peak)…
+        assert r.config.pair_capacity < (1 << 18)
+        # …but never below 2x the heaviest frame in any streak
+        assert r.config.pair_capacity >= peak, (r.config.pair_capacity, peak)
+        # and heavy frames still render complete at the shrunk capacity
+        r.render_frame(heavy_scene, debug_mode=1)
+        assert r.frame_stats()["overflow_opaque"] == 0
+
+
+class TestBatchOverflowPolicy:
+    CFG = dict(width=128, height=64, tile_h=16)
+
+    def _scenes(self):
+        """Two-scene batch sharing one draw list: frame 0 sees the quads
+        (many pairs), frame 1 looks away (near-zero pairs) — overflow mid-
+        batch must not hide behind the clean final frame."""
+        from renderer_tpu.core import math3d as m3
+        from tests.test_alpha_modes import quad
+
+        registry = rt.MaterialRegistry()
+        builder = rt.VertexLibraryBuilder()
+        meshes = [quad(builder, 1.2 + 0.02 * i, half=0.9) for i in range(32)]
+        builder.build()
+        mat = registry.create_material(
+            "gray", rt.PbrMaterialParameters(base_color_factor=(0.5, 0.5, 0.5, 1))
+        )
+        self._keep = (registry, meshes, mat)
+
+        def make():
+            s = rt.Scene()
+            for m in meshes:
+                s.queue_mesh(m, mat, None, math3d.IDENTITY)
+            return s
+
+        scene, away = make(), make()
+        away.camera.orientation = m3.quat_from_axis_angle([0, 1, 0], np.pi)
+        return registry, [scene, away]
+
+    def test_sync_policy_rerenders_whole_batch(self):
+        registry, scenes = self._scenes()
+        r = rt.Renderer(
+            registry, rt.RenderConfig(pair_capacity=32, **self.CFG),
+            overflow_policy="sync",
+        )
+        imgs, stats = r.render_frames_device(scenes, debug_mode=1)
+        assert r.config.pair_capacity > 32
+        host = np.asarray(stats)
+        assert host[:, :4].sum() == 0, host  # every frame complete
+        ample = rt.Renderer(registry, rt.RenderConfig(**self.CFG))
+        ref, _ = ample.render_frames_device(scenes, debug_mode=1)
+        np.testing.assert_array_equal(np.asarray(imgs), np.asarray(ref))
+
+    def test_auto_policy_grows_for_next_batch(self):
+        registry, scenes = self._scenes()
+        r = rt.Renderer(
+            registry, rt.RenderConfig(pair_capacity=32, **self.CFG),
+            overflow_policy="auto",
+        )
+        _imgs, stats = r.render_frames_device(scenes, debug_mode=1)
+        # frame 0 overflowed (and the check saw it despite frame 1 being
+        # clean); the NEXT batch runs at grown capacity
+        assert np.asarray(stats)[0, :4].sum() > 0
+        assert r.config.pair_capacity > 32
+        _imgs2, stats2 = r.render_frames_device(scenes, debug_mode=1)
+        assert np.asarray(stats2)[:, :4].sum() == 0
+
+
 class TestBinOverflow:
     CFG = dict(width=128, height=64, tile_h=16)
 
