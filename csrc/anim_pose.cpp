@@ -63,6 +63,110 @@ void mat4_mul(const float* a, const float* b, float* c) {
     }
 }
 
+// math3d.mat3_to_quat parity (Shepperd branches, f64 internals, f32 out).
+void mat3_to_quat(const double m[3][3], float* q /*xyzw*/) {
+  const double t = m[0][0] + m[1][1] + m[2][2];
+  double w, x, y, z;
+  if (t > 0.0) {
+    const double s = std::sqrt(t + 1.0) * 2.0;
+    w = 0.25 * s;
+    x = (m[2][1] - m[1][2]) / s;
+    y = (m[0][2] - m[2][0]) / s;
+    z = (m[1][0] - m[0][1]) / s;
+  } else if (m[0][0] > m[1][1] && m[0][0] > m[2][2]) {
+    const double s = std::sqrt(1.0 + m[0][0] - m[1][1] - m[2][2]) * 2.0;
+    w = (m[2][1] - m[1][2]) / s;
+    x = 0.25 * s;
+    y = (m[0][1] + m[1][0]) / s;
+    z = (m[0][2] + m[2][0]) / s;
+  } else if (m[1][1] > m[2][2]) {
+    const double s = std::sqrt(1.0 + m[1][1] - m[0][0] - m[2][2]) * 2.0;
+    w = (m[0][2] - m[2][0]) / s;
+    x = (m[0][1] + m[1][0]) / s;
+    y = 0.25 * s;
+    z = (m[1][2] + m[2][1]) / s;
+  } else {
+    const double s = std::sqrt(1.0 + m[2][2] - m[0][0] - m[1][1]) * 2.0;
+    w = (m[1][0] - m[0][1]) / s;
+    x = (m[0][2] + m[2][0]) / s;
+    y = (m[1][2] + m[2][1]) / s;
+    z = 0.25 * s;
+  }
+  q[0] = float(x); q[1] = float(y); q[2] = float(z); q[3] = float(w);
+}
+
+// gltf_loader._decompose_trs parity (glam to_scale_rotation_translation
+// behavior): f64 column norms, determinant SIGN via cofactor expansion
+// (the numpy path consumes only the sign of its LAPACK determinant).
+void decompose_trs(const float* m /*16 row-major f32*/, float* s3, float* q4,
+                   float* t3) {
+  double c[3][3];
+  for (int r = 0; r < 3; r++)
+    for (int j = 0; j < 3; j++) c[r][j] = double(m[r * 4 + j]);
+  t3[0] = m[3]; t3[1] = m[7]; t3[2] = m[11];
+  const double det = c[0][0] * (c[1][1] * c[2][2] - c[1][2] * c[2][1]) -
+                     c[0][1] * (c[1][0] * c[2][2] - c[1][2] * c[2][0]) +
+                     c[0][2] * (c[1][0] * c[2][1] - c[1][1] * c[2][0]);
+  const double sign = det < 0.0 ? -1.0 : 1.0;
+  double scale[3];
+  for (int j = 0; j < 3; j++)
+    scale[j] = std::sqrt(c[0][j] * c[0][j] + c[1][j] * c[1][j] +
+                         c[2][j] * c[2][j]);
+  scale[0] *= sign;
+  double rot[3][3];
+  for (int j = 0; j < 3; j++) {
+    const double safe = std::abs(scale[j]) > 1e-12 ? scale[j] : 1.0;
+    for (int r = 0; r < 3; r++) rot[r][j] = c[r][j] / safe;
+  }
+  mat3_to_quat(rot, q4);
+  for (int j = 0; j < 3; j++) s3[j] = float(scale[j]);
+}
+
+// One channel's keyframe sample at `time` into v[4] (the body of the
+// channel loop in anim_pose, shared with the multi-animation path).
+// Returns false on a past-the-end timestamp.
+bool sample_channel(const double* ts, const float* vals, int64_t count,
+                    bool is_step, bool is_rot, double time, float v[4]) {
+  if (count == 1 || time < ts[0]) {
+    std::memcpy(v, vals, 4 * sizeof(float));
+    return true;
+  }
+  int64_t lo = 0, hi = count;
+  while (lo < hi) {  // searchsorted(side="right")
+    const int64_t mid = (lo + hi) / 2;
+    if (ts[mid] <= time) lo = mid + 1; else hi = mid;
+  }
+  const int64_t k = lo - 1;
+  if (k >= count - 1) return false;  // past the end
+  const float* v0 = vals + k * 4;
+  const float* v1 = vals + (k + 1) * 4;
+  if (is_step) {
+    std::memcpy(v, v0, 4 * sizeof(float));
+  } else {
+    const double frac = (time - ts[k]) / (ts[k + 1] - ts[k]);
+    if (is_rot) {
+      if (frac == 0.0) std::memcpy(v, v0, 4 * sizeof(float));
+      else quat_slerp(v0, v1, frac, v);
+    } else {
+      const float f = float(frac);
+      for (int i = 0; i < 4; i++) v[i] = v0[i] * (1.0f - f) + v1[i] * f;
+    }
+  }
+  return true;
+}
+
+// T*R*S compose into a row-major 4x4 (column scaling), matching
+// math3d.trs_batch / the compose in anim_pose.
+void compose_trs(const float* s, const float* q, const float* t, float* m) {
+  float m3[9];
+  quat_to_mat3(q, m3);
+  for (int r = 0; r < 3; r++)
+    for (int col = 0; col < 3; col++) m[r * 4 + col] = m3[r * 3 + col] * s[col];
+  m[3] = t[0]; m[7] = t[1]; m[11] = t[2];
+  m[12] = m[13] = m[14] = 0.0f;
+  m[15] = 1.0f;
+}
+
 }  // namespace
 
 extern "C" {
@@ -145,6 +249,75 @@ int anim_pose(
   // parent-chain walk in the cached DFS order (lib.rs:181-193 parity:
   // flattened node transforms ARE re-multiplied by parents, a deliberate
   // reference quirk — see gltf_loader.get_node_transforms)
+  for (int r = 0; r < n_order; r++) {
+    const int64_t ni = order[r], p = parents[r];
+    if (p < 0)
+      std::memcpy(mats + ni * 16, &locals[ni * 16], 16 * sizeof(float));
+    else
+      mat4_mul(mats + p * 16, &locals[ni * 16], mats + ni * 16);
+  }
+  return 0;
+}
+
+// Layered evaluation of N playing animations (the fast analog of
+// gltf/src/lib.rs:199-230 applied per playing animation in play order,
+// scene_queueing.rs:17-57): each animation's TRS base is the DECOMPOSE of
+// the accumulated local transform for nodes an earlier animation already
+// touched, and the baked static decompose otherwise. All channel/touched
+// arrays are the per-animation _CompiledAnimation layouts CONCATENATED in
+// play order; chan_off/touch_off give each animation's ranges. Returns 0 on
+// success, 1 + anim index for an invalid timestamp.
+int anim_pose_multi(
+    int n_anims, const int64_t* chan_off /*[n_anims+1]*/,
+    const int64_t* offsets /*[total_chans+1] global rows*/,
+    const double* times, const float* values /*[total,4]*/,
+    const int64_t* slot_of_chan /*anim-local slots*/,
+    const int32_t* path_id, const uint8_t* step,
+    const double* query_times /*[n_anims]*/,
+    const int64_t* touch_off /*[n_anims+1]*/,
+    const float* s0 /*[total_touched,3]*/, const float* q0 /*[·,4]*/,
+    const float* t0 /*[·,3]*/, const int64_t* touched_idx /*[·]*/,
+    int n_nodes, const float* static_locals /*[n,16]*/, int n_order,
+    const int64_t* order, const int64_t* parents, float* mats /*[n,16]*/) {
+  std::vector<float> locals(static_locals,
+                            static_locals + size_t(n_nodes) * 16);
+  std::vector<uint8_t> touched(size_t(n_nodes), 0);
+  std::vector<float> s, q, t;
+  for (int a = 0; a < n_anims; a++) {
+    const int64_t tb = touch_off[a], te = touch_off[a + 1];
+    const int64_t m = te - tb;
+    if (m == 0) continue;
+    s.assign(s0 + tb * 3, s0 + te * 3);
+    q.assign(q0 + tb * 4, q0 + te * 4);
+    t.assign(t0 + tb * 3, t0 + te * 3);
+    for (int64_t i = 0; i < m; i++) {  // re-touched: base = decompose(now)
+      const int64_t node = touched_idx[tb + i];
+      if (touched[node])
+        decompose_trs(&locals[size_t(node) * 16], &s[i * 3], &q[i * 4],
+                      &t[i * 3]);
+    }
+    const double time = query_times[a];
+    for (int64_t c = chan_off[a]; c < chan_off[a + 1]; c++) {
+      float v[4];
+      if (!sample_channel(times + offsets[c], values + offsets[c] * 4,
+                          offsets[c + 1] - offsets[c], step[c],
+                          path_id[c] == 1, time, v))
+        return 1 + a;
+      const int64_t slot = slot_of_chan[c];
+      switch (path_id[c]) {
+        case 0: std::memcpy(&t[slot * 3], v, 3 * sizeof(float)); break;
+        case 1: std::memcpy(&q[slot * 4], v, 4 * sizeof(float)); break;
+        case 2: std::memcpy(&s[slot * 3], v, 3 * sizeof(float)); break;
+        default: break;  // weights: callers fall back before reaching here
+      }
+    }
+    for (int64_t i = 0; i < m; i++) {
+      const int64_t node = touched_idx[tb + i];
+      compose_trs(&s[i * 3], &q[i * 4], &t[i * 3],
+                  &locals[size_t(node) * 16]);
+      touched[node] = 1;
+    }
+  }
   for (int r = 0; r < n_order; r++) {
     const int64_t ni = order[r], p = parents[r];
     if (p < 0)

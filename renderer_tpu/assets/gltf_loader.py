@@ -169,6 +169,7 @@ class _CompiledAnimation:
     as the oracle (tests/test_assets.py) and the multi-animation fallback."""
 
     def __init__(self, anim: "Animation", nodes: list["Node"]):
+        self.nodes_ref = nodes  # identity of the node list baked against
         chans: list[tuple[int, AnimationChannel]] = []
         self.touched: list[int] = []  # node indices that have a channel list
         self.has_weights = False
@@ -232,12 +233,19 @@ class _CompiledAnimation:
         self.path_id32 = self.path_id.astype(np.int32)
         self.step_u8 = self.step.astype(np.uint8)
 
-    def local_matrices(self, time: float, name) -> np.ndarray:
+    def local_matrices(self, time: float, name, base=None) -> np.ndarray:
         """[n_touched, 4, 4] animated local transforms (T·R·S over the cached
-        static decompose, channel overrides applied in channel order)."""
-        s = self.s0.copy()
-        q = self.q0.copy()
-        t = self.t0.copy()
+        static decompose, channel overrides applied in channel order).
+
+        `base` — optional (s [m,3], q [m,4], t [m,3]) replacing the baked
+        static decompose per touched slot: the animation-layering path
+        (multiple playing animations) re-decomposes the PREVIOUS animation's
+        output for nodes both animations touch (lib.rs:199-230 starts each
+        animation's TRS from the accumulated result)."""
+        s, q, t = (
+            (self.s0.copy(), self.q0.copy(), self.t0.copy())
+            if base is None else base
+        )
         if self.n_channels:
             qtime = float(time) + np.arange(self.n_channels) * self.big
             k = np.searchsorted(self.times, qtime, side="right") - 1 - self.offsets[:-1]
@@ -275,7 +283,10 @@ class _CompiledAnimation:
 
 
 def _compiled_animation(anim: "Animation", nodes) -> _CompiledAnimation | None:
-    if anim._compiled is None:
+    # re-bake if the cache was built against a different Gltf's node list
+    # (an Animation reused across models must not serve the other model's
+    # baked static TRS)
+    if anim._compiled is None or anim._compiled.nodes_ref is not nodes:
         anim._compiled = _CompiledAnimation(anim, nodes)
     comp = anim._compiled
     return None if comp.has_weights else comp
@@ -298,6 +309,34 @@ def _decompose_trs(m: np.ndarray):
     return scale.astype(np.float32), math3d.mat3_to_quat(rot), t.astype(np.float32)
 
 
+def _decompose_trs_batch(ms: np.ndarray):
+    """Batched _decompose_trs: [N,4,4] → (scale [N,3] f32, quat [N,4] f32,
+    translation [N,3] f32). Same f64 math per row (cofactor determinant in
+    place of the LAPACK one — only its SIGN is consumed)."""
+    m = np.asarray(ms, np.float64)
+    t = m[:, :3, 3]
+    c = m[:, :3, :3]
+    det = (
+        c[:, 0, 0] * (c[:, 1, 1] * c[:, 2, 2] - c[:, 1, 2] * c[:, 2, 1])
+        - c[:, 0, 1] * (c[:, 1, 0] * c[:, 2, 2] - c[:, 1, 2] * c[:, 2, 0])
+        + c[:, 0, 2] * (c[:, 1, 0] * c[:, 2, 1] - c[:, 1, 1] * c[:, 2, 0])
+    )
+    sign = np.sign(det)
+    sign = np.where(sign == 0.0, 1.0, sign)
+    norms = np.sqrt(
+        c[:, 0, :] * c[:, 0, :] + c[:, 1, :] * c[:, 1, :]
+        + c[:, 2, :] * c[:, 2, :]
+    )  # [N,3] column norms
+    scale = norms * np.stack([sign, np.ones_like(sign), np.ones_like(sign)], -1)
+    safe = np.where(np.abs(scale) > 1e-12, scale, 1.0)
+    rot = c / safe[:, None, :]
+    return (
+        scale.astype(np.float32),
+        math3d.mat3_to_quat_batch(rot),
+        t.astype(np.float32),
+    )
+
+
 class Gltf:
     """A loaded glTF model: meshes+materials in device-ready form, node
     hierarchy, skins and animations (reference Gltf, gltf/src/lib.rs:101-150).
@@ -313,6 +352,23 @@ class Gltf:
         self.materials: list[Material] = []
         self.textures: list[Texture] = []
         self._walk = None  # cached (order, parent, static_locals) arrays
+
+    def invalidate_caches(self) -> None:
+        """Drop every derived cache: compiled animations (with their baked
+        static TRS decomposes and native-sampler pointers), the hierarchy
+        walk arrays, and the queue-order row split.
+
+        The fast paths snapshot `Node.transform` (and the node graph) at
+        first use; nodes are treated as IMMUTABLE afterwards — mutate a node
+        transform, reparent nodes, or edit animation channels only if you
+        call this afterwards, or subsequent frames serve stale poses that
+        diverge from the sequential oracle path."""
+        self._walk = None
+        self._walk_valid = None
+        self._rows_cache = None
+        self._multi_cache = None
+        for a in self.animations:
+            a._compiled = None
 
     # -- queueing (scene_queueing.rs) -------------------------------------
 
@@ -481,16 +537,30 @@ class Gltf:
             )
         return self._walk
 
+    def _valid_mask(self, n: int, order) -> np.ndarray:
+        valid = getattr(self, "_walk_valid", None)
+        if valid is None:
+            valid = np.zeros(n, bool)
+            valid[order] = True
+            self._walk_valid = valid
+        return valid
+
     def _fast_node_transforms(self, playing_animations):
-        """Vectorized single-animation pose evaluation: (mats [n, 4, 4] f32,
-        valid [n] bool) or None when the sequential path must run (several
-        animations layered, or morph-target channels)."""
-        if len(playing_animations) != 1:
+        """Vectorized pose evaluation for any number of playing animations:
+        (mats [n, 4, 4] f32, valid [n] bool) or None when the sequential
+        path must run (morph-target channels)."""
+        if len(playing_animations) == 0:
             return None
+        comps = []
+        for _t, anim in playing_animations:
+            comp = _compiled_animation(anim, self.nodes)
+            if comp is None:
+                return None  # morph channels → sequential path (which raises)
+            comps.append(comp)
+        if len(playing_animations) > 1:
+            return self._layered_node_transforms(playing_animations, comps)
         time, anim = playing_animations[0]
-        comp = _compiled_animation(anim, self.nodes)
-        if comp is None:
-            return None
+        comp = comps[0]
         order, parents, static = self._walk_arrays()
 
         sampler = getattr(comp, "_native_pose", False)
@@ -507,24 +577,71 @@ class Gltf:
                 raise AnimationError(
                     f"animation {anim.name}: invalid timestamp {time}"
                 ) from None
-            valid = getattr(self, "_walk_valid", None)
-            if valid is None:
-                valid = np.zeros(mats.shape[0], bool)
-                valid[order] = True
-                self._walk_valid = valid
-            return mats, valid
+            return mats, self._valid_mask(mats.shape[0], order)
 
         local = static.copy()
         if comp.touched:
             local[comp.touched_arr] = comp.local_matrices(time, anim.name)
+        return self._chain_walk(local, order, parents)
+
+    def _chain_walk(self, local, order, parents):
+        """Sequential parent-chain multiply (inherent data dependence; the
+        order array makes it a tight loop of 4x4 matmuls)."""
         mats = np.empty_like(local)
-        valid = np.zeros(local.shape[0], bool)
-        # sequential parent-chain multiply (inherent data dependence; the
-        # order array makes it a tight loop of 4x4 matmuls)
         for ni, p in zip(order.tolist(), parents.tolist()):
             mats[ni] = local[ni] if p < 0 else mats[p] @ local[ni]
-            valid[ni] = True
-        return mats, valid
+        return mats, self._valid_mask(local.shape[0], order)
+
+    def _layered_node_transforms(self, playing_animations, comps):
+        """N ≥ 2 playing animations layered in play order — the fast analog
+        of the sequential oracle (lib.rs:181-230 via scene_queueing.rs:17-57):
+        each animation's TRS starts from the DECOMPOSE of the accumulated
+        result for nodes an earlier playing animation already touched, and
+        from the baked static decompose otherwise."""
+        order, parents, static = self._walk_arrays()
+
+        # native full path (sample + layer + decompose + chain), cached per
+        # compiled-animation tuple (rebaked comps produce a fresh key)
+        key = tuple(id(c) for c in comps)
+        cache = getattr(self, "_multi_cache", None)
+        if cache is None:
+            cache = self._multi_cache = {}
+        sampler = cache.get(key, False)
+        if sampler is False:
+            from renderer_tpu.tools import native
+
+            sampler = cache[key] = native.make_anim_pose_multi(
+                comps, static, order, parents
+            )
+        times = [float(t) for t, _ in playing_animations]
+        if sampler is not None:
+            try:
+                mats = sampler(times)
+            except ValueError as e:
+                k = int(e.args[0]) if e.args and isinstance(e.args[0], int) else 0
+                anim = playing_animations[k][1]
+                raise AnimationError(
+                    f"animation {anim.name}: invalid timestamp {times[k]}"
+                ) from None
+            return mats, self._valid_mask(mats.shape[0], order)
+
+        # numpy fallback: identical layering, vectorized per animation
+        local = static.copy()
+        touched = np.zeros(static.shape[0], bool)
+        for (time, anim), comp in zip(playing_animations, comps):
+            if not comp.touched:
+                continue
+            idx = comp.touched_arr
+            prev = touched[idx]
+            base = None
+            if prev.any():
+                s, q, t0 = comp.s0.copy(), comp.q0.copy(), comp.t0.copy()
+                ds, dq, dt = _decompose_trs_batch(local[idx[prev]])
+                s[prev], q[prev], t0[prev] = ds, dq, dt
+                base = (s, q, t0)
+            local[idx] = comp.local_matrices(time, anim.name, base=base)
+            touched[idx] = True
+        return self._chain_walk(local, order, parents)
 
     def _animated_transform(self, node_index, playing_animations) -> np.ndarray:
         node = self.nodes[node_index]
@@ -623,11 +740,20 @@ class _Accessors:
         if stride is None or stride == elem_size:
             arr = np.frombuffer(data, dtype, count=count * ncomp, offset=start)
             return arr.reshape(count, ncomp)
-        out = np.empty((count, ncomp), dtype)
-        for i in range(count):
-            o = start + i * stride
-            out[i] = np.frombuffer(data, dtype, count=ncomp, offset=o)
-        return out
+        # interleaved view (byteStride > element size): one strided window
+        # over the raw bytes + one contiguous copy — no per-element Python
+        # (Sponza interleaves all vertex attributes in one view,
+        # lib.rs:607-649)
+        if count == 0:
+            return np.zeros((0, ncomp), dtype)
+        raw = np.frombuffer(
+            data, np.uint8, count=stride * (count - 1) + elem_size,
+            offset=start,
+        )
+        window = np.lib.stride_tricks.as_strided(
+            raw, shape=(count, elem_size), strides=(stride, 1), writeable=False
+        )
+        return np.ascontiguousarray(window).view(dtype).reshape(count, ncomp)
 
 
 def _texture_kinds(gltf: dict) -> dict[int, str]:

@@ -338,10 +338,86 @@ def make_skinned_character(
             gltf_loader.AnimationChannel("LINEAR", "rotation", times, quats),
             gltf_loader.AnimationChannel("LINEAR", "translation", times, local_t),
         ]
+    # Second animation, "bob": vertical bounce on every other bone plus a
+    # breathing scale on the last bone, layered ON TOP of "sway" (the demo
+    # plays ALL animations, main.rs:565-571 — the real Smol Ame layers
+    # several; playing ≥2 exercises the decompose-accumulate path of
+    # lib.rs:199-230 every frame).
+    bob_duration = 3.0
+    bob_times = np.linspace(0, bob_duration, 12, dtype=np.float32)
+    bob_channels: list[list | None] = [None] * len(out.nodes)
+    for j in range(1, n_joints, 2):
+        local_y = 0.0 if j == 0 else seg_h
+        tr = np.stack(
+            [
+                np.array(
+                    [0.0, local_y + 0.03 * np.sin(2 * np.pi * t / bob_duration),
+                     0.0], np.float32,
+                )
+                for t in bob_times
+            ]
+        )
+        bob_channels[j + 1] = [
+            gltf_loader.AnimationChannel("LINEAR", "translation", bob_times, tr),
+        ]
+    breathe = np.stack(
+        [
+            np.array(
+                [1.0, 1.0 + 0.15 * np.sin(2 * np.pi * t / bob_duration), 1.0],
+                np.float32,
+            )
+            for t in bob_times
+        ]
+    )
+    last = n_joints  # node index of the last bone
+    if bob_channels[last] is None:
+        bob_channels[last] = []
+    bob_channels[last].append(
+        gltf_loader.AnimationChannel("LINEAR", "scale", bob_times, breathe)
+    )
     out.animations = [
-        gltf_loader.Animation("sway", 0.0, float(duration), channels)
+        gltf_loader.Animation("sway", 0.0, float(duration), channels),
+        gltf_loader.Animation("bob", 0.0, float(bob_duration), bob_channels),
     ]
     return out
+
+
+def make_overdraw_stack(
+    builder: VertexLibraryBuilder,
+    registry,
+    extent: float = 40.0,
+    y0: float = 3.0,
+    n_layers: int = 8000,
+    dy: float = 0.002,
+):
+    """A stack of `n_layers` screen-spanning quads: the PAIR-scale stress
+    axis (VERDICT r2 #1). Each quad's two triangles cover most of the tile
+    grid, so (tile, triangle) pairs ≈ n_layers · 2 · n_tiles — millions of
+    pairs from a few thousand triangles, exercising the binning expansion /
+    sort / scatter and the raster kernels' bin streams at a scale the
+    triangle-count axis (make_stress_field) cannot reach cheaply. Returns
+    (mesh, material, transforms [n_layers, 4, 4] for queue_instanced)."""
+    from renderer_tpu.materials.registry import PbrMaterialParameters
+
+    h = extent / 2
+    positions = np.array(
+        [[-h, 0, -h], [h, 0, -h], [h, 0, h], [-h, 0, h]], np.float32
+    )
+    normals = np.tile(np.array([0, 1, 0], np.float32), (4, 1))
+    uvs = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    tangents = np.zeros((4, 4), np.float32)
+    tangents[:, 0] = 1.0
+    tangents[:, 3] = 1.0
+    # CCW from above (GLTF world, camera above looking down)
+    indices = np.array([0, 2, 1, 0, 3, 2], np.uint32)
+    mesh = builder.add_mesh(positions, uvs, normals, tangents, indices)
+    material = registry.create_material(
+        "overdraw-stack",
+        PbrMaterialParameters(base_color_factor=(0.6, 0.65, 0.7, 1.0)),
+    )
+    transforms = np.tile(np.eye(4, dtype=np.float32), (n_layers, 1, 1))
+    transforms[:, 1, 3] = y0 + dy * np.arange(n_layers, dtype=np.float32)
+    return mesh, material, transforms
 
 
 def make_stress_field(

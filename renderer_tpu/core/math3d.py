@@ -189,6 +189,49 @@ def look_at(eye: np.ndarray, target: np.ndarray, up: np.ndarray) -> tuple[np.nda
     return eye, mat3_to_quat(basis)
 
 
+def mat3_to_quat_batch(m: np.ndarray) -> np.ndarray:
+    """Batched mat3_to_quat: [N,3,3] → [N,4]. Same Shepperd branches as the
+    scalar version, selected per row with np.where (all four branch formulas
+    evaluated with guarded sqrt/divide, identical arithmetic on the selected
+    branch)."""
+    m = np.asarray(m, np.float64)
+    t = m[:, 0, 0] + m[:, 1, 1] + m[:, 2, 2]
+
+    def g_sqrt(x):
+        return np.sqrt(np.maximum(x, 0.0))
+
+    with np.errstate(invalid="ignore", divide="ignore"):
+        s0 = g_sqrt(t + 1.0) * 2
+        b0 = (0.25 * s0, (m[:, 2, 1] - m[:, 1, 2]) / s0,
+              (m[:, 0, 2] - m[:, 2, 0]) / s0, (m[:, 1, 0] - m[:, 0, 1]) / s0)
+        s1 = g_sqrt(1.0 + m[:, 0, 0] - m[:, 1, 1] - m[:, 2, 2]) * 2
+        b1 = ((m[:, 2, 1] - m[:, 1, 2]) / s1, 0.25 * s1,
+              (m[:, 0, 1] + m[:, 1, 0]) / s1, (m[:, 0, 2] + m[:, 2, 0]) / s1)
+        s2 = g_sqrt(1.0 + m[:, 1, 1] - m[:, 0, 0] - m[:, 2, 2]) * 2
+        b2 = ((m[:, 0, 2] - m[:, 2, 0]) / s2, (m[:, 0, 1] + m[:, 1, 0]) / s2,
+              0.25 * s2, (m[:, 1, 2] + m[:, 2, 1]) / s2)
+        s3 = g_sqrt(1.0 + m[:, 2, 2] - m[:, 0, 0] - m[:, 1, 1]) * 2
+        b3 = ((m[:, 1, 0] - m[:, 0, 1]) / s3, (m[:, 0, 2] + m[:, 2, 0]) / s3,
+              (m[:, 1, 2] + m[:, 2, 1]) / s3, 0.25 * s3)
+    c0 = t > 0
+    c1 = (m[:, 0, 0] > m[:, 1, 1]) & (m[:, 0, 0] > m[:, 2, 2])
+    c2 = m[:, 1, 1] > m[:, 2, 2]
+    # branch layout (w, x?, ...) differs per branch: b0=(w,x,y,z) order is
+    # (w, x, y, z); map each to [x, y, z, w] rows
+    def xyzw(b, perm):
+        return np.stack([b[perm[0]], b[perm[1]], b[perm[2]], b[perm[3]]], axis=-1)
+
+    q0 = xyzw(b0, (1, 2, 3, 0))
+    q1 = xyzw(b1, (1, 2, 3, 0))
+    q2 = xyzw(b2, (1, 2, 3, 0))
+    q3 = xyzw(b3, (1, 2, 3, 0))
+    out = np.where(
+        c0[:, None], q0,
+        np.where(c1[:, None], q1, np.where(c2[:, None], q2, q3)),
+    )
+    return out.astype(np.float32)
+
+
 def mat3_to_quat(m: np.ndarray) -> np.ndarray:
     """Quaternion [x,y,z,w] from a rotation matrix (Shepperd's method)."""
     m = np.asarray(m, dtype=np.float64)

@@ -64,6 +64,19 @@ def load() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_float),
         ]
         lib.anim_pose.restype = ctypes.c_int
+        lib.anim_pose_multi.argtypes = [
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.anim_pose_multi.restype = ctypes.c_int
         _lib = lib
     except Exception:
         _load_failed = True
@@ -163,6 +176,93 @@ def make_anim_pose(comp, static_locals, order, parents):
                 mats.ctypes.data_as(c_float_p))
         if rc != 0:
             raise ValueError("invalid timestamp")
+        return mats
+
+    sample._keepalive = keep  # the arrays behind the raw pointers
+    return sample
+
+
+def make_anim_pose_multi(comps, static_locals, order, parents):
+    """Build the native LAYERED pose evaluator for N ≥ 2 playing animations
+    (csrc/anim_pose.cpp anim_pose_multi): concatenates the per-animation
+    _CompiledAnimation arrays in play order ONCE, returns
+    `sample(times: list[float]) -> mats f32 [n, 4, 4]` of GLOBAL node poses,
+    or None when the native library is unavailable. `sample` raises
+    ValueError(anim_index) on a past-the-end timestamp."""
+    lib = load()
+    if lib is None:
+        return None
+    n_anims = len(comps)
+    n_nodes = static_locals.shape[0]
+
+    keep: list = []
+
+    def ptr(a, ct):
+        a = np.ascontiguousarray(a)
+        keep.append(a)
+        return a.ctypes.data_as(ctypes.POINTER(ct))
+
+    chan_off = np.concatenate(
+        [[0], np.cumsum([c.n_channels for c in comps])]
+    ).astype(np.int64)
+    offs, row_base = [], 0
+    for c in comps:
+        offs.append(np.asarray(c.offsets[:-1], np.int64) + row_base)
+        row_base += int(c.offsets[-1])
+    offsets = np.concatenate(offs + [np.asarray([row_base], np.int64)])
+    times = (
+        np.concatenate([c.times_raw for c in comps]) if row_base
+        else np.zeros(0)
+    )
+    values = (
+        np.concatenate([c.values for c in comps]) if row_base
+        else np.zeros((0, 4), np.float32)
+    )
+
+    def cat(arrs, dtype, width=None):
+        shape = (0,) if width is None else (0, width)
+        arrs = [a for a in arrs if len(a)]
+        return (
+            np.concatenate(arrs).astype(dtype) if arrs
+            else np.zeros(shape, dtype)
+        )
+
+    slot_of_chan = cat([c.slot_of_chan for c in comps], np.int64)
+    path_id = cat([c.path_id32 for c in comps], np.int32)
+    step = cat([c.step_u8 for c in comps], np.uint8)
+    touch_off = np.concatenate(
+        [[0], np.cumsum([len(c.touched) for c in comps])]
+    ).astype(np.int64)
+    s0 = cat([c.s0 for c in comps], np.float32, 3)
+    q0 = cat([c.q0 for c in comps], np.float32, 4)
+    t0 = cat([c.t0 for c in comps], np.float32, 3)
+    touched_idx = cat([c.touched_arr for c in comps], np.int64)
+
+    fixed = (
+        n_anims, ptr(chan_off, ctypes.c_int64), ptr(offsets, ctypes.c_int64),
+        ptr(times, ctypes.c_double), ptr(values, ctypes.c_float),
+        ptr(slot_of_chan, ctypes.c_int64), ptr(path_id, ctypes.c_int32),
+        ptr(step, ctypes.c_uint8),
+    )
+    fixed2 = (
+        ptr(touch_off, ctypes.c_int64), ptr(s0, ctypes.c_float),
+        ptr(q0, ctypes.c_float), ptr(t0, ctypes.c_float),
+        ptr(touched_idx, ctypes.c_int64),
+        n_nodes, ptr(static_locals, ctypes.c_float),
+        len(order), ptr(order, ctypes.c_int64), ptr(parents, ctypes.c_int64),
+    )
+    qt = np.zeros(n_anims, np.float64)
+    keep.append(qt)
+    qt_ptr = qt.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+    c_float_p = ctypes.POINTER(ctypes.c_float)
+    fn = lib.anim_pose_multi
+
+    def sample(query_times) -> np.ndarray:
+        qt[:] = query_times
+        mats = np.empty((n_nodes, 4, 4), np.float32)
+        rc = fn(*fixed, qt_ptr, *fixed2, mats.ctypes.data_as(c_float_p))
+        if rc != 0:
+            raise ValueError(rc - 1)
         return mats
 
     sample._keepalive = keep  # the arrays behind the raw pointers

@@ -206,9 +206,83 @@ class TestFastAnimationParity:
         with pytest.raises(gltf_loader.AnimationError):
             gltf._fast_node_transforms([(float(anim.end_time) + 1.0, anim)])
 
-    def test_multi_animation_falls_back(self, gltf):
+
+class TestLayeredAnimationParity:
+    """N ≥ 2 playing animations (the demo plays ALL of a model's animations,
+    main.rs:565-571): the layered fast path — native anim_pose_multi and the
+    numpy fallback — against the sequential per-node oracle, which
+    re-decomposes the accumulated transform per animation
+    (lib.rs:199-230)."""
+
+    @pytest.fixture(scope="class")
+    def gltf(self):
+        registry = rt.MaterialRegistry()
+        builder = rt.VertexLibraryBuilder()
+        from renderer_tpu.assets import proxy
+
+        return proxy.make_skinned_character(builder, registry, n_joints=5,
+                                            segments=8, radial=6)
+
+    def _oracle(self, gltf, playing):
+        transforms = [None] * len(gltf.nodes)
+        stack = [(n, math3d.IDENTITY) for n in gltf.root_nodes]
+        while stack:
+            ni, parent = stack.pop()
+            current = parent @ gltf._animated_transform(ni, playing)
+            transforms[ni] = current
+            for child in gltf.nodes[ni].children:
+                stack.append((child, current))
+        return transforms
+
+    def _check(self, gltf, playing):
+        fast = gltf._fast_node_transforms(playing)
+        assert fast is not None, "layered path must not fall back"
+        mats, valid = fast
+        oracle = self._oracle(gltf, playing)
+        assert valid.all()
+        for ni, m in enumerate(oracle):
+            np.testing.assert_allclose(
+                mats[ni], m, atol=2e-6, rtol=1e-5, err_msg=f"node {ni}"
+            )
+
+    def test_two_animations_match_oracle(self, gltf):
+        sway, bob = gltf.animations[0], gltf.animations[1]
+        for ts, tb in [(0.0, 0.0), (0.7, 1.3), (1.9, 2.9), (1e-4, 0.5)]:
+            self._check(gltf, [(ts, sway), (tb, bob)])
+
+    def test_order_matters_and_matches(self, gltf):
+        sway, bob = gltf.animations[0], gltf.animations[1]
+        self._check(gltf, [(1.1, bob), (0.4, sway)])
+        a = gltf._fast_node_transforms([(1.1, bob), (0.4, sway)])[0]
+        b = gltf._fast_node_transforms([(0.4, sway), (1.1, bob)])[0]
+        # sway overrides bob's translations when played second
+        assert not np.allclose(a, b)
+
+    def test_same_animation_twice(self, gltf):
         anim = gltf.animations[0]
-        assert gltf._fast_node_transforms([(0.0, anim), (0.1, anim)]) is None
+        self._check(gltf, [(0.0, anim), (0.1, anim)])
+
+    def test_numpy_fallback_matches(self, gltf, monkeypatch):
+        from renderer_tpu.tools import native
+
+        monkeypatch.setattr(native, "make_anim_pose_multi",
+                            lambda *a, **k: None)
+        gltf._multi_cache = None  # drop any cached native sampler
+        sway, bob = gltf.animations[0], gltf.animations[1]
+        self._check(gltf, [(0.7, sway), (1.3, bob)])
+        self._check(gltf, [(0.0, sway), (0.1, sway)])
+        gltf._multi_cache = None  # don't leak the stubbed cache entry
+
+    def test_past_end_raises_with_anim_index(self, gltf):
+        sway, bob = gltf.animations[0], gltf.animations[1]
+        with pytest.raises(gltf_loader.AnimationError, match="bob"):
+            gltf._fast_node_transforms(
+                [(0.5, sway), (float(bob.end_time) + 1.0, bob)]
+            )
+
+    def test_three_layers(self, gltf):
+        sway, bob = gltf.animations[0], gltf.animations[1]
+        self._check(gltf, [(0.3, sway), (1.0, bob), (1.7, sway)])
 
 
 class TestAnimationInterpolation:
