@@ -10,7 +10,8 @@ TPU-native formulation: everything is dense XLA ops —
 2. expansion to (tile, triangle) pairs with `jnp.repeat(total_repeat_length)`
    (static capacity, overflow-safe),
 3. one stable sort by tile id,
-4. scatter of the triangle setup rows into bin order → a [16, P] SoA array
+4. scatter of the kernel-consumed triangle setup rows into bin order → a
+   [B_ROWS, P] SoA array
    where every tile's rows are CONTIGUOUS and every tile's start is
    128-aligned (Mosaic DMA slices must be lane-tile aligned), so the raster
    kernel streams each tile's list with plain sequential DMA,
@@ -28,10 +29,23 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from renderer_tpu.raster.setup import BBOX_ROWS, ROWS, TID_ROW, VALID_ROW
+from renderer_tpu.raster.setup import BBOX_ROWS, TID_ROW, VALID_ROW
 
 # Per-tile bin starts are aligned to this (the Mosaic lane-tile size).
 ALIGN = 128
+
+# Binned-row layout: the raster kernels consume only the plane rows
+# (edges 0-8 with the eps band pre-folded into C — setup.py —, depth 9-11,
+# 1/w 12-14) and the triangle id. The bbox rows (binning input only), the
+# valid flag (zeroed planes can never cover: e' = 0 fails both the strict
+# test and the a/b-derived ownership tie-break), the eps row (folded into
+# C) and setup's padding rows never reach the binned buffer — cutting its
+# HBM footprint, the bin scatter and every kernel's bin-stream DMA by 33%
+# (24 → 16 rows), and 16 is the Mosaic sublane-tile multiple DMA slices
+# require. Indices below are positions in the SLIM [B_ROWS, Pp] buffer.
+KEEP_ROWS = tuple(range(15)) + (TID_ROW,)
+B_ROWS = len(KEEP_ROWS)  # 16
+B_TID = 15
 
 
 def padded_capacity_classes(pair_capacity: int, n_tiles: int, n_classes: int) -> int:
@@ -57,8 +71,9 @@ def bin_triangles(
 ):
     """Single-class binning (kept for per-stage profiling + tests; the
     production frame uses `bin_triangle_classes` — one sort for all alpha
-    classes). Returns (binned [ROWS, Pp] f32 SoA, starts [tiles] i32
-    (128-aligned), counts [tiles] i32, overflow_pairs i32 scalar)."""
+    classes). Returns (binned [B_ROWS, Pp] f32 SoA — slim layout, see
+    KEEP_ROWS —, starts [tiles] i32 (128-aligned), counts [tiles] i32,
+    overflow_pairs i32 scalar)."""
     tc = tri_data.shape[1]
     if hi is None:
         hi = tc
@@ -91,8 +106,9 @@ def bin_triangle_classes(
     contiguous triangle-index ranges and pair truncation at `pair_capacity`
     drops from the blended tail first.
 
-    Returns (binned [ROWS, Pp] f32 SoA, starts [C, tiles] i32 (128-aligned),
-    counts [C, tiles] i32, overflow_pairs [C] i32)."""
+    Returns (binned [B_ROWS, Pp] f32 SoA — slim layout, see KEEP_ROWS —,
+    starts [C, tiles] i32 (128-aligned), counts [C, tiles] i32,
+    overflow_pairs [C] i32)."""
     tc = tri_data.shape[1]
     n_classes = len(bounds) - 1
     assert n_classes >= 1
@@ -156,12 +172,13 @@ def bin_triangle_classes(
         p_total - 1,  # dead pairs land on the last (padding) column
     )
 
-    rows = tri_data.T[tri_sorted]  # [P, ROWS]
-    rows = rows.at[:, TID_ROW].set(tri_sorted.astype(jnp.float32))
+    slim = tri_data[jnp.asarray(KEEP_ROWS)]  # [B_ROWS, Tc]
+    rows = slim.T[tri_sorted]  # [P, B_ROWS]
+    rows = rows.at[:, B_TID].set(tri_sorted.astype(jnp.float32))
     # dead rows must not rasterize even via the dump column
     rows = jnp.where((key_sorted < n_keys)[:, None], rows, 0.0)
 
-    binned = jnp.zeros((ROWS, p_total), jnp.float32).at[:, dest].set(rows.T)
+    binned = jnp.zeros((B_ROWS, p_total), jnp.float32).at[:, dest].set(rows.T)
 
     # Per-class overflow: pair truncation keeps the first `pair_capacity`
     # pairs in triangle-stream order, so class c (pair-space range

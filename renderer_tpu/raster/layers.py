@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from renderer_tpu.raster.setup import EPS_ROW, ROWS, TID_ROW, VALID_ROW
+from renderer_tpu.raster.binning import B_ROWS, B_TID
 
 # Sequential triangle chunk staged into SMEM per DMA.
 LCHUNK = 128
@@ -43,26 +43,26 @@ LCHUNK = 128
 
 def _fragment(t_col, px3, py3, in_range):
     """Edge/coverage/depth for ONE triangle whose plane rows (see setup.py)
-    are read as scalars via `t_col(k)`."""
-    live = (t_col(VALID_ROW) > 0.0) & in_range
-    eps = t_col(EPS_ROW)
-
-    # top-left fill rule in the f32 tolerance band (see raster_kernel).
+    are read as scalars via `t_col(k)`. No valid row: invalid/padding
+    columns have all-zero planes, which can never cover."""
+    # top-left fill rule; the f32 tolerance band is pre-folded into C
+    # (setup.py), ownership recomputed from the stored A, B signs (see
+    # raster_kernel).
     def edge(a, b, c):
         e = a * px3 + b * py3 + c
         own = (a > 0.0) | ((a == 0.0) & (b > 0.0))
-        return (e > eps) | ((e >= -eps) & own)
+        return (e > 0.0) | (own & (e >= 0.0))
 
     cover = (
         edge(t_col(0), t_col(1), t_col(2))
         & edge(t_col(3), t_col(4), t_col(5))
         & edge(t_col(6), t_col(7), t_col(8))
-        & live
+        & in_range
     )
     z = t_col(9) * px3 + t_col(10) * py3 + t_col(11)
     inv_w = t_col(12) * px3 + t_col(13) * py3 + t_col(14)
     cover = cover & (inv_w > 0.0) & (z >= 0.0) & (z <= 1.0)
-    tid = t_col(TID_ROW).astype(jnp.int32)
+    tid = t_col(B_TID).astype(jnp.int32)
     return cover, z, tid
 
 
@@ -171,7 +171,7 @@ def _make_layer_kernel(mode: str, n_layers: int, tile_h: int, tile_w: int,
     ),
 )
 def rasterize_layers(
-    binned: jnp.ndarray,  # [ROWS, Pp] f32 SoA (binning.bin_triangles output)
+    binned: jnp.ndarray,  # [B_ROWS, Pp] f32 slim SoA (binning output)
     starts: jnp.ndarray,
     counts: jnp.ndarray,
     depth_in: jnp.ndarray,  # [S, Hp, Wp] f32 — per-sample depth floor
@@ -213,7 +213,7 @@ def rasterize_layers(
             pl.BlockSpec((n_s, tile_h, tile_w), lambda ty, tx, s, c: (0, ty, tx)),
         ),
         scratch_shapes=[
-            pltpu.SMEM((ROWS, LCHUNK), jnp.float32),
+            pltpu.SMEM((B_ROWS, LCHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )

@@ -40,7 +40,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from renderer_tpu.raster.setup import EPS_ROW, ROWS, TID_ROW, VALID_ROW
+from renderer_tpu.raster.binning import B_ROWS, B_TID
 
 # Triangles per DMA chunk (default; must divide the triangle capacity).
 CHUNK = 256
@@ -49,10 +49,10 @@ CHUNK = 256
 def _binned_kernel(
     starts_ref,  # scalar prefetch [tiles+1] i32 (last = tile_row_offset)
     counts_ref,  # scalar prefetch [tiles] i32
-    tri_ref,  # [ROWS, Pp] f32 binned rows (SoA, HBM)
+    tri_ref,  # [B_ROWS, Pp] f32 binned rows (slim SoA, HBM)
     depth_ref,  # [S,th,tw] f32 out block
     trid_ref,  # [S,th,tw] i32 out block
-    buf,  # VMEM [ROWS, 2*CHUNK]
+    buf,  # VMEM [B_ROWS, 2*CHUNK]
     sems,  # DMA sems [2]
     *,
     tile_h: int,
@@ -65,8 +65,9 @@ def _binned_kernel(
     # ONE DMA stream across all samples)
     sample_positions: tuple = ((0.5, 0.5),),
 ):
-    # layout constants from setup.py: rows 0-8 edge planes, 9-11 depth plane,
-    # 12-14 1/w plane, VALID/TID/EPS rows
+    # slim binned layout (binning.KEEP_ROWS): rows 0-8 edge planes (C has
+    # the eps band pre-folded, setup.py), 9-11 depth plane, 12-14 1/w
+    # plane, then B_TID
     n_s = len(sample_positions)
     ty = pl.program_id(0) + starts_ref[counts_ref.shape[0]]
     tx = pl.program_id(1)
@@ -104,13 +105,15 @@ def _binned_kernel(
     sub_iota = jax.lax.broadcasted_iota(jnp.int32, (sub, 1, 1), 0)
 
     def process_sub(t, base_in_bin):
-        # t: [sub, ROWS] triangle planes (see setup.py layout)
+        # t: [sub, B_ROWS] triangle planes (slim layout)
         def col(k):
             return t[:, k].reshape(sub, 1, 1)
 
-        live = (col(VALID_ROW) > 0.0) & (base_in_bin + sub_iota < count)
-        eps = col(EPS_ROW)
-        tid = col(TID_ROW).astype(jnp.int32)
+        # no valid row: invalid/padding columns have all-zero planes, which
+        # can never cover (e' = 0 fails the strict test and the ownership
+        # tie-break needs a > 0 or b > 0)
+        live = base_in_bin + sub_iota < count
+        tid = col(B_TID).astype(jnp.int32)
 
         for s in range(n_s):
             px, py = px3[s], py3[s]
@@ -119,11 +122,13 @@ def _binned_kernel(
             # to exactly one of the two triangles sharing it (top-left
             # ownership by the edge plane's coefficient signs) — no cracks,
             # no double hits [fixed-function → kernel: the Vulkan
-            # watertightness rule].
+            # watertightness rule]. The band is pre-folded into C
+            # (setup.py): covered ⟺ e' > 0, with the owning edge keeping
+            # its boundary via the ≥ tie-break.
             def edge(a, b, c):
                 e = a * px + b * py + c
                 own = (a > 0.0) | ((a == 0.0) & (b > 0.0))
-                return (e > eps) | ((e >= -eps) & own)
+                return (e > 0.0) | (own & (e >= 0.0))
 
             cover = (
                 edge(col(0), col(1), col(2))
@@ -156,7 +161,7 @@ def _binned_kernel(
             chunk_dma(jax.lax.rem(ci + 1, 2), ci + 1).start()
 
         chunk_dma(slot, ci).wait()
-        soa = buf[:, pl.ds(pl.multiple_of(slot * CHUNK, CHUNK), CHUNK)]  # [ROWS,CHUNK]
+        soa = buf[:, pl.ds(pl.multiple_of(slot * CHUNK, CHUNK), CHUNK)]  # [B_ROWS,CHUNK]
         chunk = soa.T  # [CHUNK,ROWS]
         base = ci * CHUNK
         for sc in range(CHUNK // sub):
@@ -174,7 +179,7 @@ def _binned_kernel(
                      "sub", "sample_positions", "interpret"),
 )
 def rasterize_binned(
-    binned: jnp.ndarray,  # [ROWS, Pp] f32 SoA from binning.bin_triangles
+    binned: jnp.ndarray,  # [B_ROWS, Pp] f32 slim SoA from binning
     starts: jnp.ndarray,  # [tiles] i32
     counts: jnp.ndarray,  # [tiles] i32
     *,
@@ -208,7 +213,7 @@ def rasterize_binned(
             pl.BlockSpec((n_s, tile_h, tile_w), lambda ty, tx, s, c: (0, ty, tx)),
         ),
         scratch_shapes=[
-            pltpu.VMEM((ROWS, 2 * CHUNK), jnp.float32),
+            pltpu.VMEM((B_ROWS, 2 * CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )

@@ -18,19 +18,27 @@ Behavior parity:
 - Depth = z_clip/w (reverse-Z), screen-linear → one plane, no per-pixel
   divide.
 
-A per-triangle epsilon (row EPS) plus the top-left ownership rule in the
-kernels makes shared mesh edges watertight: covered by exactly one of the two
-adjacent triangles (homogeneous edge planes of a shared edge are exact f32
-negations of each other).
+A per-triangle epsilon plus the top-left ownership rule in the kernels makes
+shared mesh edges watertight: covered by exactly one of the two adjacent
+triangles (homogeneous edge planes of a shared edge are exact f32 negations
+of each other). The eps band is PRE-FOLDED into each edge's C coefficient
+(C' = C + eps if the edge owns its boundary — a > 0, or a == 0 ∧ b > 0 —
+else C − eps), so the kernels' coverage test is
+`e' > 0 | (own ∧ e' ≥ 0)` with own recomputed from the stored A, B signs:
+bit-identical semantics to the explicit band test
+`e > eps | (e ≥ −eps ∧ own)`, with no per-pair eps row — which keeps the
+slim binned buffer (binning.KEEP_ROWS) at 16 rows, the Mosaic sublane-tile
+multiple.
 
 Output layout: one [ROWS=24, Tc] f32 SoA array; rows:
-  0-8  : A0 B0 C0 A1 B1 C1 A2 B2 C2  (edge planes, inside = all e ≥ 0)
+  0-8  : A0 B0 C0' A1 B1 C1' A2 B2 C2' (edge planes, C pre-shifted by ±eps;
+         inside = all e' ≥ 0 with ownership tie-break)
   9-11 : z_a z_b z_c                 (NDC depth plane, z = z·px + …)
   12-14: w_a w_b w_c                 (1/w plane; visible side = positive)
   15-18: bbox xmin ymin xmax ymax    (consumed by binning only)
   19   : valid (1.0 / 0.0)
   20   : original triangle id (written by binning)
-  21   : eps (coverage tolerance)
+  21   : eps (the folded coverage tolerance, for introspection/tests)
   22-23: reserved / padding
 """
 
@@ -143,6 +151,18 @@ def triangle_setup(
         ),
     )
     eps = 4.0 * 2.0**-23 * (abs_c + maxdim * abs_ab)
+
+    # Pre-fold the watertightness band into C (see module docstring): the
+    # owning edge's boundary moves +eps (inclusive via e' ≥ 0), the
+    # non-owning edge's −eps (exclusive via e' > 0). Folded AFTER the
+    # double-sided flip so ownership is derived from the FINAL (a, b) signs.
+    def shift(a, b, c):
+        own = (a > 0.0) | ((a == 0.0) & (b > 0.0))
+        return c + jnp.where(own, eps, -eps)
+
+    c0 = shift(a0, b0, c0)
+    c1 = shift(a1, b1, c1)
+    c2 = shift(a2, b2, c2)
 
     any_front = jnp.any(ws > W_EPS, axis=1)
     in_range = jnp.arange(tc, dtype=jnp.int32) < num_tris

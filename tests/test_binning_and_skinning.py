@@ -8,7 +8,8 @@ jax = pytest.importorskip("jax")
 import jax.numpy as jnp
 
 from renderer_tpu.raster import binning, setup, vertex_stage
-from renderer_tpu.raster.setup import BBOX_ROWS, ROWS, TID_ROW, VALID_ROW
+from renderer_tpu.raster.binning import B_TID
+from renderer_tpu.raster.setup import BBOX_ROWS, ROWS, VALID_ROW
 
 
 def _fake_tri_data(rng, n, tc, tiles_x, tiles_y, tile_w, tile_h):
@@ -53,7 +54,7 @@ class TestBinning:
                     if td[BBOX_ROWS[0], t] <= cx1 and td[BBOX_ROWS[2], t] >= cx0
                     and td[BBOX_ROWS[1], t] <= cy1 and td[BBOX_ROWS[3], t] >= cy0
                 ]
-                got = binned[TID_ROW, starts[tile] : starts[tile] + counts[tile]]
+                got = binned[B_TID, starts[tile] : starts[tile] + counts[tile]]
                 assert list(got.astype(int)) == expect, f"tile {tile}"
                 assert starts[tile] % binning.ALIGN == 0
 
@@ -68,7 +69,7 @@ class TestBinning:
             jnp.asarray(td), 30, 60,
             tiles_x=2, tiles_y=2, tile_w=128, tile_h=32, pair_capacity=2048,
         )
-        tids = np.asarray(binned)[TID_ROW]
+        tids = np.asarray(binned)[B_TID]
         starts, counts = np.asarray(starts), np.asarray(counts)
         for tile in range(4):
             got = tids[starts[tile] : starts[tile] + counts[tile]].astype(int)
@@ -111,6 +112,70 @@ class TestBinning:
                     b1[:, s1[t] : s1[t] + c1[t]],
                     bc[:, sc[ci, t] : sc[ci, t] + cc[ci, t]],
                 )
+
+    def test_randomized_scenes_full_parity(self):
+        """Randomized multi-class scenes across seeds and tile grids: every
+        (class, tile) segment of the slim binned buffer must list exactly
+        the stream-order oracle's triangles AND carry each triangle's setup
+        rows verbatim (the kernel-consumed KEEP_ROWS payload)."""
+        from renderer_tpu.raster.binning import B_TID, KEEP_ROWS
+
+        for seed in range(4):
+            rng = np.random.default_rng(100 + seed)
+            tiles_x = int(rng.integers(2, 6))
+            tiles_y = int(rng.integers(2, 6))
+            tile_w, tile_h = 128, 32
+            n = int(rng.integers(50, 300))
+            tc = n + int(rng.integers(0, 60))
+            td = _fake_tri_data(rng, n, tc, tiles_x, tiles_y, tile_w, tile_h)
+            # populate every kernel-consumed row with recognizable values so
+            # the payload check is meaningful
+            for r in range(15):
+                td[r, :n] = rng.normal(size=n).astype(np.float32)
+            from renderer_tpu.raster.setup import EPS_ROW
+
+            td[EPS_ROW, :n] = rng.uniform(1e-6, 1e-3, n).astype(np.float32)
+            # a random subset is invalid (culled) — never binned
+            invalid = rng.random(n) < 0.15
+            td[VALID_ROW, :n] = np.where(invalid, 0.0, 1.0)
+            b0 = int(rng.integers(0, n // 2))
+            b1 = int(rng.integers(b0, n))
+            bounds = (b0, b1, n)
+            binned, starts, counts, overflow = binning.bin_triangle_classes(
+                jnp.asarray(td), bounds,
+                tiles_x=tiles_x, tiles_y=tiles_y, tile_w=tile_w,
+                tile_h=tile_h, pair_capacity=1 << 14,
+            )
+            binned, starts, counts = (
+                np.asarray(a) for a in (binned, starts, counts)
+            )
+            assert np.asarray(overflow).sum() == 0
+            slim_src = td[list(KEEP_ROWS)]  # ground-truth payload per tid
+            for ci, (lo, hi) in enumerate(zip(bounds[:-1], bounds[1:])):
+                for ty in range(tiles_y):
+                    for tx in range(tiles_x):
+                        tile = ty * tiles_x + tx
+                        cx0 = tx * tile_w + 0.5
+                        cx1 = tx * tile_w + tile_w - 0.5
+                        cy0 = ty * tile_h + 0.5
+                        cy1 = ty * tile_h + tile_h - 0.5
+                        expect = [
+                            t for t in range(lo, hi)
+                            if not invalid[t]
+                            and td[BBOX_ROWS[0], t] <= cx1
+                            and td[BBOX_ROWS[2], t] >= cx0
+                            and td[BBOX_ROWS[1], t] <= cy1
+                            and td[BBOX_ROWS[3], t] >= cy0
+                        ]
+                        s, c = starts[ci, tile], counts[ci, tile]
+                        seg = binned[:, s : s + c]
+                        assert list(seg[B_TID].astype(int)) == expect, (
+                            f"seed {seed} class {ci} tile {tile}"
+                        )
+                        if expect:
+                            want = slim_src[:, expect].copy()
+                            want[B_TID] = expect  # binning stamps the tid row
+                            np.testing.assert_array_equal(seg, want)
 
     def test_classes_overflow_accounting(self):
         """Per-class overflow + stored counts must add up to each class's

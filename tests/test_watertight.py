@@ -107,15 +107,20 @@ def test_fill_rule_exact_tie_unit():
     tc = 8  # padded triangle capacity
     td = np.zeros((ROWS, tc), np.float32)
 
+    eps = np.float32(1e-4)
+
     def tri(col, e0, e1, e2, z_c):
-        td[0:3, col] = e0
-        td[3:6, col] = e1
-        td[6:9, col] = e2
+        # pre-fold the ±eps band into C per edge ownership, exactly as
+        # triangle_setup stores its planes (setup.py module docstring)
+        for r, (a, b, c) in zip((0, 3, 6), (e0, e1, e2)):
+            own = (a > 0.0) or (a == 0.0 and b > 0.0)
+            td[r : r + 3, col] = (a, b,
+                                  np.float32(c) + (eps if own else -eps))
         td[9:12, col] = (0.0, 0.0, z_c)   # constant depth plane
         td[12:15, col] = (0.0, 0.0, 1.0)  # 1/w > 0 everywhere
         td[15:19, col] = (0.0, 0.0, w, h)  # bbox = full screen
         td[VALID_ROW, col] = 1.0
-        td[EPS_ROW, col] = 1e-4
+        td[EPS_ROW, col] = eps
 
     wide_open = [(1.0, 0.0, 1000.0), (-1.0, 0.0, 1000.0)]
     # tri 0 covers py >= 32.5 via edge (a=0, b=1, c=-32.5): a==0, b>0 → it
