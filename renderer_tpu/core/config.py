@@ -43,9 +43,12 @@ class RenderConfig:
     pair_capacity: int = 1 << 18
 
     # Fragment layers captured per pixel for alpha-cutoff (masked) and
-    # blended geometry (raster/layers.py).
+    # blended geometry (raster/layers.py). The reference blends unbounded
+    # (src-alpha over, pipelines.rs:112-132); 4 layers keep stacks of
+    # translucent surfaces exact up to depth 4 per sample, with deeper
+    # stacks truncated LOUDLY (frame stats blended_saturated_px).
     mask_layers: int = 4
-    blend_layers: int = 2
+    blend_layers: int = 4
 
     # UI overlay pass (raster/ui_stage.py): max overlapping UI fragments
     # composited per pixel (window bg + text + borders rarely exceeds 3) and
@@ -64,9 +67,25 @@ class RenderConfig:
     # (descriptors.rs:90-105); False = bilinear + nearest mip (faster).
     trilinear: bool = True
     # Anisotropic filtering taps along the major UV-footprint axis (the
-    # reference enables sampler anisotropy, physical_device_features.rs:29-56);
-    # 1 = isotropic.
+    # reference enables sampler anisotropy at the device's
+    # max_sampler_anisotropy — typically 16, descriptors.rs:100-101 +
+    # physical_device_features.rs:29-56); 1 = isotropic, 16 = device-class.
     aniso_samples: int = 4
+    # sRGB decode per bilinear tap (True = exact hardware filter order,
+    # VK_FORMAT_*_SRGB semantics) vs decode-after-filter (False, 4-8x fewer
+    # pow() evaluations, deviation pinned by tests/test_srgb_filter_order.py).
+    srgb_per_tap: bool = False
+    # bf16 texture filtering + lighting (double VPU throughput; texel
+    # addressing, depth, edges and compositing stay f32 — raster/shade.py).
+    # Goldens within tolerance: tests/test_bf16_shading.py.
+    bf16_shading: bool = False
+
+    def exact_sampler(self) -> "RenderConfig":
+        """The reference device's exact sampler configuration: per-tap sRGB
+        decode + 16x anisotropy (descriptors.rs:90-105). Golden-tested
+        against the fast default in tests/test_srgb_filter_order.py and
+        tests/test_golden.py."""
+        return replace(self, srgb_per_tap=True, aniso_samples=16)
 
     @property
     def padded_width(self) -> int:

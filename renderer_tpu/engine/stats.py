@@ -51,14 +51,61 @@ def log_memory_usage(tag: str, device=None) -> str:
     return line
 
 
+def _shade_dt(cfg):
+    return jnp.bfloat16 if cfg.bf16_shading else jnp.float32
+
+
+def _repeat_runner(fn, args):
+    """One jitted runner evaluating `fn(*args)` `reps` times inside a SINGLE
+    dispatch (lax.fori_loop with a traced trip count — one compile serves
+    every rep count). Each iteration perturbs the first float input by a
+    runtime-denormal derived from the previous iteration's output, so the
+    iterations are data-dependent and XLA can neither hoist the stage out of
+    the loop nor elide it (0·x is not folded for floats — NaN semantics)."""
+    leaves, treedef = jax.tree_util.tree_flatten(args)
+    fidx = next(
+        i for i, leaf in enumerate(leaves)
+        if jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.floating)
+    )
+
+    @jax.jit
+    def run(reps, *ls):
+        def body(_i, delta):
+            perturbed = list(ls)
+            perturbed[fidx] = perturbed[fidx] + delta
+            out = fn(*jax.tree_util.tree_unflatten(treedef, perturbed))
+            probe = jnp.float32(0.0)
+            for leaf in jax.tree_util.tree_leaves(out):
+                probe = probe + leaf.ravel()[0].astype(jnp.float32)
+            return probe * jnp.float32(1e-38)
+
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+
+    return lambda reps: run(jnp.int32(reps), *leaves)
+
+
 def _time_call(fn, *args, iters: int = 10) -> float:
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters * 1e3
+    """Per-execution ms of one stage, tunnel-robust: the stage is repeated
+    R× INSIDE one dispatch and the per-rep cost is the slope between two rep
+    counts, ms = (t(R2) − t(R1)) / (R2 − R1). The paired subtraction cancels
+    the per-dispatch overhead — the dominant noise on tunneled TPU runtimes,
+    where dispatch latency swings ~3.5× between runs (TIMINGS.md
+    'measurement honesty'); the median of 3 pairs absorbs transient stalls.
+    Host-side timing only (block_until_ready; device→host copies wedge the
+    tunnel)."""
+    run = _repeat_runner(fn, args)
+    r1, r2 = 2, max(8, iters)
+    run(r1).block_until_ready()  # compile + warm
+    slopes = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run(r1).block_until_ready()
+        t1 = time.perf_counter()
+        run(r2).block_until_ready()
+        t2 = time.perf_counter()
+        slopes.append(((t2 - t1) - (t1 - t0)) / (r2 - r1) * 1e3)
+    slopes.sort()
+    return max(slopes[1], 0.0)
 
 
 def device_stage_timings(renderer, scene, iters: int = 10) -> dict[str, float]:
@@ -139,7 +186,8 @@ def device_stage_timings(renderer, scene, iters: int = 10) -> dict[str, float]:
         def alpha_fn(lt_, geom_, vs_, frame_, mats_):
             it = interpolants_of(lt_[0], geom_, vs_)
             return shade.base_alpha(it, frame_, mats_, cfg.trilinear,
-                                    cfg.aniso_samples)
+                                    cfg.aniso_samples, cfg.srgb_per_tap,
+                                    _shade_dt(cfg))
 
         timings["masked alpha test (per layer)"] = _time_call(
             jax.jit(alpha_fn), lt, geom, vs, frame, mats, iters=iters
@@ -158,7 +206,8 @@ def device_stage_timings(renderer, scene, iters: int = 10) -> dict[str, float]:
         def blend_fn(ltb_, geom_, vs_, frame_, mats_):
             return shade.shade_interpolated(
                 interpolants_of(ltb_[0], geom_, vs_), vs_, frame_, mats_,
-                cfg.trilinear, cfg.aniso_samples,
+                cfg.trilinear, cfg.aniso_samples, cfg.srgb_per_tap,
+                _shade_dt(cfg),
             )
 
         timings["blended shade (per layer)"] = _time_call(

@@ -138,6 +138,7 @@ def render_shard(
     Returns (u8 image [out_rows, width, 3], stats i32[N_STATS] — see
     STAT_NAMES; saturation counts cover only this shard's rows)."""
     cfg = config
+    shade_dt = jnp.bfloat16 if cfg.bf16_shading else jnp.float32
     pad_h = local_tiles_y * cfg.tile_h
     n_opaque = frame["n_opaque"]
     n_masked = frame["n_masked"]
@@ -254,7 +255,8 @@ def render_shard(
         cands = _extract_candidates(slots, min(len(slots), cfg.mask_layers + extra))
         acs = [
             shade.base_alpha(interpolants_of(clampc(c)), frame, materials,
-                             cfg.trilinear, cfg.aniso_samples)
+                             cfg.trilinear, cfg.aniso_samples,
+                             cfg.srgb_per_tap, shade_dt)
             for c in cands
         ]
         alphas = [a for a, _ in acs]
@@ -291,7 +293,8 @@ def render_shard(
     cands_s = _extract_candidates(solid_tid, n_c)
     shaded_s = [
         shade.shade_interpolated(interpolants_of(clampc(c)), vs, frame,
-                                 materials, cfg.trilinear, cfg.aniso_samples)
+                                 materials, cfg.trilinear, cfg.aniso_samples,
+                                 cfg.srgb_per_tap, shade_dt)
         for c in cands_s
     ]
     hdr = []
@@ -310,7 +313,9 @@ def render_shard(
         cands_b = _extract_candidates(slots, min(len(slots), cfg.blend_layers + extra))
         shaded_b = [
             shade.shade_interpolated(interpolants_of(clampc(c)), vs, frame,
-                                     materials, cfg.trilinear, cfg.aniso_samples)
+                                     materials, cfg.trilinear,
+                                     cfg.aniso_samples, cfg.srgb_per_tap,
+                                     shade_dt)
             for c in cands_b
         ]
         for s in range(msaa):

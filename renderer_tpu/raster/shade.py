@@ -40,14 +40,27 @@ def _srgb_decode(c):
 
 
 def make_sampler(materials: dict, uv, lod_base, trilinear: bool = True,
-                 duv_dx=None, duv_dy=None, aniso: int = 1):
+                 duv_dx=None, duv_dy=None, aniso: int = 1,
+                 srgb_per_tap: bool = False, compute_dtype=jnp.float32):
     """Returns sample(slot) -> [H,W,4] linear RGBA: repeat-wrap bilinear /
     trilinear (two-mip blend) / anisotropic (N trilinear taps along the major
     UV screen-derivative axis) atlas fetch — the reference sampler is repeat
     anisotropic trilinear (descriptors.rs:90-105). The mip level comes from
     per-axis texel-space screen derivatives (duv · texture size), correct for
     non-square textures; lod_base is only the fallback when no derivatives
-    are supplied."""
+    are supplied.
+
+    srgb_per_tap=True is the EXACT hardware filter order (each tap decoded
+    to linear before the bilinear weights, descriptors.rs:90-105 +
+    VK_FORMAT_*_SRGB semantics); False decodes the filtered value — 4-8x
+    fewer pow() evaluations with a deviation bounded and pinned by
+    tests/test_srgb_filter_order.py.
+
+    compute_dtype=jnp.bfloat16 runs the FILTER ARITHMETIC (tap blending,
+    sRGB decode) at bf16 — double VPU throughput on TPU for the shading-
+    dominated frame. Texel ADDRESSING (uv→texel, mip LOD from derivatives)
+    always stays f32: bf16's 8 mantissa bits cannot index a 1k-texel
+    texture. GPU samplers filter u8 taps at comparable internal precision."""
     atlas = materials["atlas"]  # [AH,AW] u32
     table = materials["atlas_table"]  # [T,M,4] i32
     srgb = materials["atlas_srgb"]  # [T] i32
@@ -70,14 +83,23 @@ def make_sampler(materials: dict, uv, lod_base, trilinear: bool = True,
         iu = iu.astype(jnp.int32)
         iv = iv.astype(jnp.int32)
 
+        is_srgb = (srgb[slot] > 0)[..., None]
+        fu = fu.astype(compute_dtype)
+        fv = fv.astype(compute_dtype)
+
+        def decode(c):  # sRGB → linear on RGB; alpha is stored linear
+            rgb = jnp.where(is_srgb, _srgb_decode(c[..., :3]), c[..., :3])
+            return jnp.concatenate([rgb, c[..., 3:4]], axis=-1)
+
         def tap(dx, dy):
             xx = x0 + iu + dx  # border texel at -1 and w exists (wrap pad)
             yy = y0 + iv + dy
             t = atlas_flat[yy * aw + xx]
             c = jnp.stack(
                 [t & 0xFF, (t >> 8) & 0xFF, (t >> 16) & 0xFF, t >> 24], axis=-1
-            ).astype(jnp.float32) * (1.0 / 255.0)
-            return c
+            ).astype(compute_dtype) * compute_dtype(1.0 / 255.0)
+            # exact mode: decode BEFORE the filter weights (hardware order)
+            return decode(c) if srgb_per_tap else c
 
         t00, t10, t01, t11 = tap(0, 0), tap(1, 0), tap(0, 1), tap(1, 1)
         c = (
@@ -86,11 +108,11 @@ def make_sampler(materials: dict, uv, lod_base, trilinear: bool = True,
             + t01 * (1 - fu) * fv
             + t11 * fu * fv
         )
-        # decode-before-filter would decode each tap; decoding the filtered
-        # value instead is within tolerance and 4x cheaper. Alpha stays linear.
-        is_srgb = (srgb[slot] > 0)[..., None]
-        rgb = jnp.where(is_srgb, _srgb_decode(c[..., :3]), c[..., :3])
-        return jnp.concatenate([rgb, c[..., 3:4]], axis=-1)
+        if srgb_per_tap:
+            return c
+        # fast mode: decode the FILTERED value — within tolerance (pinned by
+        # tests/test_srgb_filter_order.py) and 4x fewer pow() evaluations.
+        return decode(c)
 
     def sample_filtered(slot, lodf, uvq):
         lodf = jnp.clip(lodf, 0.0, MAX_MIPS - 1.0)
@@ -100,6 +122,7 @@ def make_sampler(materials: dict, uv, lod_base, trilinear: bool = True,
         frac = (lodf - l0)[..., None]
         l0 = l0.astype(jnp.int32)
         l1 = jnp.minimum(l0 + 1, MAX_MIPS - 1)
+        frac = frac.astype(compute_dtype)
         return (sample_mip(slot, l0, uvq) * (1.0 - frac)
                 + sample_mip(slot, l1, uvq) * frac)
 
@@ -128,11 +151,11 @@ def make_sampler(materials: dict, uv, lod_base, trilinear: bool = True,
         rho_min = jnp.maximum(jnp.minimum(lx, ly), rho_max / aniso)
         lodf = jnp.log2(rho_min)
         major = jnp.where((lx >= ly)[..., None], duv_dx, duv_dy)  # [H,W,2]
-        acc = 0.0
+        acc = jnp.asarray(0.0, compute_dtype)
         for i in range(aniso):
             t = (i + 0.5) / aniso - 0.5
             acc = acc + sample_filtered(slot, lodf, uv + major * t)
-        return acc * (1.0 / aniso)
+        return acc * compute_dtype(1.0 / aniso)
 
     return sample
 
@@ -239,38 +262,52 @@ def interpolants(
 
 
 def base_alpha(it: dict, frame: dict, materials: dict,
-               trilinear: bool = True, aniso: int = 1) -> jnp.ndarray:
+               trilinear: bool = True, aniso: int = 1,
+               srgb_per_tap: bool = False,
+               compute_dtype=jnp.float32) -> jnp.ndarray:
     """Base-color alpha × factor alpha, for the alpha-cutoff test
-    (main.frag:42,59-62). Returns (alpha [H,W], cutoff [H,W])."""
+    (main.frag:42,59-62). Returns (alpha [H,W] f32, cutoff [H,W] f32)."""
     mat = frame["material_id"][it["draw"]]
     sampler = make_sampler(materials, it["uv"], it["lod_base"], trilinear,
-                           it["duv_dx"], it["duv_dy"], aniso)
+                           it["duv_dx"], it["duv_dy"], aniso, srgb_per_tap,
+                           compute_dtype)
     tex_idx = materials["tex_indices"][mat]
-    a = sampler(tex_idx[..., 0])[..., 3] * materials["base_color_factor"][mat][..., 3]
+    a = sampler(tex_idx[..., 0])[..., 3].astype(jnp.float32) \
+        * materials["base_color_factor"][mat][..., 3]
     cutoff = materials["alpha_rgh_mtl_normal"][mat][..., 0]
     return a, cutoff
 
 
 def shade_interpolated(it: dict, vstage: dict, frame: dict, materials: dict,
-                       trilinear: bool = True, aniso: int = 1) -> jnp.ndarray:
-    """Full fragment shading (main.frag) on an interpolation context."""
+                       trilinear: bool = True, aniso: int = 1,
+                       srgb_per_tap: bool = False,
+                       compute_dtype=jnp.float32) -> jnp.ndarray:
+    """Full fragment shading (main.frag) on an interpolation context.
+
+    compute_dtype=jnp.bfloat16 evaluates texture filtering and the lighting
+    arithmetic at bf16 (RenderConfig.bf16_shading): geometry interpolation,
+    depth and edges stay f32; the returned color is f32 for compositing.
+    The 8-bit output and the tonemap make the precision loss sub-quantum
+    almost everywhere (pinned by tests/test_bf16_shading.py)."""
+    dt = compute_dtype
     covered = it["covered"]
     interp = it["interp"]
     uv = it["uv"]
     draw = it["draw"]
 
-    normal = interp(vstage["normal"])
-    tangent4 = interp(vstage["tangent"])
+    normal = interp(vstage["normal"]).astype(dt)
+    tangent4 = interp(vstage["tangent"]).astype(dt)
     tangent, tan_w = tangent4[..., :3], tangent4[..., 3]
 
     mat = frame["material_id"][draw]
-    base_factor = materials["base_color_factor"][mat]  # [H,W,4]
-    emis_occ = materials["emissive_occlusion"][mat]
-    arm = materials["alpha_rgh_mtl_normal"][mat]
+    base_factor = materials["base_color_factor"][mat].astype(dt)  # [H,W,4]
+    emis_occ = materials["emissive_occlusion"][mat].astype(dt)
+    arm = materials["alpha_rgh_mtl_normal"][mat].astype(dt)
     tex_idx = materials["tex_indices"][mat]  # [H,W,5] i32
 
     sampler = make_sampler(materials, uv, it["lod_base"], trilinear,
-                           it["duv_dx"], it["duv_dy"], aniso)
+                           it["duv_dx"], it["duv_dy"], aniso, srgb_per_tap,
+                           dt)
 
     def sample(slot_col):
         return sampler(tex_idx[..., slot_col])
@@ -300,7 +337,7 @@ def shade_interpolated(it: dict, vstage: dict, frame: dict, materials: dict,
     )
 
     # Lit mode (main.frag:78-88).
-    sun_dir = jnp.asarray([-1.0, 1.0, 1.0]) / jnp.sqrt(3.0)
+    sun_dir = (jnp.asarray([-1.0, 1.0, 1.0]) / jnp.sqrt(3.0)).astype(dt)
     sun_dot = jnp.maximum(0.0, jnp.sum(shading_normal * sun_dir, axis=-1))
     brightness = 0.3 * occlusion + sun_dot * 2.0
     emissive_len = jnp.sqrt(jnp.sum(emissive * emissive, axis=-1))
@@ -315,7 +352,7 @@ def shade_interpolated(it: dict, vstage: dict, frame: dict, materials: dict,
         axis=-1,
     )
 
-    debug_rgb = draw_debug_colors(frame["debug_id"][draw])
+    debug_rgb = draw_debug_colors(frame["debug_id"][draw]).astype(dt)
 
     def rgba(rgb, a=None):
         if a is None:
@@ -336,7 +373,8 @@ def shade_interpolated(it: dict, vstage: dict, frame: dict, materials: dict,
     for i in range(1, len(candidates)):
         color = jnp.where(mode == i, candidates[i], color)
 
-    return jnp.where(covered[..., None], color, jnp.zeros_like(color))
+    color = jnp.where(covered[..., None], color, jnp.zeros_like(color))
+    return color.astype(jnp.float32)
 
 
 def shade(
@@ -351,8 +389,11 @@ def shade(
     row0=0,
     trilinear: bool = True,
     aniso: int = 1,
+    srgb_per_tap: bool = False,
+    compute_dtype=jnp.float32,
 ) -> jnp.ndarray:
-    """Returns linear HDR [H,W,4]. Background pixels are the clear color
+    """Returns linear HDR [H,W,4] f32. Background pixels are the clear color
     (0,0,0,0) (render_passes.rs:192-197)."""
     it = interpolants(trid, geom, vstage, width=width, height=height, row0=row0)
-    return shade_interpolated(it, vstage, frame, materials, trilinear, aniso)
+    return shade_interpolated(it, vstage, frame, materials, trilinear, aniso,
+                              srgb_per_tap, compute_dtype)

@@ -64,14 +64,14 @@ def _np_bilinear(img_u8, uv, decode_per_tap):
     return out
 
 
-def _sample(materials, slot, uv, duv_scale=1e-4):
+def _sample(materials, slot, uv, duv_scale=1e-4, srgb_per_tap=False):
     hw = uv.shape[:2]
     slots = jnp.full(hw, slot, jnp.int32)
     tiny = jnp.full(hw + (2,), duv_scale, jnp.float32)
     sampler = make_sampler(
         materials, jnp.asarray(uv, jnp.float32),
         jnp.zeros(hw, jnp.float32), trilinear=False,
-        duv_dx=tiny, duv_dy=tiny, aniso=1,
+        duv_dx=tiny, duv_dy=tiny, aniso=1, srgb_per_tap=srgb_per_tap,
     )
     return np.asarray(sampler(slots))
 
@@ -115,6 +115,81 @@ class TestSrgbFilterOrder:
         # the documented deviation stays what the docs claim.
         dev = np.abs(after[..., :3] - before[..., :3]).max()
         assert 0.2 < dev <= 0.2864, dev  # 0.5 - decode(0.5) = 0.2863
+
+
+class TestSrgbPerTapExactMode:
+    """srgb_per_tap=True (RenderConfig.exact_sampler) must be EXACTLY the
+    hardware decode-before-filter order (descriptors.rs:90-105 + the
+    VK_FORMAT_*_SRGB sampling rules), even on worst-case content where the
+    fast path's documented deviation is at its bound."""
+
+    def _uv_grid(self, n=16):
+        u = (np.arange(n) + 0.37) / n
+        v = (np.arange(n) + 0.61) / n
+        return np.stack(np.meshgrid(u, v, indexing="xy"), axis=-1)
+
+    def test_checkerboard_matches_decode_before_filter(self):
+        img = np.zeros((8, 8, 4), np.uint8)
+        img[:, :, 3] = 255
+        img[::2, ::2, :3] = 255
+        img[1::2, 1::2, :3] = 255
+        tex = Texture([img], TextureKind.SRGB_COLOR, "checker")
+        _reg, mats = _materials_for([tex])
+        uv = self._uv_grid(8)
+        got = _sample(mats, tex.slot, uv, srgb_per_tap=True)
+        before = _np_bilinear(img, uv, decode_per_tap=True)
+        np.testing.assert_allclose(got, before, atol=2e-3)
+        # and it genuinely differs from the fast path on this content
+        after = _np_bilinear(img, uv, decode_per_tap=False)
+        assert np.abs(got[..., :3] - after[..., :3]).max() > 0.2
+
+    def test_linear_textures_identical_in_both_modes(self):
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 256, (8, 8, 4), np.uint8).astype(np.uint8)
+        tex = Texture([img], TextureKind.LINEAR_COLOR, "lin")
+        _reg, mats = _materials_for([tex])
+        uv = self._uv_grid(8)
+        a = _sample(mats, tex.slot, uv, srgb_per_tap=False)
+        b = _sample(mats, tex.slot, uv, srgb_per_tap=True)
+        np.testing.assert_array_equal(a, b)
+
+    def test_aniso16_taps_stay_inside_footprint(self):
+        """16-tap anisotropy (the reference device's max_sampler_anisotropy):
+        a half-black/half-white sRGB texture sampled with a purely horizontal
+        footprint inside one half must not leak the other half's color, and
+        a footprint spanning both halves must average them in LINEAR space
+        (per-tap decode)."""
+        img = np.zeros((16, 16, 4), np.uint8)
+        img[:, :, 3] = 255
+        img[:, 8:, :3] = 255  # right half white
+        tex = Texture([img], TextureKind.SRGB_COLOR, "half")
+        _reg, mats = _materials_for([tex])
+        hw = (4, 4)
+        slots = jnp.full(hw, tex.slot, jnp.int32)
+
+        def sample_at(u, major_u):
+            uv = np.full(hw + (2,), 0.5, np.float32)
+            uv[..., 0] = u
+            dx = np.broadcast_to(
+                np.array([major_u, 0], np.float32), hw + (2,)
+            ).copy()
+            dy = np.broadcast_to(
+                np.array([0, 1 / 64], np.float32), hw + (2,)
+            ).copy()
+            sampler = make_sampler(
+                mats, jnp.asarray(uv), jnp.zeros(hw, jnp.float32),
+                trilinear=False, duv_dx=jnp.asarray(dx), duv_dy=jnp.asarray(dy),
+                aniso=16, srgb_per_tap=True,
+            )
+            return np.asarray(sampler(slots))[0, 0]
+
+        # footprint u ∈ [0.125, 0.375]: fully inside the black half
+        inside = sample_at(0.25, 0.25)
+        assert inside[:3].max() < 0.02, inside
+        # footprint u ∈ [0.375, 0.625]: half black, half white → linear mean
+        # ≈ 0.5 (per-tap decode; encoded-space averaging would give 0.21)
+        span = sample_at(0.5, 0.25)
+        assert 0.35 < span[0] < 0.65, span
 
 
 class TestPerAxisMipLod:
