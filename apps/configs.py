@@ -161,6 +161,34 @@ def run_all(outdir: str = "configs_out", frames: int = 10) -> list[dict]:
     img, ms = _timed(stress_renderer, scene, 0, max(frames // 2, 3))
     record("stress-1M-tris-1080p", img, ms)
 
+    # 8. pair-capacity stress: ≥4M (tile, triangle) pairs — the 1M-tri field
+    # PLUS an 8000-layer screen-spanning overdraw stack (pairs ≈ layers · 2 ·
+    # covered tiles). Binning (expansion + one stable sort + slim-row scatter) and
+    # the raster kernels' bin streams run at ~7x the Sponza-scale bench's
+    # pair count; cost must track pairs ~linearly (tools/binning_scaling.py
+    # measures the isolated curve).
+    sreg2 = rt.MaterialRegistry()
+    sbuilder2 = rt.VertexLibraryBuilder()
+    omesh, omat, otransforms = proxy_mod.make_overdraw_stack(sbuilder2, sreg2)
+    smeshes2, smat2 = proxy_mod.make_stress_field(sbuilder2, sreg2,
+                                                  n_meshes=32,
+                                                  tris_per_mesh=32768)
+    sbuilder2.build()
+    stress4m_renderer = rt.Renderer(
+        sreg2,
+        # ~4.3M pairs measured for this camera; 1<<23 keeps ~2x headroom
+        rt.RenderConfig(width=1920, height=1080, max_triangles=1 << 21,
+                        pair_capacity=1 << 23),
+        overflow_policy="off",
+    )
+    scene = rt.Scene(world_space=rt.GLTF)
+    scene.camera.position, scene.camera.orientation = pos, orient
+    for m in smeshes2:
+        scene.queue_mesh(m, smat2, None, math3d.IDENTITY)
+    scene.queue_instanced(omesh, omat, otransforms)
+    img, ms = _timed(stress4m_renderer, scene, 0, max(frames // 3, 2))
+    record("stress-4Mpairs-1080p", img, ms)
+
     # results FIRST: the deferred PNG readbacks can wedge for minutes on
     # tunneled runtimes (readback latency scales with dispatch history —
     # see tools/readback_probe.py), and the numbers must never be lost

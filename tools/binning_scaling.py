@@ -1,0 +1,130 @@
+"""Binning cost vs pair count — the scale-axis measurement (VERDICT r2 #1).
+
+Times `bin_triangle_classes` (and its argsort in isolation) at pair
+capacities 1M/2M/4M/8M, with the synthetic workload sized so the ACTUAL
+pair count tracks capacity (~60% full — the steady state the Renderer's
+auto grow/shrink maintains). Uses the tunnel-robust fori_loop slope harness
+(engine/stats._time_call): each timing repeats the stage inside ONE dispatch
+and subtracts a paired shorter dispatch, cancelling tunnel dispatch-latency
+noise.
+
+What this demonstrates: the sort is a minor, near-linear term — the binned
+payload gather/scatter (O(pairs · B_ROWS) HBM traffic) dominates, so total
+binning cost tracks ACTUAL PAIRS ~linearly. The stable argsort IS the
+TPU-native collision-free scatter primitive (XLA has no fetch-and-add;
+count-then-scatter still needs a stable rank, which is the sort); what
+matters for the scale axis is that its share stays small. See TIMINGS.md.
+
+Run (TPU): python -m tools.binning_scaling [reps]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from renderer_tpu.engine.stats import _time_call
+from renderer_tpu.raster import binning
+from renderer_tpu.raster.setup import BBOX_ROWS, EPS_ROW, ROWS, VALID_ROW
+
+
+def synthetic_tri_data(n_pairs_target: int, tiles_x: int, tiles_y: int,
+                       tile_w: int, tile_h: int, seed: int = 11):
+    """Random triangle bboxes whose expected total (tile, triangle) pair
+    count is ~n_pairs_target, with a mix of small (1-2 tiles) and medium
+    (4-12 tiles) footprints like a real scene."""
+    rng = np.random.default_rng(seed)
+    w, h = tiles_x * tile_w, tiles_y * tile_h
+    # small triangles ~1.5 tiles, 20% mediums ~8 tiles → ~2.8 avg
+    avg_pairs = 2.8
+    n = int(n_pairs_target / avg_pairs)
+    tc = 1 << max(14, int(np.ceil(np.log2(max(n, 1)))))
+    td = np.zeros((ROWS, tc), np.float32)
+    x0 = rng.uniform(0, w - 2, n)
+    y0 = rng.uniform(0, h - 2, n)
+    medium = rng.random(n) < 0.2
+    bw = np.where(medium, rng.uniform(tile_w, 3 * tile_w, n),
+                  rng.uniform(2, tile_w / 2, n))
+    bh = np.where(medium, rng.uniform(tile_h, 4 * tile_h, n),
+                  rng.uniform(2, tile_h, n))
+    td[BBOX_ROWS[0], :n] = x0
+    td[BBOX_ROWS[1], :n] = y0
+    td[BBOX_ROWS[2], :n] = np.minimum(x0 + bw, w)
+    td[BBOX_ROWS[3], :n] = np.minimum(y0 + bh, h)
+    td[VALID_ROW, :n] = 1.0
+    td[EPS_ROW, :n] = 1e-4
+    for r in range(15):
+        td[r, :n] = rng.normal(size=n).astype(np.float32)
+    return jnp.asarray(td), n
+
+
+def main():
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    tiles_x, tiles_y, tile_w, tile_h = 15, 34, 128, 32  # the 1080p grid
+    rows = []
+    for cap_log2 in (20, 21, 22, 23):  # 1M, 2M, 4M, 8M
+        cap = 1 << cap_log2
+        td, n_tris = synthetic_tri_data(int(cap * 0.6), tiles_x, tiles_y,
+                                        tile_w, tile_h)
+
+        def bin_fn(td_):
+            return binning.bin_triangle_classes(
+                td_, (0, n_tris),
+                tiles_x=tiles_x, tiles_y=tiles_y,
+                tile_w=tile_w, tile_h=tile_h, pair_capacity=cap,
+            )
+
+        # actual pair count for the honesty column (tiny readback; done
+        # before any timing in this process would matter — binning_scaling
+        # is a measurement tool, not a bench)
+        _b, _s, counts, ov = bin_fn(td)
+        actual = int(np.asarray(counts).sum() + np.asarray(ov).sum())
+
+        ms_total = _time_call(bin_fn, td, iters=reps)
+
+        # the sort alone, same key distribution
+        key = np.random.default_rng(3).integers(
+            0, tiles_x * tiles_y, cap
+        ).astype(np.int32)
+        key_dev = jnp.asarray(key)
+
+        def sort_fn(k):
+            return jnp.argsort(k.astype(jnp.int32), stable=True)
+
+        # argsort input must be int; _time_call perturbs the first FLOAT
+        # leaf, so wrap with a float carrier
+        def sort_wrapped(kf):
+            return sort_fn(kf.astype(jnp.int32))
+
+        ms_sort = _time_call(sort_wrapped, key_dev.astype(jnp.float32),
+                             iters=reps)
+
+        rows.append({
+            "pair_capacity": cap,
+            "triangles": n_tris,
+            "actual_pairs": actual,
+            "binning_ms": round(ms_total, 4),
+            "argsort_ms": round(ms_sort, 4),
+            "sort_share": round(ms_sort / max(ms_total, 1e-9), 3),
+        })
+        print(json.dumps(rows[-1]), flush=True)
+
+    base = rows[0]
+    print("\n| capacity | actual pairs | binning ms | argsort ms | "
+          "scale vs 1M |")
+    print("|---|---|---|---|---|")
+    for r in rows:
+        print(f"| {r['pair_capacity'] >> 20}M | {r['actual_pairs']} | "
+              f"{r['binning_ms']:.3f} | {r['argsort_ms']:.3f} | "
+              f"{r['binning_ms'] / base['binning_ms']:.2f}x |")
+    import os
+
+    os._exit(0)  # tunneled runtimes: never hang on teardown
+
+
+if __name__ == "__main__":
+    main()
