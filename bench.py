@@ -103,26 +103,65 @@ def frame_times(frames: int):
 
 
 def verify_main(frames: int, pair_capacity: int | None) -> None:
-    """--verify mode (run in a FRESH process): replay the exact frame
-    timeline reading the stats vector back after EVERY frame, print one JSON
-    line with the aggregated overflow. Per-frame readbacks keep the dispatch
-    history at 1 frame, so no readback can wedge; dispatch goes synchronous
-    after the first readback, which is fine here — this process is never
-    timed."""
-    from renderer_tpu.raster import pipeline
+    """--verify mode (run in a FRESH process, forced onto the CPU backend):
+    replay the exact frame timeline through the SAME jitted
+    vertex→setup→binning stages the frame function runs, and count each
+    frame's (tile, triangle) pairs and overflow.
+
+    Pair overflow is a pure function of (scene, camera, RenderConfig) —
+    integer tile-span arithmetic over the setup bboxes — so the CPU
+    evaluation proves the TPU run's completeness exactly (same XLA program
+    semantics; the timed process's capacity either fits every frame's
+    measured total_pairs or it does not). Running the verifier off-TPU is
+    the only wedge-proof shape on tunneled runtimes: ANY device→host
+    readback there can stall for tens of minutes (readback latency scales
+    with dispatch history — tools/readback_probe.py; a single readback
+    after a single 63-frame scan dispatch was measured to wedge past 15
+    minutes), while the CPU replay needs no readback discipline at all."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp  # noqa: F401
+
+    from renderer_tpu.raster import binning, setup, vertex_stage
+    from renderer_tpu.scene import draw_stream
 
     name, renderer, make_scene = build_bench(pair_capacity)
-    agg = None
+    cfg = renderer.config
+    dropped = 0
+    max_pairs = 0
     for t in frame_times(frames):
-        renderer.render_frame_device(make_scene(t), debug_mode=0)
-        st = np.asarray(renderer.last_stats)
-        agg = st if agg is None else np.maximum(agg, st)
-    total_idx = pipeline.STAT_NAMES.index("total_pairs")
+        scene = make_scene(t)
+        fv = draw_stream.frame_view(scene)
+        gs, geom = renderer._geometry(scene, fv.order, fv.geom_key)
+        frame = draw_stream.unpack_frame(renderer._frame_arrays(scene, fv, gs))
+        vs = vertex_stage.run_vertex_stage(geom, frame,
+                                           skin_start=gs.skin_start)
+        td = setup.triangle_setup(
+            vs["clip"], geom["tri_v"], frame["num_tris"],
+            cfg.width, cfg.height,
+            bbox_pad=(0.5 if cfg.msaa_samples > 1 else 0.0),
+        )
+        bounds = [0, frame["n_opaque"]]
+        if gs.num_masked_tris > 0:
+            bounds.append(frame["n_opaque"] + frame["n_masked"])
+        if gs.num_tris > gs.num_opaque_tris + gs.num_masked_tris:
+            bounds.append(frame["num_tris"])
+        _b, _s, counts, ov = binning.bin_triangle_classes(
+            td, tuple(bounds),
+            tiles_x=cfg.tiles_x, tiles_y=cfg.tiles_y,
+            tile_w=cfg.tile_w, tile_h=cfg.tile_h,
+            pair_capacity=cfg.pair_capacity,
+        )
+        ov_sum = int(np.asarray(ov).sum())
+        total = int(np.asarray(counts).sum()) + ov_sum
+        dropped = max(dropped, ov_sum)
+        max_pairs = max(max_pairs, total)
     print(json.dumps({
         "metric": name,
-        "dropped_pairs": int(agg[:4].sum()),
-        "max_total_pairs": int(agg[total_idx]),
-        "pair_capacity": renderer.config.pair_capacity,
+        "dropped_pairs": dropped,
+        "max_total_pairs": max_pairs,
+        "pair_capacity": cfg.pair_capacity,
     }), flush=True)
     os._exit(0)
 
