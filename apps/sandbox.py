@@ -60,28 +60,34 @@ class Sandbox:
                 load_gltf(SMOL_AME, builder, self.registry) if with_smol_ame else None
             )
         self.library = builder.build()
+        # constants of the demo scene, hoisted out of the per-frame rebuild
+        # (the reference's main loop keeps these outside the loop too,
+        # main.rs:549-583); the per-frame budget is the reference's ~20 µs
+        # queue cost
+        yaw, pitch = 1.56, 0.0
+        self._cam_position = np.array([0.0, 1.6, 0.0], np.float32)
+        self._cam_orientation = math3d.quat_mul(
+            math3d.quat_from_axis_angle([0, 1, 0], yaw),
+            math3d.quat_from_axis_angle([1, 0, 0], pitch),
+        )
+        self._ame_transform = math3d.trs(
+            translation=np.array([3.0, 0.0, -0.5], np.float32),
+            rotation=math3d.quat_from_axis_angle([0, 1, 0], -np.pi / 2),
+            scale=np.array([0.7, 0.7, 0.7], np.float32),
+        )
 
     def build_scene(self, game_time: float = 0.0) -> rt.Scene:
         """main.rs:549-583: camera pose, Sponza at identity, Smol Ame with
         all animations playing at game_time % end_time."""
         scene = rt.Scene(world_space=rt.GLTF)
-        scene.camera.position = np.array([0.0, 1.6, 0.0], np.float32)
-        yaw, pitch = 1.56, 0.0
-        scene.camera.orientation = math3d.quat_mul(
-            math3d.quat_from_axis_angle([0, 1, 0], yaw),
-            math3d.quat_from_axis_angle([1, 0, 0], pitch),
-        )
+        scene.camera.position = self._cam_position
+        scene.camera.orientation = self._cam_orientation
         self.sponza.queue(scene, math3d.IDENTITY)
         if self.smol_ame is not None:
             playing = [
                 (game_time % a.end_time, a) for a in self.smol_ame.animations
             ]
-            transform = math3d.trs(
-                translation=np.array([3.0, 0.0, -0.5], np.float32),
-                rotation=math3d.quat_from_axis_angle([0, 1, 0], -np.pi / 2),
-                scale=np.array([0.7, 0.7, 0.7], np.float32),
-            )
-            self.smol_ame.queue_animated(scene, transform, playing)
+            self.smol_ame.queue_animated(scene, self._ame_transform, playing)
         return scene
 
 

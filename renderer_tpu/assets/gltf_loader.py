@@ -365,6 +365,7 @@ class Gltf:
         diverge from the sequential oracle path."""
         self._walk = None
         self._walk_valid = None
+        self._walk_all_valid = None
         self._rows_cache = None
         self._multi_cache = None
         for a in self.animations:
@@ -461,6 +462,11 @@ class Gltf:
         # fast path: skinned palettes batched per skin; the static subset is
         # ONE vectorized queue_block (see _split_rows for the order argument)
         mats, valid = fast
+        # every scene-reachable node is valid in the common case — skip the
+        # identity-substitution np.where on the hot path
+        all_valid = getattr(self, "_walk_all_valid", None)
+        if all_valid is None:
+            all_valid = self._walk_all_valid = bool(valid.all())
         skinned_rows, block, static_idx = self._split_rows()
         for _, mesh, material, skin_index in skinned_rows:
             offset = joints_offsets_per_skin.get(skin_index)
@@ -472,14 +478,14 @@ class Gltf:
                 offset, palette = alloc
                 # batched: palette = animated[joints] @ ibms
                 idx, ibms = skin_arrays(skin)
-                a = np.where(
+                a = mats[idx] if all_valid else np.where(
                     valid[idx][:, None, None], mats[idx], math3d.IDENTITY
                 )
                 np.matmul(a, ibms, out=palette[: len(skin.joints)])
                 joints_offsets_per_skin[skin_index] = offset
             all_drawn &= scene.queue_mesh(mesh, material, offset, transform)
         if len(static_idx):
-            a = np.where(
+            a = mats[static_idx] if all_valid else np.where(
                 valid[static_idx][:, None, None], mats[static_idx],
                 math3d.IDENTITY,
             )

@@ -80,6 +80,24 @@ def create_proj(width: float, height: float, near: float, far: float | None) -> 
     return projection_reverse_z_inf_far(FOV_Y_RADIANS, aspect, near)
 
 
+_PROJ_CACHE: dict = {}
+
+
+def _cached_projection(width: float, height: float, near: float,
+                       far: float | None,
+                       world_space: CoordinateSystem) -> np.ndarray:
+    """create_proj(...) @ world→Vulkan basis change — constant per camera
+    configuration, cached: rebuilding it per frame costs ~40 µs of numpy
+    overhead (incl. a LAPACK inverse) in the per-frame host prologue."""
+    key = (width, height, near, far, world_space)
+    m = _PROJ_CACHE.get(key)
+    if m is None:
+        vk_from_world = world_space.create_transform_to(VULKAN)
+        m = create_proj(width, height, near, far) @ vk_from_world
+        _PROJ_CACHE[key] = m
+    return m
+
+
 @dataclass
 class Camera:
     """camera.rs:41-53. `orientation` is an [x,y,z,w] quaternion mapping
@@ -94,10 +112,31 @@ class Camera:
         self, width: float, height: float, world_space: CoordinateSystem = VULKAN
     ) -> tuple[np.ndarray, np.ndarray]:
         """Returns (projection, view) 4x4s; camera.rs:55-62. The full
-        vertex transform is projection @ view @ model."""
-        view = math3d.affine_inverse(
-            math3d.rotation_translation(self.orientation, self.position)
+        vertex transform is projection @ view @ model.
+
+        Hot path (called per frame): the projection side is cached and the
+        view matrix is the ANALYTIC inverse of the rotation+translation
+        pose — view = [Rᵀ | −Rᵀp] (pure scalar math; the general
+        `affine_inverse` runs a LAPACK solve, ~45 µs of the prologue)."""
+        q = self.orientation
+        x, y, z, w = float(q[0]), float(q[1]), float(q[2]), float(q[3])
+        xx, yy, zz = x * x, y * y, z * z
+        xy, xz, yz = x * y, x * z, y * z
+        wx, wy, wz = w * x, w * y, w * z
+        # rows of Rᵀ = columns of R (quat_to_mat3 layout)
+        r00, r01, r02 = 1 - 2 * (yy + zz), 2 * (xy + wz), 2 * (xz - wy)
+        r10, r11, r12 = 2 * (xy - wz), 1 - 2 * (xx + zz), 2 * (yz + wx)
+        r20, r21, r22 = 2 * (xz + wy), 2 * (yz - wx), 1 - 2 * (xx + yy)
+        px, py, pz = (float(self.position[0]), float(self.position[1]),
+                      float(self.position[2]))
+        view = np.array([
+            [r00, r01, r02, -(r00 * px + r01 * py + r02 * pz)],
+            [r10, r11, r12, -(r10 * px + r11 * py + r12 * pz)],
+            [r20, r21, r22, -(r20 * px + r21 * py + r22 * pz)],
+            [0.0, 0.0, 0.0, 1.0],
+        ], dtype=np.float32)
+        projection = _cached_projection(
+            float(width), float(height), float(self.near),
+            None if self.far is None else float(self.far), world_space,
         )
-        vk_from_world = world_space.create_transform_to(VULKAN)
-        projection = create_proj(width, height, self.near, self.far) @ vk_from_world
         return projection, view

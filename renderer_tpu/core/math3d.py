@@ -56,10 +56,14 @@ def quat_mul(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def quat_from_axis_angle(axis: np.ndarray, angle: float) -> np.ndarray:
-    axis = normalize(np.asarray(axis, dtype=np.float32))
-    half = 0.5 * angle
-    s = np.sin(half)
-    return np.array([axis[0] * s, axis[1] * s, axis[2] * s, np.cos(half)], dtype=np.float32)
+    import math
+
+    ax, ay, az = float(axis[0]), float(axis[1]), float(axis[2])
+    inv = 1.0 / (math.sqrt(ax * ax + ay * ay + az * az) or 1.0)
+    half = 0.5 * float(angle)
+    s = math.sin(half) * inv
+    return np.array([ax * s, ay * s, az * s, math.cos(half)],
+                    dtype=np.float32)
 
 
 def quat_slerp(a: np.ndarray, b: np.ndarray, t: float) -> np.ndarray:
@@ -178,15 +182,31 @@ def look_at(eye: np.ndarray, target: np.ndarray, up: np.ndarray) -> tuple[np.nda
     """Returns (position, orientation quat) for a camera looking from eye at
     target, for a coordinate system whose forward/up match the arguments'
     space. The orientation maps camera-local VULKAN axes (+X right, -Y up,
-    +Z forward) into world axes."""
-    eye = np.asarray(eye, dtype=np.float32)
-    fwd = normalize(np.asarray(target, dtype=np.float32) - eye)
-    up = normalize(np.asarray(up, dtype=np.float32))
-    right = normalize(np.cross(fwd, up))
-    true_up = np.cross(right, fwd)
-    # Camera basis in world space, as columns: right, -up (Vulkan +Y is down), forward.
-    basis = np.stack([right, -true_up, fwd], axis=1).astype(np.float32)
-    return eye, mat3_to_quat(basis)
+    +Z forward) into world axes.
+
+    Scalar-math hot path: this runs once per frame in the demo loops, and
+    the numpy-per-op version cost ~55 µs of pure interpreter overhead on
+    3-vectors."""
+    import math
+
+    ex, ey, ez = float(eye[0]), float(eye[1]), float(eye[2])
+    fx, fy, fz = float(target[0]) - ex, float(target[1]) - ey, float(target[2]) - ez
+    inv = 1.0 / math.sqrt(fx * fx + fy * fy + fz * fz)
+    fx, fy, fz = fx * inv, fy * inv, fz * inv
+    ux, uy, uz = float(up[0]), float(up[1]), float(up[2])
+    inv = 1.0 / math.sqrt(ux * ux + uy * uy + uz * uz)
+    ux, uy, uz = ux * inv, uy * inv, uz * inv
+    rx, ry, rz = fy * uz - fz * uy, fz * ux - fx * uz, fx * uy - fy * ux
+    inv = 1.0 / math.sqrt(rx * rx + ry * ry + rz * rz)
+    rx, ry, rz = rx * inv, ry * inv, rz * inv
+    tx, ty, tz = ry * fz - rz * fy, rz * fx - rx * fz, rx * fy - ry * fx
+    # Camera basis in world space, as columns: right, -up (Vulkan +Y is
+    # down), forward.
+    basis = ((rx, -tx, fx), (ry, -ty, fy), (rz, -tz, fz))
+    return (
+        np.array([ex, ey, ez], np.float32),
+        np.array(_mat3_to_quat_scalar(basis), np.float32),
+    )
 
 
 def mat3_to_quat_batch(m: np.ndarray) -> np.ndarray:
@@ -230,6 +250,29 @@ def mat3_to_quat_batch(m: np.ndarray) -> np.ndarray:
         np.where(c1[:, None], q1, np.where(c2[:, None], q2, q3)),
     )
     return out.astype(np.float32)
+
+
+def _mat3_to_quat_scalar(m) -> tuple:
+    """Scalar-math mat3_to_quat (Shepperd's branches on a 3x3 of floats):
+    the per-frame camera path must cost µs, not tens."""
+    import math
+
+    t = m[0][0] + m[1][1] + m[2][2]
+    if t > 0:
+        s = math.sqrt(t + 1.0) * 2
+        return ((m[2][1] - m[1][2]) / s, (m[0][2] - m[2][0]) / s,
+                (m[1][0] - m[0][1]) / s, 0.25 * s)
+    if m[0][0] > m[1][1] and m[0][0] > m[2][2]:
+        s = math.sqrt(1.0 + m[0][0] - m[1][1] - m[2][2]) * 2
+        return (0.25 * s, (m[0][1] + m[1][0]) / s,
+                (m[0][2] + m[2][0]) / s, (m[2][1] - m[1][2]) / s)
+    if m[1][1] > m[2][2]:
+        s = math.sqrt(1.0 + m[1][1] - m[0][0] - m[2][2]) * 2
+        return ((m[0][1] + m[1][0]) / s, 0.25 * s,
+                (m[1][2] + m[2][1]) / s, (m[0][2] - m[2][0]) / s)
+    s = math.sqrt(1.0 + m[2][2] - m[0][0] - m[1][1]) * 2
+    return ((m[0][2] + m[2][0]) / s, (m[1][2] + m[2][1]) / s,
+            0.25 * s, (m[1][0] - m[0][1]) / s)
 
 
 def mat3_to_quat(m: np.ndarray) -> np.ndarray:

@@ -60,8 +60,12 @@ def _repeat_runner(fn, args):
     dispatch (lax.fori_loop with a traced trip count — one compile serves
     every rep count). Each iteration perturbs the first float input by a
     runtime-denormal derived from the previous iteration's output, so the
-    iterations are data-dependent and XLA can neither hoist the stage out of
-    the loop nor elide it (0·x is not folded for floats — NaN semantics)."""
+    iterations are data-dependent and XLA can neither hoist the stage out
+    of the loop nor elide it. The outputs pass through an
+    optimization_barrier BEFORE the probe is sliced out: without it XLA
+    narrows the whole stage to computing the one probed element (slice
+    pushdown through matmuls/elementwise turned a 137-GFLOP matmul into a
+    single dot product in testing)."""
     leaves, treedef = jax.tree_util.tree_flatten(args)
     fidx = next(
         i for i, leaf in enumerate(leaves)
@@ -74,6 +78,7 @@ def _repeat_runner(fn, args):
             perturbed = list(ls)
             perturbed[fidx] = perturbed[fidx] + delta
             out = fn(*jax.tree_util.tree_unflatten(treedef, perturbed))
+            out = jax.lax.optimization_barrier(out)  # materialize EVERYTHING
             probe = jnp.float32(0.0)
             for leaf in jax.tree_util.tree_leaves(out):
                 probe = probe + leaf.ravel()[0].astype(jnp.float32)
@@ -104,6 +109,52 @@ def _time_call(fn, *args, iters: int = 10) -> float:
         run(r2).block_until_ready()
         t2 = time.perf_counter()
         slopes.append(((t2 - t1) - (t1 - t0)) / (r2 - r1) * 1e3)
+    slopes.sort()
+    return max(slopes[1], 0.0)
+
+
+def fused_frame_ms(renderer, scene, iters: int = 16) -> float:
+    """Per-frame device ms of the FUSED production frame via the K-frame
+    scan slope: render K identical frames in one `render_frames_scan`
+    dispatch and take ms = (t(K2) − t(K1)) / (K2 − K1). One dispatch per K
+    cancels the tunnel's per-dispatch overhead (like _time_call), and the
+    scan path's memory profile is the flythrough mode's — wrapping the
+    whole 1080p msaa4 frame in _repeat_runner's fori_loop instead makes
+    XLA's loop allocation exceed HBM."""
+    import numpy as np
+
+    from renderer_tpu.scene import draw_stream
+
+    fv = draw_stream.frame_view(scene)
+    gs, geom = renderer._geometry(scene, fv.order, fv.geom_key)
+    blob = draw_stream.pack_frame_blob(
+        fv, scene.joint_palette, renderer._proj_view(scene),
+        (gs.num_tris, gs.num_opaque_tris, gs.num_masked_tris, 0),
+    )
+    mats = renderer._materials()
+    kwargs = dict(
+        config=renderer.config, skin_start=gs.skin_start,
+        has_masked=gs.num_masked_tris > 0,
+        has_blended=gs.num_tris > gs.num_opaque_tris + gs.num_masked_tris,
+    )
+
+    def run(k):
+        blobs = jnp.asarray(np.tile(blob[None], (k, 1)))
+        # return BOTH outputs: dropping the images would let XLA dead-code
+        # the entire shading/tonemap column (stats only consume counts)
+        return renderer._frames_fn(geom, blobs, mats, **kwargs)
+
+    k1, k2 = 4, max(8, iters)
+    jax.block_until_ready(run(k1))  # compile + warm (two K-variants)
+    jax.block_until_ready(run(k2))
+    slopes = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(k1))
+        t1 = time.perf_counter()
+        jax.block_until_ready(run(k2))
+        t2 = time.perf_counter()
+        slopes.append(((t2 - t1) - (t1 - t0)) / (k2 - k1) * 1e3)
     slopes.sort()
     return max(slopes[1], 0.0)
 
@@ -228,15 +279,9 @@ def device_stage_timings(renderer, scene, iters: int = 10) -> dict[str, float]:
 
     # the production frame: everything above fused into one jit, at the
     # renderer's real msaa/layer config (msaa runs visibility per sample +
-    # candidate-deduped shading, raster/pipeline.py)
-    def full_fn(geom_, packed_, mats_):
-        img, _stats = renderer._frame_fn(
-            geom_, packed_, mats_, config=cfg, skin_start=gs.skin_start,
-            has_masked=n_masked > 0, has_blended=n_blended > 0,
-        )
-        return img
-
-    timings[f"FULL FRAME (fused, msaa{cfg.msaa_samples})"] = _time_call(
-        full_fn, geom, packed, mats, iters=iters
+    # candidate-deduped shading, raster/pipeline.py) — timed via the
+    # K-frame scan slope (see fused_frame_ms)
+    timings[f"FULL FRAME (fused, msaa{cfg.msaa_samples})"] = fused_frame_ms(
+        renderer, scene, iters=iters
     )
     return timings

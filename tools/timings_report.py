@@ -17,6 +17,7 @@ from renderer_tpu.engine import stats
 def main():
     msaa = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     pair_cap = int(sys.argv[2]) if len(sys.argv) > 2 else 1 << 20
+    with_bf16 = "bf16" in sys.argv[3:]
     import renderer_tpu as rt
 
     sb = sb_mod.Sandbox(with_smol_ame=True)
@@ -26,6 +27,18 @@ def main():
     scene = sb.build_scene(1.0)
     t0 = time.time()
     timings = stats.device_stage_timings(renderer, scene, iters=20)
+    if with_bf16:
+        # the bf16 shading lever: time ONLY the fused frame at bf16 (one
+        # extra compile), same scene/config otherwise
+        from dataclasses import replace
+
+        r16 = rt.Renderer(
+            sb.registry, replace(config, bf16_shading=True).validate(),
+            overflow_policy="off",
+        )
+        timings[f"FULL FRAME (fused, msaa{msaa}, bf16 shading)"] = (
+            stats.fused_frame_ms(r16, scene, iters=20)
+        )
     total = sum(v for k, v in timings.items() if not k.startswith("FULL"))
     print(f"# measured in {time.time()-t0:.0f}s wall", flush=True)
     print("| stage | µs |")
