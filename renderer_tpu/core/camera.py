@@ -100,8 +100,9 @@ def _cached_projection(width: float, height: float, near: float,
 
 @dataclass
 class Camera:
-    """camera.rs:41-53. `orientation` is an [x,y,z,w] quaternion mapping
-    camera-local Vulkan axes to world axes; `far=None` = infinite projection."""
+    """camera.rs:41-53. `orientation` is a UNIT [x,y,z,w] quaternion mapping
+    camera-local Vulkan axes to world axes (the analytic view inverse in
+    proj_view assumes Rᵀ = R⁻¹); `far=None` = infinite projection."""
 
     position: np.ndarray = field(default_factory=lambda: np.zeros(3, dtype=np.float32))
     orientation: np.ndarray = field(default_factory=math3d.quat_identity)
