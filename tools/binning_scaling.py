@@ -15,7 +15,13 @@ TPU-native collision-free scatter primitive (XLA has no fetch-and-add;
 count-then-scatter still needs a stable rank, which is the sort); what
 matters for the scale axis is that its share stays small. See TIMINGS.md.
 
-Run (TPU): python -m tools.binning_scaling [reps]
+Run: python -m tools.binning_scaling [reps] [cpu]
+
+`cpu` forces the CPU backend — where execution actually fences, so the
+scaling curve is REAL (on the tunneled TPU terminal block_until_ready does
+not fence and all wall times are dispatch-path artifacts; TIMINGS.md).
+The CPU curve validates the algorithm's complexity — the same XLA program
+structure runs on both backends.
 """
 
 from __future__ import annotations
@@ -25,6 +31,7 @@ import sys
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from renderer_tpu.engine.stats import _time_call
@@ -63,7 +70,9 @@ def synthetic_tri_data(n_pairs_target: int, tiles_x: int, tiles_y: int,
 
 
 def main():
-    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    if "cpu" in sys.argv[1:]:
+        jax.config.update("jax_platforms", "cpu")
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 16
     tiles_x, tiles_y, tile_w, tile_h = 15, 34, 128, 32  # the 1080p grid
     rows = []
     for cap_log2 in (20, 21, 22, 23):  # 1M, 2M, 4M, 8M
