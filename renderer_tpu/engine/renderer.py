@@ -250,7 +250,11 @@ class Renderer:
             fv, scene.joint_palette, self._proj_view(scene),
             (gs.num_tris, gs.num_opaque_tris, gs.num_masked_tris, debug_mode),
         )
-        return {"blob": jnp.asarray(blob)}
+        # the HOST array goes straight into the jit call: the implicit arg
+        # device_put rides the dispatch itself, measurably cheaper on
+        # tunneled runtimes than a separate jnp.asarray round
+        # (~0.10 ms/frame of the interactive loop)
+        return {"blob": blob}
 
     # -- frame loop ----------------------------------------------------------
 
