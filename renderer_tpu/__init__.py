@@ -19,6 +19,7 @@ from renderer_tpu.core.constants import (
 )
 from renderer_tpu.engine.profiling import Profiler
 from renderer_tpu.engine.renderer import Renderer
+from renderer_tpu.engine.stats import format_bytes, log_memory_usage, memory_usage
 from renderer_tpu.geometry.vertex_library import (
     Mesh,
     VertexLibrary,
@@ -43,6 +44,9 @@ __all__ = [
     "VertexLibraryMeasurer", "AlphaMode", "Material", "MaterialRegistry",
     "PbrMaterialParameters", "Texture", "TextureKind", "Scene",
     "Gltf", "load_gltf",
+    # HBM accounting — the reference's Bytes printer + vram getters
+    # (lib.rs:75-95,103-128)
+    "format_bytes", "memory_usage", "log_memory_usage",
 ]
 
 __version__ = "0.1.0"

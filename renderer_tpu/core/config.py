@@ -46,7 +46,12 @@ class RenderConfig:
     # blended geometry (raster/layers.py). The reference blends unbounded
     # (src-alpha over, pipelines.rs:112-132); 4 layers keep stacks of
     # translucent surfaces exact up to depth 4 per sample, with deeper
-    # stacks truncated LOUDLY (frame stats blended_saturated_px).
+    # stacks truncated LOUDLY (frame stats blended_saturated_px) AND
+    # auto-grown at runtime: under the Renderer's "auto"/"sync" policies the
+    # layer counts track the measured per-pixel demand (stats
+    # *_demand_max), growing toward the reference's unbounded behavior and
+    # shrinking back to this configured floor with hysteresis
+    # (engine/renderer.py _grow_layer_capacity).
     mask_layers: int = 4
     blend_layers: int = 4
 
@@ -55,6 +60,14 @@ class RenderConfig:
     # the (tile, triangle) pair capacity of the UI binning.
     ui_layers: int = 4
     ui_pair_capacity: int = 1 << 14
+    # Evaluate UI coverage at the MSAA sample positions (the reference draws
+    # ImGui into the multisampled geometry target, so UI edges are
+    # antialiased — pipeline_parameters.rs IMGUI + render pass Geometry).
+    # Shading/attributes stay at pixel centers (hardware non-sample-rate
+    # shading) and clip-rect discard stays per pixel. False (default)
+    # evaluates coverage at pixel centers only — sub-pixel difference on
+    # glyph/border edges, one shade pass per layer instead of msaa_samples.
+    ui_msaa: bool = False
 
     # MSAA shading dedup: shade at most this many distinct solid triangles
     # per pixel across the 4 samples (layered passes get layers+this-1).

@@ -49,6 +49,42 @@ def _enable_compilation_cache() -> None:
 
 MAX_PAIR_CAPACITY = 1 << 22
 
+# Layered-capture growth ceiling: each extra layer costs one more deferred
+# shade/composite pass (pipeline.render_shard phases 2/5/6) plus
+# [S, K, tile_h, tile_w] VMEM in the layer kernels, so runaway growth on a
+# pathological stack (hundreds of coplanar translucent surfaces) must cap
+# loudly rather than compile an absurd frame function.
+MAX_LAYERS = 16
+
+# stats demand entry → RenderConfig field it right-sizes
+_LAYER_KNOBS = (
+    ("masked_demand_max", "mask_layers"),
+    ("blended_demand_max", "blend_layers"),
+    ("ui_demand_max", "ui_layers"),
+)
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, (max(n, 1) - 1).bit_length())
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_frame_fns(interpret: bool):
+    """Process-wide jitted frame functions, shared by every Renderer:
+    all per-renderer state rides in the arguments (config is a static jit
+    key), so two Renderers with the same config reuse one compiled
+    executable — the VkPipelineCache discipline applied to traces, not just
+    the persistent on-disk cache."""
+    frame_fn = jax.jit(
+        functools.partial(pipeline.render_frame, interpret=interpret),
+        static_argnames=("config", "skin_start", "has_masked", "has_blended"),
+    )
+    frames_fn = jax.jit(
+        functools.partial(pipeline.render_frames_scan, interpret=interpret),
+        static_argnames=("config", "skin_start", "has_masked", "has_blended"),
+    )
+    return frame_fn, frames_fn
+
 
 class Renderer:
     def __init__(
@@ -58,10 +94,14 @@ class Renderer:
         profiler: Profiler | None = None,
         overflow_policy: str = "auto",
         shrink_after: int = 120,
+        max_layers: int = MAX_LAYERS,
     ) -> None:
         """overflow_policy — what to do when the frame's stats vector reports
-        dropped work (bin pair_capacity exceeded), the analog of the
-        reference's loud arena-OOM errors (arena/buffers.rs:126-163):
+        dropped work (bin pair_capacity exceeded, or a layered capture
+        truncated past mask_layers/blend_layers/ui_layers — the reference's
+        fixed-function blending is unbounded, pipelines.rs:112-132), the
+        analog of the reference's loud arena-OOM errors
+        (arena/buffers.rs:126-163):
         - "auto" (default): check the PREVIOUS frame's stats after each
           dispatch (no pipeline stall on direct-attached devices), log loudly
           and regrow pair_capacity (recompile) so subsequent frames are
@@ -81,7 +121,13 @@ class Renderer:
         headroom — the binning sort costs O(capacity log capacity)
         regardless of scene size, so a bucket grown for one heavy camera
         angle would otherwise tax every later frame. Hysteresis avoids
-        recompile thrash on oscillating scenes."""
+        recompile thrash on oscillating scenes. The same streak discipline
+        shrinks grown layer counts back toward their configured floor (each
+        layer costs a deferred shade/composite pass per frame).
+
+        max_layers — ceiling for the layer-count growth (see MAX_LAYERS);
+        lower it when VMEM or compile-time budgets are tighter than the
+        default allows."""
         _enable_compilation_cache()
         assert overflow_policy in ("auto", "sync", "off")
         self.config = (config or RenderConfig()).validate()
@@ -89,22 +135,22 @@ class Renderer:
         self.profiler = profiler or Profiler(enabled=False)
         self.overflow_policy = overflow_policy
         self.shrink_after = shrink_after
+        self.max_layers = max_layers
         self._shrink_streak = 0
         self._streak_max_pairs = 0  # max total_pairs across the streak
         self._skip_stat_checks = 0  # frames dispatched before a capacity change
+        # layer-count right-sizing state: the configured counts are the
+        # floor (never shrink below what the caller asked for); per-knob
+        # (streak length, streak peak demand) for shrink hysteresis
+        self._layer_floors = {
+            field: getattr(self.config, field) for _, field in _LAYER_KNOBS
+        }
+        self._layer_streaks = {field: (0, 0) for _, field in _LAYER_KNOBS}
         self._geom_cache: dict = {}
         self._mat_cache: tuple[int, dict] | None = None
         self._interpret = pipeline.interpret_mode()
         self._last_stats = None  # device i32[N_STATS] of the last frame
-        self._frame_fn = jax.jit(
-            functools.partial(pipeline.render_frame, interpret=self._interpret),
-            static_argnames=("config", "skin_start", "has_masked", "has_blended"),
-        )
-        self._frames_fn = jax.jit(
-            functools.partial(pipeline.render_frames_scan,
-                              interpret=self._interpret),
-            static_argnames=("config", "skin_start", "has_masked", "has_blended"),
-        )
+        self._frame_fn, self._frames_fn = _jitted_frame_fns(self._interpret)
 
     # -- frame stats / overflow recovery --------------------------------------
 
@@ -174,6 +220,97 @@ class Renderer:
         if changed:
             self._shrink_streak = 0
         return changed
+
+    def _grow_layer_capacity(self, stats_host) -> bool:
+        """Grow mask_layers/blend_layers/ui_layers toward the measured peak
+        per-pixel fragment demand (stats *_demand_max) when a layered capture
+        truncated — the runtime convergence toward the reference's unbounded
+        fixed-function blending (pipelines.rs:112-132). Pow-2 buckets like
+        every other capacity; capped LOUDLY at MAX_LAYERS. Returns True if
+        any layer count grew (recompiles).
+
+        Note the blended demand measured under truncation can OVERCOUNT:
+        fragments dropped past the capacity never write the chain depth, so
+        later fragments that a complete chain would have depth-rejected
+        still count. Growth is therefore conservative (may overshoot by one
+        bucket); the shrink streak re-measures at the grown capacity and
+        settles on the true demand's bucket."""
+        from dataclasses import replace
+
+        changed = False
+        for stat, field in _LAYER_KNOBS:
+            idx = pipeline.STAT_NAMES.index(stat)
+            if len(stats_host) <= idx:
+                return changed
+            demand = int(stats_host[idx])
+            cur = getattr(self.config, field)
+            if demand <= cur:
+                continue
+            new = min(_next_pow2(demand), self.max_layers)
+            if new <= cur:
+                print(
+                    f"[renderer] {field} saturated (peak demand {demand} "
+                    f"fragments/pixel) but already at the {self.max_layers} "
+                    "max; deeper stacks will under-blend (counted in "
+                    "*_saturated_px)",
+                )
+                continue
+            print(
+                f"[renderer] layered capture truncated: peak demand {demand} "
+                f"fragments/pixel; regrowing {field} {cur} -> {new} "
+                "(recompiles)",
+            )
+            self.config = replace(self.config, **{field: new}).validate()
+            self._layer_streaks[field] = (0, 0)
+            changed = True
+        return changed
+
+    def _maybe_shrink_layers(self, stats_host) -> None:
+        """Shrink a grown layer count back toward its configured floor after
+        `shrink_after` consecutive frames whose peak demand fit a smaller
+        pow-2 bucket — sized from the streak's PEAK demand (same discipline
+        as the pair bucket: an oscillating scene can never shrink below its
+        own peak)."""
+        from dataclasses import replace
+
+        for stat, field in _LAYER_KNOBS:
+            idx = pipeline.STAT_NAMES.index(stat)
+            if len(stats_host) <= idx:
+                return
+            demand = int(stats_host[idx])
+            cur = getattr(self.config, field)
+            floor = self._layer_floors[field]
+            if max(_next_pow2(demand), floor) >= cur:
+                self._layer_streaks[field] = (0, 0)
+                continue
+            streak, peak = self._layer_streaks[field]
+            peak = demand if streak == 0 else max(peak, demand)
+            streak += 1
+            if streak < self.shrink_after:
+                self._layer_streaks[field] = (streak, peak)
+                continue
+            desired = max(_next_pow2(peak), floor)
+            if desired < cur:
+                print(
+                    f"[renderer] {field}={cur} oversized for {streak} "
+                    f"consecutive frames (streak peak demand {peak} "
+                    f"fragments/pixel); shrinking to {desired} (recompiles)",
+                )
+                self.config = replace(self.config, **{field: desired}).validate()
+            self._layer_streaks[field] = (0, 0)
+
+    def _grow_capacities(self, stats_host) -> bool:
+        """All capacity-growth feedback for one checked stats vector:
+        binning pair buckets (dropped work) + layered-capture counts
+        (truncated capture). Returns True if anything grew (recompiles)."""
+        changed = False
+        if self._total_overflow(stats_host) > 0:
+            changed = self._grow_pair_capacity(stats_host)
+        return self._grow_layer_capacity(stats_host) or changed
+
+    def _maybe_shrink_capacities(self, stats_host) -> None:
+        self._maybe_shrink_pair_capacity(stats_host)
+        self._maybe_shrink_layers(stats_host)
 
     def _maybe_shrink_pair_capacity(self, stats_host) -> None:
         """Shrink the binning bucket when the scene has sustainedly needed
@@ -291,13 +428,12 @@ class Renderer:
             img, stats = self._dispatch(scene, debug_mode, ui)
             self._last_stats = stats
             if self.overflow_policy == "sync":
-                # loop: regrow until the frame reports no dropped pairs
+                # loop: regrow until the frame reports no dropped/truncated
+                # work (or every growable capacity is at its max)
                 for _ in range(8):
                     host = np.asarray(stats)
-                    if self._total_overflow(host) == 0:
-                        self._maybe_shrink_pair_capacity(host)
-                        break
-                    if not self._grow_pair_capacity(host):
+                    if not self._grow_capacities(host):
+                        self._maybe_shrink_capacities(host)
                         break
                     img, stats = self._dispatch(scene, debug_mode, ui)
                     self._last_stats = stats
@@ -311,11 +447,10 @@ class Renderer:
                     self._skip_stat_checks -= 1
                 else:
                     host = np.asarray(prev_stats)
-                    if self._total_overflow(host) > 0:
-                        if self._grow_pair_capacity(host):
-                            self._skip_stat_checks = 1
+                    if self._grow_capacities(host):
+                        self._skip_stat_checks = 1
                     else:
-                        self._maybe_shrink_pair_capacity(host)
+                        self._maybe_shrink_capacities(host)
         return img
 
     def render_frames_device(self, scenes, debug_mode: int = 0):
@@ -360,13 +495,12 @@ class Renderer:
         imgs, stats = dispatch()
         if self.overflow_policy != "off":
             # batch-wide overflow check: the worst frame's stats, not the
-            # last frame's (a frame mid-batch must not drop work silently)
+            # last frame's (a frame mid-batch must not drop work silently;
+            # demand maxes over the batch are exactly the max stats rows)
             for _ in range(8):
                 host = np.asarray(jnp.max(stats, axis=0))
-                if self._total_overflow(host) == 0:
-                    self._maybe_shrink_pair_capacity(host)
-                    break
-                if not self._grow_pair_capacity(host):
+                if not self._grow_capacities(host):
+                    self._maybe_shrink_capacities(host)
                     break
                 if self.overflow_policy != "sync":
                     break  # grown for the next call; this batch stays as-is

@@ -97,11 +97,13 @@ def render_frame_sharded(
             out_rows=rows_per_dev,
             interpret=interpret,
         )
-        # overflow ([:4]) and total_pairs ([8:]) come from binning the FULL
+        # overflow ([:4]) and total_pairs ([8]) come from binning the FULL
         # screen — every device computes the same values; the per-pixel
-        # saturation counts ([4:8]) are per-shard and psum'd.
+        # saturation counts ([4:8]) are per-shard and psum'd; the layered
+        # demand peaks ([9:]) are per-shard maxima and pmax'd.
         stats = jnp.concatenate(
-            [stats[:4], jax.lax.psum(stats[4:8], axis), stats[8:]]
+            [stats[:4], jax.lax.psum(stats[4:8], axis), stats[8:9],
+             jax.lax.pmax(stats[9:], axis)]
         )
         return img, stats
 

@@ -71,6 +71,17 @@ STAT_NAMES = (
     # so the Renderer shrinks oversized buckets from this (like the
     # reference's exact measure-then-allocate arenas, arena/buffers.rs).
     "total_pairs",
+    # Peak per-pixel layered-capture demand (max over samples and image-area
+    # pixels of the aux fragment counts) for each layered class — the
+    # feedback signal for right-sizing mask_layers / blend_layers / ui_layers
+    # at runtime: demand > K means the K-layer capture truncated somewhere
+    # (the reference's fixed-function blending is unbounded,
+    # pipelines.rs:112-132, so the Renderer grows the layer count toward the
+    # measured demand), demand ≤ K/2 sustained means the per-layer shading
+    # passes are oversized and can shrink back.
+    "masked_demand_max",
+    "blended_demand_max",
+    "ui_demand_max",
 )
 N_STATS = len(STAT_NAMES)
 
@@ -186,6 +197,13 @@ def render_shard(
             jnp.any(aux[:, :out_rows, : cfg.width] > k, axis=0).astype(jnp.int32)
         )
 
+    def demand_max(aux):
+        """Peak per-(sample, pixel) fragment demand inside this shard's image
+        area — the capacity a layered capture would need to be lossless
+        (STAT_NAMES *_demand_max; feeds the Renderer's layer-count
+        grow/shrink)."""
+        return jnp.max(aux[:, :out_rows, : cfg.width])
+
     def interpolants_of(tid):
         return shade.interpolants(
             tid, geom, vs, width=cfg.width, height=cfg.height, row0=row0
@@ -237,6 +255,9 @@ def render_shard(
     # -- phase 1: opaque + masked visibility (all samples per kernel pass) ---
     mask_sat = zero
     blend_sat = zero
+    mask_demand = zero
+    blend_demand = zero
+    ui_demand = zero
     zs, ts = raster_opaque_all()
     solid_z = [zs[s] for s in range(msaa)]
     solid_tid = [ts[s] for s in range(msaa)]
@@ -245,6 +266,7 @@ def render_shard(
         lzm, ltm, aux_m = raster_layers_all(bins_masked, zs, "masked",
                                             cfg.mask_layers)
         mask_sat = saturated_px(aux_m, cfg.mask_layers)
+        mask_demand = demand_max(aux_m)
         for s in range(msaa):
             lz_m.append(lzm[s])
             lt_m.append(ltm[s])
@@ -285,6 +307,7 @@ def render_shard(
             bins_blended, jnp.stack(solid_z), "blended", cfg.blend_layers
         )
         blend_sat = saturated_px(aux_b, cfg.blend_layers)
+        blend_demand = demand_max(aux_b)
         for s in range(msaa):
             lt_b.append(ltb[s])
 
@@ -334,25 +357,39 @@ def render_shard(
     ui_sat = zero
     ui = frame.get("ui")
     if ui is not None:
+        # coverage at pixel centers by default; at the MSAA sample positions
+        # under cfg.ui_msaa (the reference's multisampled UI edges) — shading
+        # stays at pixel centers either way (non-sample-rate shading)
+        ui_spos = spos if (cfg.ui_msaa and msaa > 1) else ((0.5, 0.5),)
         lt_ui, ov_ui, aux_ui = ui_stage.rasterize_ui(
             ui, config=cfg, local_tiles_y=local_tiles_y,
-            tile_row_offset=tile_row_offset, interpret=interpret,
+            tile_row_offset=tile_row_offset, sample_positions=ui_spos,
+            interpret=interpret,
         )
-        ui_sat = saturated_px(aux_ui[None], cfg.ui_layers)  # UI is 1-sample
+        ui_sat = saturated_px(aux_ui, cfg.ui_layers)
+        ui_demand = demand_max(aux_ui)
         for k in range(cfg.ui_layers):
-            rgb_k, a_k = ui_stage.shade_ui_layer(
-                lt_ui[k], ui, materials, config=cfg, row0=row0
-            )
-            a_k = a_k[..., None]
-            for s in range(msaa):
-                hdr[s] = hdr[s] * (1.0 - a_k) + rgb_k * a_k
+            if len(ui_spos) == 1:
+                rgb_k, a_k = ui_stage.shade_ui_layer(
+                    lt_ui[0, k], ui, materials, config=cfg, row0=row0
+                )
+                a_k = a_k[..., None]
+                for s in range(msaa):
+                    hdr[s] = hdr[s] * (1.0 - a_k) + rgb_k * a_k
+            else:
+                for s in range(msaa):
+                    rgb_k, a_k = ui_stage.shade_ui_layer(
+                        lt_ui[s, k], ui, materials, config=cfg, row0=row0
+                    )
+                    a_k = a_k[..., None]
+                    hdr[s] = hdr[s] * (1.0 - a_k) + rgb_k * a_k
 
     img = post.tonemap(jnp.stack(hdr) if msaa > 1 else hdr[0])
     clamped = jnp.sum(clamp_mask[:out_rows, : cfg.width].astype(jnp.int32))
     total_pairs = jnp.sum(c_all) + jnp.sum(ov_all)
     stats = jnp.stack(
         [ov_opaque, ov_masked, ov_blended, ov_ui, mask_sat, blend_sat, ui_sat,
-         clamped, total_pairs]
+         clamped, total_pairs, mask_demand, blend_demand, ui_demand]
     ).astype(jnp.int32)
     return img[:out_rows, : cfg.width], stats
 

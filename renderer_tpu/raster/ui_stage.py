@@ -14,10 +14,13 @@ kernel (raster/layers.py "blended" mode, constant depth so every fragment
 passes GE and the chain is submission order) captures up to ui_layers
 fragments per pixel; each captured layer is shaded once per pixel with
 2D-affine barycentrics (w = 1 → no perspective) and composited in order.
-DELIBERATE DEVIATION: UI coverage is evaluated at pixel centers only and the
+DEFAULT DEVIATION: UI coverage is evaluated at pixel centers only and the
 same composite is applied to every MSAA sample (the reference's multisampled
 target antialiases UI edges; UI quads are axis-aligned so the difference is
-sub-pixel on glyph/border edges — documented in PARITY.md)."""
+sub-pixel on glyph/border edges). `RenderConfig.ui_msaa` restores the exact
+behavior: coverage at the MSAA sample positions with per-sample accept
+chains, shading/attributes at pixel centers (hardware non-sample-rate
+shading) — tested in tests/test_ui_overlay.py."""
 
 from __future__ import annotations
 
@@ -36,12 +39,17 @@ def rasterize_ui(
     config,
     local_tiles_y: int,
     tile_row_offset,
+    sample_positions: tuple = ((0.5, 0.5),),
     interpret: bool = False,
 ):
-    """Bin + layer-rasterize the UI triangles. Returns (layer tids
-    [K, Hp, Wp] i32, overflow scalar, aux counts [Hp, Wp])."""
+    """Bin + layer-rasterize the UI triangles. `sample_positions` — in-pixel
+    coverage evaluation points: pixel centers by default, the MSAA sample
+    positions under RenderConfig.ui_msaa (the reference's multisampled UI
+    edges). Returns (layer tids [S, K, Hp, Wp] i32, overflow scalar,
+    aux counts [S, Hp, Wp])."""
     cfg = config
     pad_h = local_tiles_y * cfg.tile_h
+    n_s = len(sample_positions)
     pos = ui["pos"]
     x = pos[:, 0] * (2.0 / cfg.width) - 1.0
     y = pos[:, 1] * (2.0 / cfg.height) - 1.0
@@ -51,6 +59,7 @@ def rasterize_ui(
     tri_data = setup.triangle_setup(
         clip, ui["tris"], ui["counts"][0], cfg.width, cfg.height,
         double_sided=True,
+        bbox_pad=(0.5 if n_s > 1 else 0.0),
     )
     binned, starts, counts, overflow = binning.bin_triangles(
         tri_data, 0, None,
@@ -60,16 +69,17 @@ def rasterize_ui(
     )
     # constant z = 0.5 vs floor 0.0 → every covered fragment passes GE and
     # the accept chain is pure submission (painter's) order
-    floor = jnp.zeros((1, pad_h, cfg.padded_width), jnp.float32)
+    floor = jnp.zeros((n_s, pad_h, cfg.padded_width), jnp.float32)
     _lz, lt, aux = layers.rasterize_layers(
         binned, starts, counts, floor,
         mode="blended", n_layers=cfg.ui_layers,
         tile_row_offset=tile_row_offset,
         padded_height=pad_h, padded_width=cfg.padded_width,
         tile_h=cfg.tile_h, tile_w=cfg.tile_w,
+        sample_positions=tuple(sample_positions),
         interpret=interpret,
     )
-    return lt[0], overflow, aux[0]
+    return lt, overflow, aux
 
 
 def shade_ui_layer(

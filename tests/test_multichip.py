@@ -67,7 +67,11 @@ def test_dp_batch_matches_single(config):
     frames = []
     for mode in (1, 3):
         f = dict(frame)
-        f["blob"] = f["blob"].at[-1].set(mode)  # counts[3] = debug mode slot
+        # the blob is a HOST array (it rides the dispatch as an implicit
+        # device_put); counts[3] = debug mode slot
+        blob = np.array(f["blob"])
+        blob[-1] = mode
+        f["blob"] = blob
         frames.append(f)
         singles.append(
             np.asarray(

@@ -107,6 +107,50 @@ class TestUiComposite:
         bright = (box.min(axis=-1) > 100).sum()
         assert bright > 20, f"only {bright} glyph pixels found"
 
+    def test_ui_msaa_antialiases_quarter_pixel_edge(self):
+        """RenderConfig.ui_msaa: UI coverage at the MSAA sample positions
+        (the reference renders ImGui into the multisampled geometry target,
+        so UI edges resolve antialiased). A rect edge at x = 32.25 covers
+        3 of the 4 Vulkan standard sample x-offsets of column 32
+        (.375/.625/.875 yes, .125 no) → the resolved edge pixel is a 3/4
+        blend, where the pixel-center default is fully covered."""
+        _r0, r_exact, scene, _red = _scene_and_renderer(
+            msaa_samples=4, ui_msaa=True
+        )
+        ui = DrawList()
+        ui.add_rect_filled((32.25, 24), (96, 72), (0, 255, 0, 255))
+        img = r_exact.render_frame(scene, debug_mode=1, ui=ui)
+
+        def resolved_u8(linears, weights):
+            x = np.asarray(linears, np.float64) * 0.8
+            mapped = np.clip(
+                (x * (2.51 * x + 0.03)) / (x * (2.43 * x + 0.59) + 0.14), 0, 1
+            )
+            m = (mapped * np.asarray(weights)[:, None]).sum(0)
+            enc = np.where(
+                m <= 0.0031308, m * 12.92, 1.055 * m ** (1 / 2.4) - 0.055
+            )
+            return np.round(np.clip(enc, 0, 1) * 255).astype(np.uint8)
+
+        green, black = [0, 1, 0], [0, 0, 0]
+        # interior: full green (and identical to the pixel-center default)
+        np.testing.assert_allclose(img[48, 64], expected_u8(green), atol=2)
+        # edge column 32 (over the black clear background): 3/4 coverage
+        np.testing.assert_allclose(
+            img[48, 32],
+            resolved_u8([green, green, green, black], [0.25] * 4),
+            atol=2,
+        )
+        # the pixel-center default covers column 32 fully (center .5 ≥ .25)
+        _r1, r_def, scene2, _red2 = _scene_and_renderer(msaa_samples=4)
+        img_def = r_def.render_frame(scene2, debug_mode=1, ui=ui)
+        np.testing.assert_allclose(img_def[48, 32], expected_u8(green), atol=2)
+        # interiors agree between the two modes
+        np.testing.assert_allclose(
+            img[40:56, 48:80].astype(int), img_def[40:56, 48:80].astype(int),
+            atol=1,
+        )
+
     def test_msaa4_interior_matches_msaa1(self):
         _reg1, r1, s1, _ = _scene_and_renderer()
         ui = DrawList()
