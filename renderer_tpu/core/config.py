@@ -73,7 +73,10 @@ class RenderConfig:
     # per pixel across the 4 samples (layered passes get layers+this-1).
     # 3 is exact for any pixel where ≤3 triangles meet; pixels needing more
     # fall back to the first candidate and are counted in frame stats
-    # (shade_clamped_px). Raise to 4 for bit-exact supersampled shading.
+    # (shade_clamped_px). Raise to 4 for bit-exact supersampled shading —
+    # or let the Renderer's "auto"/"sync" policies grow it toward the
+    # measured per-pixel demand (stats shade_demand_max) and shrink back to
+    # this floor, like every other capacity knob.
     msaa_shade_candidates: int = 3
 
     # Two-mip (trilinear) texture filtering — reference sampler parity

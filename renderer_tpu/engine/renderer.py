@@ -146,6 +146,8 @@ class Renderer:
             field: getattr(self.config, field) for _, field in _LAYER_KNOBS
         }
         self._layer_streaks = {field: (0, 0) for _, field in _LAYER_KNOBS}
+        self._shade_floor = self.config.msaa_shade_candidates
+        self._shade_streak = (0, 0)
         self._geom_cache: dict = {}
         self._mat_cache: tuple[int, dict] | None = None
         self._interpret = pipeline.interpret_mode()
@@ -299,18 +301,82 @@ class Renderer:
                 self.config = replace(self.config, **{field: desired}).validate()
             self._layer_streaks[field] = (0, 0)
 
+    def _grow_shade_candidates(self, stats_host) -> bool:
+        """Grow msaa_shade_candidates toward the measured peak count of
+        distinct solid triangles per pixel (stats shade_demand_max, bounded
+        by msaa_samples) — at that depth the shade-once MSAA dedup is exact
+        for every solid pixel (pipeline.render_shard phase 4)."""
+        from dataclasses import replace
+
+        idx = pipeline.STAT_NAMES.index("shade_demand_max")
+        if len(stats_host) <= idx:
+            return False
+        demand = int(stats_host[idx])
+        cur = self.config.msaa_shade_candidates
+        cap = self.config.msaa_samples
+        if demand <= cur or cur >= cap:
+            return False
+        new = min(demand, cap)
+        print(
+            f"[renderer] MSAA shading candidate set saturated: up to {demand} "
+            f"distinct triangles/pixel; regrowing msaa_shade_candidates "
+            f"{cur} -> {new} (recompiles)",
+        )
+        self.config = replace(self.config, msaa_shade_candidates=new).validate()
+        self._shade_streak = (0, 0)
+        return True
+
+    def _maybe_shrink_shade_candidates(self, stats_host) -> None:
+        """Shrink a grown candidate set back toward the configured floor
+        after a clean streak. Guarded on shade_clamped_px == 0: the layered
+        phases size their candidate sets from this knob too, and their
+        demand is not measured separately — never shrink while any shading
+        fallback is active."""
+        from dataclasses import replace
+
+        demand_idx = pipeline.STAT_NAMES.index("shade_demand_max")
+        clamp_idx = pipeline.STAT_NAMES.index("shade_clamped_px")
+        if len(stats_host) <= demand_idx:
+            return
+        demand = int(stats_host[demand_idx])
+        cur = self.config.msaa_shade_candidates
+        floor = self._shade_floor
+        if int(stats_host[clamp_idx]) > 0 or max(demand, floor) >= cur:
+            self._shade_streak = (0, 0)
+            return
+        streak, peak = self._shade_streak
+        peak = demand if streak == 0 else max(peak, demand)
+        streak += 1
+        if streak < self.shrink_after:
+            self._shade_streak = (streak, peak)
+            return
+        desired = max(peak, floor)
+        if desired < cur:
+            print(
+                f"[renderer] msaa_shade_candidates={cur} oversized for "
+                f"{streak} consecutive frames (streak peak demand {peak}); "
+                f"shrinking to {desired} (recompiles)",
+            )
+            self.config = replace(
+                self.config, msaa_shade_candidates=desired
+            ).validate()
+        self._shade_streak = (0, 0)
+
     def _grow_capacities(self, stats_host) -> bool:
         """All capacity-growth feedback for one checked stats vector:
-        binning pair buckets (dropped work) + layered-capture counts
-        (truncated capture). Returns True if anything grew (recompiles)."""
+        binning pair buckets (dropped work), layered-capture counts
+        (truncated capture), MSAA shading candidates (inexact dedup).
+        Returns True if anything grew (recompiles)."""
         changed = False
         if self._total_overflow(stats_host) > 0:
             changed = self._grow_pair_capacity(stats_host)
-        return self._grow_layer_capacity(stats_host) or changed
+        changed = self._grow_layer_capacity(stats_host) or changed
+        return self._grow_shade_candidates(stats_host) or changed
 
     def _maybe_shrink_capacities(self, stats_host) -> None:
         self._maybe_shrink_pair_capacity(stats_host)
         self._maybe_shrink_layers(stats_host)
+        self._maybe_shrink_shade_candidates(stats_host)
 
     def _maybe_shrink_pair_capacity(self, stats_host) -> None:
         """Shrink the binning bucket when the scene has sustainedly needed

@@ -99,8 +99,8 @@ def render_frame_sharded(
         )
         # overflow ([:4]) and total_pairs ([8]) come from binning the FULL
         # screen — every device computes the same values; the per-pixel
-        # saturation counts ([4:8]) are per-shard and psum'd; the layered
-        # demand peaks ([9:]) are per-shard maxima and pmax'd.
+        # saturation counts ([4:8]) are per-shard and psum'd; the layered +
+        # shade demand peaks ([9:]) are per-shard maxima and pmax'd.
         stats = jnp.concatenate(
             [stats[:4], jax.lax.psum(stats[4:8], axis), stats[8:9],
              jax.lax.pmax(stats[9:], axis)]

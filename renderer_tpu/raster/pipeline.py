@@ -82,21 +82,29 @@ STAT_NAMES = (
     "masked_demand_max",
     "blended_demand_max",
     "ui_demand_max",
+    # Peak per-pixel count of DISTINCT solid triangles across the MSAA
+    # samples — the demand signal for msaa_shade_candidates (shading is
+    # exact when the candidate set is at least this deep; the Renderer grows
+    # the knob toward it, bounded by msaa_samples).
+    "shade_demand_max",
 )
 N_STATS = len(STAT_NAMES)
 
 
 def _extract_candidates(tids: list, n: int) -> list:
-    """Per-pixel: the first `n` DISTINCT values across the slot list (slot
-    order = priority). Returns n candidate maps ([H,W] i32, -2 where fewer
-    than n distinct values exist). Pure elementwise ops — XLA fuses the whole
-    extraction into one pass over the slots."""
+    """Per-pixel: the first `n` DISTINCT triangle ids across the slot list
+    (slot order = priority). Returns n candidate maps ([H,W] i32, -2 where
+    fewer than n distinct ids exist). The -1 background sentinel is skipped —
+    background samples/layers never consult the shaded candidates (their
+    select is gated on tid ≥ 0), so spending a slot on -1 would only starve
+    a real triangle out of the set. Pure elementwise ops — XLA fuses the
+    whole extraction into one pass over the slots."""
     cands: list = []
     for _ in range(n):
         nxt = jnp.full_like(tids[0], -2)
         # reversed so the EARLIEST slot with a new value wins the overwrite
         for t in reversed(tids):
-            is_new = jnp.ones(t.shape, bool)
+            is_new = t != -1
             for c in cands:
                 is_new &= t != c
             nxt = jnp.where(is_new, t, nxt)
@@ -312,6 +320,18 @@ def render_shard(
             lt_b.append(ltb[s])
 
     # -- phase 4: solid shading, once per distinct candidate -----------------
+    # demand signal: distinct REAL solid tids per pixel across samples
+    # (background -1 excluded — it never consumes a candidate slot)
+    if msaa > 1:
+        distinct = jnp.zeros_like(solid_tid[0])
+        for i, t in enumerate(solid_tid):
+            is_new = t != -1
+            for u in solid_tid[:i]:
+                is_new &= t != u
+            distinct += is_new.astype(jnp.int32)
+        shade_demand = jnp.max(distinct[:out_rows, : cfg.width])
+    else:
+        shade_demand = zero
     n_c = min(msaa, max(cfg.msaa_shade_candidates, 1))
     cands_s = _extract_candidates(solid_tid, n_c)
     shaded_s = [
@@ -389,7 +409,8 @@ def render_shard(
     total_pairs = jnp.sum(c_all) + jnp.sum(ov_all)
     stats = jnp.stack(
         [ov_opaque, ov_masked, ov_blended, ov_ui, mask_sat, blend_sat, ui_sat,
-         clamped, total_pairs, mask_demand, blend_demand, ui_demand]
+         clamped, total_pairs, mask_demand, blend_demand, ui_demand,
+         shade_demand]
     ).astype(jnp.int32)
     return img[:out_rows, : cfg.width], stats
 

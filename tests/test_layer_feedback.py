@@ -187,6 +187,81 @@ class TestUiGrowth:
         )
 
 
+def _pinwheel_scene():
+    """Four opaque triangles fanned around one point, each with its own face
+    normal (separate vertices): pixels at the hub straddle several distinct
+    solid triangles across their MSAA samples, and debug mode 3 (normals)
+    gives each triangle a distinct color so candidate-set starvation is
+    visible in the image."""
+    registry = rt.MaterialRegistry()
+    builder = rt.VertexLibraryBuilder()
+    z, r = 1.5, 0.5
+    hub = [0.0, 0.0, z]
+    # ring on the DIAGONALS so the fan's interior edges are diagonal in
+    # screen space and cross pixel interiors (axis-aligned edges through
+    # pixel boundaries would never split a pixel's sample set)
+    ring = [[r, r, z], [r, -r, z], [-r, -r, z], [-r, r, z]]
+    # clockwise in world (y-up) = front-facing for the default camera, same
+    # winding as tests.test_alpha_modes.quad
+    corners = [(ring[0], ring[1]), (ring[1], ring[2]),
+               (ring[2], ring[3]), (ring[3], ring[0])]
+    face_normals = [[0, 0, -1], [1, 0, 0], [0, 1, 0], [0, 0.6, -0.8]]
+    pos, nrm = [], []
+    for (a, b), n in zip(corners, face_normals):
+        pos += [hub, a, b]
+        nrm += [n, n, n]
+    pos = np.asarray(pos, np.float32)
+    nrm = np.asarray(nrm, np.float32)
+    uvs = np.zeros((12, 2), np.float32)
+    tangents = np.tile([1, 0, 0, 1.0], (12, 1)).astype(np.float32)
+    idx = np.arange(12, dtype=np.uint32)
+    mesh = builder.add_mesh(pos, uvs, nrm, tangents, idx)
+    builder.build()
+    mat = registry.create_material(
+        "white", rt.PbrMaterialParameters(base_color_factor=(1, 1, 1, 1))
+    )
+    scene = rt.Scene()
+    scene.queue_mesh(mesh, mat, None, math3d.IDENTITY)
+    return registry, scene, (mesh, mat)
+
+
+class TestShadeCandidatesGrowth:
+    def test_sync_growth_restores_exact_msaa_dedup(self):
+        registry, scene, _keep = _pinwheel_scene()
+        r = rt.Renderer(
+            registry,
+            rt.RenderConfig(width=W, height=H, msaa_samples=4,
+                            msaa_shade_candidates=1),
+            overflow_policy="sync",
+        )
+        img = r.render_frame(scene, debug_mode=3)
+        stats = r.frame_stats()
+        assert stats["shade_demand_max"] >= 2, stats
+        assert r.config.msaa_shade_candidates == stats["shade_demand_max"]
+        assert stats["shade_clamped_px"] == 0, stats
+        ample = rt.Renderer(
+            registry,
+            rt.RenderConfig(width=W, height=H, msaa_samples=4,
+                            msaa_shade_candidates=4),
+        )
+        np.testing.assert_array_equal(img, ample.render_frame(scene, 3))
+
+    def test_shrinks_back_when_demand_drops(self):
+        registry, scene, _keep = _pinwheel_scene()
+        r = rt.Renderer(
+            registry,
+            rt.RenderConfig(width=W, height=H, msaa_samples=4,
+                            msaa_shade_candidates=1),
+            overflow_policy="sync", shrink_after=2,
+        )
+        r.render_frame(scene, debug_mode=3)
+        assert r.config.msaa_shade_candidates >= 2
+        empty = rt.Scene()
+        for _ in range(3):
+            r.render_frame(empty, debug_mode=3)
+        assert r.config.msaa_shade_candidates == 1
+
+
 class TestGrowthCap:
     def test_pathological_stack_caps_loudly(self):
         """A stack deeper than the growth ceiling grows TO the ceiling and
