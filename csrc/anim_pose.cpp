@@ -122,11 +122,38 @@ void decompose_trs(const float* m /*16 row-major f32*/, float* s3, float* q4,
   for (int j = 0; j < 3; j++) s3[j] = float(scale[j]);
 }
 
+// glTF cubic Hermite over one keyframe span (gltf_loader._hermite parity:
+// f64 coefficients/accumulation, f32 out; rotations renormalized, s == 0
+// returns the keyframe value exactly).
+void hermite(const float* v0, const float* b0, const float* v1,
+             const float* a1, double s, double d, bool is_rot, float v[4]) {
+  if (is_rot && s == 0.0) {
+    std::memcpy(v, v0, 4 * sizeof(float));
+    return;
+  }
+  const double s2 = s * s, s3 = s2 * s;
+  const double c0 = 2.0 * s3 - 3.0 * s2 + 1.0;
+  const double c1 = d * (s3 - 2.0 * s2 + s);
+  const double c2 = -2.0 * s3 + 3.0 * s2;
+  const double c3 = d * (s3 - s2);
+  double r[4];
+  for (int i = 0; i < 4; i++)
+    r[i] = c0 * double(v0[i]) + c1 * double(b0[i]) + c2 * double(v1[i]) +
+           c3 * double(a1[i]);
+  if (is_rot) {
+    double n = std::sqrt(r[0] * r[0] + r[1] * r[1] + r[2] * r[2] + r[3] * r[3]);
+    if (n <= 0.0) n = 1.0;
+    for (int i = 0; i < 4; i++) r[i] /= n;
+  }
+  for (int i = 0; i < 4; i++) v[i] = float(r[i]);
+}
+
 // One channel's keyframe sample at `time` into v[4] (the body of the
 // channel loop in anim_pose, shared with the multi-animation path).
 // Returns false on a past-the-end timestamp.
-bool sample_channel(const double* ts, const float* vals, int64_t count,
-                    bool is_step, bool is_rot, double time, float v[4]) {
+bool sample_channel(const double* ts, const float* vals, const float* in_tan,
+                    const float* out_tan, int64_t count, bool is_step,
+                    bool is_cubic, bool is_rot, double time, float v[4]) {
   if (count == 1 || time < ts[0]) {
     std::memcpy(v, vals, 4 * sizeof(float));
     return true;
@@ -144,7 +171,10 @@ bool sample_channel(const double* ts, const float* vals, int64_t count,
     std::memcpy(v, v0, 4 * sizeof(float));
   } else {
     const double frac = (time - ts[k]) / (ts[k + 1] - ts[k]);
-    if (is_rot) {
+    if (is_cubic) {
+      hermite(v0, out_tan + k * 4, v1, in_tan + (k + 1) * 4, frac,
+              ts[k + 1] - ts[k], is_rot, v);
+    } else if (is_rot) {
       if (frac == 0.0) std::memcpy(v, v0, 4 * sizeof(float));
       else quat_slerp(v0, v1, frac, v);
     } else {
@@ -179,8 +209,10 @@ extern "C" {
 // AnimationError exactly like the numpy path.
 int anim_pose(
     int n_channels, const int64_t* offsets, const double* times,
-    const float* values /*[total,4]*/, const int64_t* slot_of_chan,
-    const int32_t* path_id /*0=T 1=R 2=S*/, const uint8_t* step, double time,
+    const float* values /*[total,4]*/, const float* in_tan /*[total,4]*/,
+    const float* out_tan /*[total,4]*/, const int64_t* slot_of_chan,
+    const int32_t* path_id /*0=T 1=R 2=S*/, const uint8_t* step,
+    const uint8_t* cubic, double time,
     int n_touched, const float* s0 /*[m,3]*/, const float* q0 /*[m,4]*/,
     const float* t0 /*[m,3]*/, const int64_t* touched_idx /*[m]*/,
     int n_nodes, const float* static_locals /*[n,16]*/, int n_order,
@@ -190,36 +222,12 @@ int anim_pose(
   std::vector<float> t(t0, t0 + size_t(n_touched) * 3);
 
   for (int c = 0; c < n_channels; c++) {
-    const int64_t o = offsets[c], o1 = offsets[c + 1];
-    const int64_t count = o1 - o;
-    const double* ts = times + o;
+    const int64_t o = offsets[c];
     float v[4];
-    if (count == 1 || time < ts[0]) {
-      std::memcpy(v, values + o * 4, 4 * sizeof(float));
-    } else {
-      // searchsorted(side="right") - 1
-      int64_t lo = 0, hi = count;
-      while (lo < hi) {
-        const int64_t mid = (lo + hi) / 2;
-        if (ts[mid] <= time) lo = mid + 1; else hi = mid;
-      }
-      const int64_t k = lo - 1;
-      if (k >= count - 1) return 1;  // past the end
-      const float* v0 = values + (o + k) * 4;
-      const float* v1 = values + (o + k + 1) * 4;
-      if (step[c]) {
-        std::memcpy(v, v0, 4 * sizeof(float));
-      } else {
-        const double frac = (time - ts[k]) / (ts[k + 1] - ts[k]);
-        if (path_id[c] == 1) {
-          if (frac == 0.0) std::memcpy(v, v0, 4 * sizeof(float));
-          else quat_slerp(v0, v1, frac, v);
-        } else {
-          const float f = float(frac);
-          for (int i = 0; i < 4; i++) v[i] = v0[i] * (1.0f - f) + v1[i] * f;
-        }
-      }
-    }
+    if (!sample_channel(times + o, values + o * 4, in_tan + o * 4,
+                        out_tan + o * 4, offsets[c + 1] - o, step[c],
+                        cubic[c], path_id[c] == 1, time, v))
+      return 1;  // past the end
     const int64_t slot = slot_of_chan[c];
     switch (path_id[c]) {
       case 0: std::memcpy(&t[slot * 3], v, 3 * sizeof(float)); break;
@@ -271,8 +279,9 @@ int anim_pose_multi(
     int n_anims, const int64_t* chan_off /*[n_anims+1]*/,
     const int64_t* offsets /*[total_chans+1] global rows*/,
     const double* times, const float* values /*[total,4]*/,
+    const float* in_tan /*[total,4]*/, const float* out_tan /*[total,4]*/,
     const int64_t* slot_of_chan /*anim-local slots*/,
-    const int32_t* path_id, const uint8_t* step,
+    const int32_t* path_id, const uint8_t* step, const uint8_t* cubic,
     const double* query_times /*[n_anims]*/,
     const int64_t* touch_off /*[n_anims+1]*/,
     const float* s0 /*[total_touched,3]*/, const float* q0 /*[·,4]*/,
@@ -300,7 +309,8 @@ int anim_pose_multi(
     for (int64_t c = chan_off[a]; c < chan_off[a + 1]; c++) {
       float v[4];
       if (!sample_channel(times + offsets[c], values + offsets[c] * 4,
-                          offsets[c + 1] - offsets[c], step[c],
+                          in_tan + offsets[c] * 4, out_tan + offsets[c] * 4,
+                          offsets[c + 1] - offsets[c], step[c], cubic[c],
                           path_id[c] == 1, time, v))
         return 1 + a;
       const int64_t slot = slot_of_chan[c];

@@ -88,10 +88,17 @@ class AnimationError(Exception):
 
 @dataclass
 class AnimationChannel:
-    interpolation: str  # "LINEAR" | "STEP"
+    interpolation: str  # "LINEAR" | "STEP" | "CUBICSPLINE"
     path: str  # "translation" | "rotation" | "scale" | "weights"
     times: np.ndarray  # [K]
-    values: np.ndarray  # [K, 3|4|1]
+    values: np.ndarray  # [K, 3|4|W] (CUBICSPLINE: the middle "value" element)
+    # CUBICSPLINE only: the per-keyframe in/out tangents (a_k, b_k in the
+    # glTF spec's cubic Hermite formula). The reference never implemented
+    # this mode (gltf_json.rs:235-236 comments it out of the enum); we
+    # support it as a superset — assets exported with cubic samplers load
+    # and play instead of failing schema validation.
+    in_tangents: np.ndarray | None = None  # [K, W]
+    out_tangents: np.ndarray | None = None  # [K, W]
 
 
 @dataclass
@@ -155,9 +162,38 @@ def _interpolate(channel: AnimationChannel, time: float, animation_name) -> np.n
     if channel.interpolation == "STEP":
         return values[k]
     t = (time - times[k]) / (times[k + 1] - times[k])
+    if channel.interpolation == "CUBICSPLINE":
+        return _hermite(
+            float(t), float(times[k + 1] - times[k]),
+            values[k], channel.out_tangents[k],
+            values[k + 1], channel.in_tangents[k + 1],
+            channel.path == "rotation",
+        )
     if channel.path == "rotation":
         return math3d.quat_slerp(values[k], values[k + 1], float(t))
     return math3d.lerp(values[k], values[k + 1], float(t))
+
+
+def _hermite(s: float, d: float, v0, b0, v1, a1, is_rotation: bool):
+    """glTF cubic Hermite over one keyframe span (spec appendix C):
+    p(s) = (2s³−3s²+1)v_k + d(s³−2s²+s)b_k + (−2s³+3s²)v_{k+1} + d(s³−s²)a_{k+1}
+    with s the normalized time and d the span length; rotation results are
+    renormalized (and s == 0 returns the keyframe value EXACTLY, mirroring
+    the slerp early-out). Coefficients and accumulation in f64, f32 out —
+    the same precision discipline as the lerp/slerp paths."""
+    if is_rotation and s == 0.0:
+        return v0
+    s2 = s * s
+    s3 = s2 * s
+    r = (
+        (2.0 * s3 - 3.0 * s2 + 1.0) * v0.astype(np.float64)
+        + (d * (s3 - 2.0 * s2 + s)) * b0.astype(np.float64)
+        + (-2.0 * s3 + 3.0 * s2) * v1.astype(np.float64)
+        + (d * (s3 - s2)) * a1.astype(np.float64)
+    )
+    if is_rotation:
+        r = r / np.sqrt(np.sum(r * r))
+    return r.astype(np.float32)
 
 
 class _CompiledAnimation:
@@ -214,15 +250,27 @@ class _CompiledAnimation:
             [float(ch.times[0]) for _, ch in chans], np.float64
         )
         vals = np.zeros((int(self.offsets[-1]), 4), np.float32)
+        in_tan = np.zeros_like(vals)
+        out_tan = np.zeros_like(vals)
         for i, (_, ch) in enumerate(chans):
             v = np.asarray(ch.values, np.float32).reshape(len(ch.times), -1)
             vals[self.offsets[i] : self.offsets[i + 1], : v.shape[1]] = v
+            if ch.interpolation == "CUBICSPLINE":
+                a = np.asarray(ch.in_tangents, np.float32).reshape(len(ch.times), -1)
+                b = np.asarray(ch.out_tangents, np.float32).reshape(len(ch.times), -1)
+                in_tan[self.offsets[i] : self.offsets[i + 1], : a.shape[1]] = a
+                out_tan[self.offsets[i] : self.offsets[i + 1], : b.shape[1]] = b
         self.values = vals
+        self.in_tan = in_tan
+        self.out_tan = out_tan
         self.slot_of_chan = np.array([s for s, _ in chans], np.int64)
         path_ids = {"translation": 0, "rotation": 1, "scale": 2, "weights": 3}
         self.path_id = np.array([path_ids[ch.path] for _, ch in chans], np.int64)
         self.step = np.array(
             [ch.interpolation == "STEP" for _, ch in chans], bool
+        )
+        self.cubic = np.array(
+            [ch.interpolation == "CUBICSPLINE" for _, ch in chans], bool
         )
         # native-sampler (csrc/anim_pose.cpp) layouts: raw per-channel times
         # (no big-offset packing) + narrow dtypes
@@ -232,6 +280,7 @@ class _CompiledAnimation:
         )
         self.path_id32 = self.path_id.astype(np.int32)
         self.step_u8 = self.step.astype(np.uint8)
+        self.cubic_u8 = self.cubic.astype(np.uint8)
 
     def local_matrices(self, time: float, name, base=None) -> np.ndarray:
         """[n_touched, 4, 4] animated local transforms (T·R·S over the cached
@@ -267,7 +316,37 @@ class _CompiledAnimation:
             v1 = self.values[i1]
             fr32 = frac.astype(np.float32)[:, None]
             out = v0 * (1.0 - fr32) + v1 * fr32  # lerp (f32, `lerp` parity)
-            rot = self.path_id == 1
+            cub = self.cubic
+            if np.any(cub):
+                # cubic Hermite (see _hermite): f64 coefficients over the
+                # span hd = t_{k+1} − t_k, per-keyframe out/in tangents
+                hd = tk1 - tk
+                hs = frac
+                hs2 = hs * hs
+                hs3 = hs2 * hs
+                c0 = (2.0 * hs3 - 3.0 * hs2 + 1.0)[:, None]
+                c1 = (hd * (hs3 - 2.0 * hs2 + hs))[:, None]
+                c2 = (-2.0 * hs3 + 3.0 * hs2)[:, None]
+                c3 = (hd * (hs3 - hs2))[:, None]
+                herm = (
+                    c0 * v0.astype(np.float64)
+                    + c1 * self.out_tan[i0].astype(np.float64)
+                    + c2 * v1.astype(np.float64)
+                    + c3 * self.in_tan[i1].astype(np.float64)
+                )
+                hrot = cub & (self.path_id == 1)
+                if np.any(hrot):
+                    n = np.sqrt(np.sum(herm * herm, axis=1, keepdims=True))
+                    normed = herm / np.where(n > 0.0, n, 1.0)
+                    # s == 0 returns the keyframe value EXACTLY (_hermite)
+                    herm = np.where(
+                        hrot[:, None],
+                        np.where((frac == 0.0)[:, None],
+                                 v0.astype(np.float64), normed),
+                        herm,
+                    )
+                out[cub] = herm[cub].astype(np.float32)
+            rot = (self.path_id == 1) & ~cub
             if np.any(rot):
                 res = math3d.quat_slerp_batch(v0[rot], v1[rot], frac[rot])
                 # frac == 0 must return values[k] EXACTLY (the sequential
@@ -1002,15 +1081,40 @@ def load_gltf(
                 values = acc.read(sampler["output"], None, "VEC4").astype(np.float32)
             else:  # weights
                 values = acc.read(sampler["output"], None, "SCALAR").astype(np.float32)
+            interp = sampler.get("interpolation", "LINEAR")
+            if interp not in ("LINEAR", "STEP", "CUBICSPLINE"):
+                raise GltfLoadingError(
+                    f"unsupported animation interpolation {interp!r}"
+                )
+            in_tan = out_tan = None
+            if interp == "CUBICSPLINE":
+                # the output accessor holds (in-tangent, value, out-tangent)
+                # triples per keyframe (glTF spec §3.8.2.2); split them. A
+                # superset of the reference, which comments CUBICSPLINE out
+                # of its enum (gltf_json.rs:235-236) and would reject the
+                # file at schema validation.
+                k = len(times)
+                arr = np.asarray(values, np.float32)
+                if k == 0 or arr.size % (3 * k):
+                    raise GltfLoadingError(
+                        "CUBICSPLINE output accessor must hold 3 elements "
+                        "per keyframe"
+                    )
+                arr = arr.reshape(k, 3, -1)
+                in_tan = np.ascontiguousarray(arr[:, 0])
+                values = np.ascontiguousarray(arr[:, 1])
+                out_tan = np.ascontiguousarray(arr[:, 2])
             lst = nodes_channels[target["node"]]
             if lst is None:
                 lst = nodes_channels[target["node"]] = []
             lst.append(
                 AnimationChannel(
-                    interpolation=sampler.get("interpolation", "LINEAR"),
+                    interpolation=interp,
                     path=path,
                     times=times,
                     values=values,
+                    in_tangents=in_tan,
+                    out_tangents=out_tan,
                 )
             )
         if start_time is None or end_time is None:

@@ -54,8 +54,10 @@ def load() -> ctypes.CDLL | None:
         lib.anim_pose.argtypes = [
             ctypes.c_int, ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_double,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_double,
             ctypes.c_int, ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_int64),
@@ -67,8 +69,10 @@ def load() -> ctypes.CDLL | None:
         lib.anim_pose_multi.argtypes = [
             ctypes.c_int, ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
@@ -155,9 +159,12 @@ def make_anim_pose(comp, static_locals, order, parents):
         comp.n_channels, ptr(comp.offsets, ctypes.c_int64),
         ptr(comp.times_raw, ctypes.c_double),
         ptr(comp.values, ctypes.c_float),
+        ptr(comp.in_tan, ctypes.c_float),
+        ptr(comp.out_tan, ctypes.c_float),
         ptr(comp.slot_of_chan, ctypes.c_int64),
         ptr(comp.path_id32, ctypes.c_int32),
         ptr(comp.step_u8, ctypes.c_uint8),
+        ptr(comp.cubic_u8, ctypes.c_uint8),
     )
     fixed2 = (
         len(comp.touched), ptr(comp.s0, ctypes.c_float),
@@ -218,6 +225,14 @@ def make_anim_pose_multi(comps, static_locals, order, parents):
         np.concatenate([c.values for c in comps]) if row_base
         else np.zeros((0, 4), np.float32)
     )
+    in_tan = (
+        np.concatenate([c.in_tan for c in comps]) if row_base
+        else np.zeros((0, 4), np.float32)
+    )
+    out_tan = (
+        np.concatenate([c.out_tan for c in comps]) if row_base
+        else np.zeros((0, 4), np.float32)
+    )
 
     def cat(arrs, dtype, width=None):
         shape = (0,) if width is None else (0, width)
@@ -230,6 +245,7 @@ def make_anim_pose_multi(comps, static_locals, order, parents):
     slot_of_chan = cat([c.slot_of_chan for c in comps], np.int64)
     path_id = cat([c.path_id32 for c in comps], np.int32)
     step = cat([c.step_u8 for c in comps], np.uint8)
+    cubic = cat([c.cubic_u8 for c in comps], np.uint8)
     touch_off = np.concatenate(
         [[0], np.cumsum([len(c.touched) for c in comps])]
     ).astype(np.int64)
@@ -241,8 +257,9 @@ def make_anim_pose_multi(comps, static_locals, order, parents):
     fixed = (
         n_anims, ptr(chan_off, ctypes.c_int64), ptr(offsets, ctypes.c_int64),
         ptr(times, ctypes.c_double), ptr(values, ctypes.c_float),
+        ptr(in_tan, ctypes.c_float), ptr(out_tan, ctypes.c_float),
         ptr(slot_of_chan, ctypes.c_int64), ptr(path_id, ctypes.c_int32),
-        ptr(step, ctypes.c_uint8),
+        ptr(step, ctypes.c_uint8), ptr(cubic, ctypes.c_uint8),
     )
     fixed2 = (
         ptr(touch_off, ctypes.c_int64), ptr(s0, ctypes.c_float),

@@ -11,7 +11,8 @@ the asset mount's missing Sponza/Ame .bin LFS buffers leave untested:
 - TWO skins sharing the animation: one with a MAT4 inverseBindMatrices
   accessor, one without (identity IBM branch)
 - animation samplers: LINEAR rotation (VEC4), STEP + LINEAR translation
-  (VEC3), scale; SCALAR f32 input with min/max
+  (VEC3), scale; SCALAR f32 input with min/max; a second animation with
+  CUBICSPLINE samplers (3-elements-per-keyframe output accessors)
 - an embedded image via bufferView (PNG)
 
 Deterministic: `python -m tests.make_loader_fixture` rewrites byte-identical
@@ -104,12 +105,30 @@ def expected_arrays() -> dict:
         [[1, 1, 1], [1, 1.2, 1], [1, 0.9, 1], [1, 1, 1]], np.float32
     )
 
+    # second animation: CUBICSPLINE samplers (in-tangent, value, out-tangent
+    # triples per keyframe) — beyond the reference, which comments the mode
+    # out of its enum (gltf_json.rs:235-236)
+    cubic_times = np.array([0.0, 0.6, 1.2], np.float32)
+    cubic_trans = np.stack([  # [K, 3(a,v,b), 3]
+        [[0.0, 0.1, 0], [0, 0, 0], [0.0, 0.3, 0]],
+        [[0.1, -0.2, 0], [0.15, 0.05, 0], [-0.1, 0.2, 0]],
+        [[0.0, 0.1, 0], [0, 0.1, 0], [0.0, 0.0, 0]],
+    ]).astype(np.float32)
+    rots = [np.array([0, 0, np.sin(a / 2), np.cos(a / 2)], np.float32)
+            for a in (0.0, 0.5, 0.2)]
+    cubic_rot = np.stack([  # [K, 3(a,v,b), 4] — tangents need no unit norm
+        [[0.0, 0.0, 0.4, 0.0], rots[0], [0.0, 0.0, 0.8, -0.1]],
+        [[0.1, 0.0, 0.5, 0.0], rots[1], [-0.1, 0.0, -0.5, 0.1]],
+        [[0.0, 0.1, -0.3, 0.0], rots[2], [0.0, 0.0, 0.0, 0.0]],
+    ]).astype(np.float32)
+
     return {
         "prim0": (p0, n0, uv0, t0, i0.astype(np.uint16)),
         "prim1": (p1, n1, uv1, t1, i1, joints, weights),
         "prim2": (p2, n2, uv2, t2, i2.astype(np.uint16), joints2, weights2),
         "ibms": ibms,
         "anim": (anim_times, anim_rot, anim_trans, anim_scale),
+        "anim_cubic": (cubic_times, cubic_trans, cubic_rot),
     }
 
 
@@ -137,6 +156,7 @@ def build() -> tuple[dict, bytes]:
     p2, n2, uv2, t2, i2, joints2, weights2 = e["prim2"]
     ibms = e["ibms"]
     anim_times, anim_rot, anim_trans, anim_scale = e["anim"]
+    cubic_times, cubic_trans, cubic_rot = e["anim_cubic"]
 
     blob = bytearray()
     views = []
@@ -239,6 +259,15 @@ def build() -> tuple[dict, bytes]:
                            FLOAT, "VEC3", 4)
     acc_asc = add_accessor(add_view(anim_scale.astype("<f4").tobytes()),
                            FLOAT, "VEC3", 4)
+    # CUBICSPLINE outputs: accessor count = 3 × keyframes (triples)
+    acc_ct = add_accessor(
+        add_view(cubic_times.astype("<f4").tobytes()), FLOAT, "SCALAR", 3,
+        0, (cubic_times.min(), cubic_times.max()),
+    )
+    acc_ctr = add_accessor(add_view(cubic_trans.astype("<f4").tobytes()),
+                           FLOAT, "VEC3", 9)
+    acc_crot = add_accessor(add_view(cubic_rot.astype("<f4").tobytes()),
+                            FLOAT, "VEC4", 9)
 
     # -- embedded PNG ------------------------------------------------------
     png = _png_bytes()
@@ -300,6 +329,18 @@ def build() -> tuple[dict, bytes]:
                 {"sampler": 0, "target": {"node": 5, "path": "rotation"}},
                 {"sampler": 1, "target": {"node": 6, "path": "translation"}},
                 {"sampler": 2, "target": {"node": 8, "path": "scale"}},
+            ],
+        }, {
+            "name": "bounce",
+            "samplers": [
+                {"input": acc_ct, "output": acc_ctr,
+                 "interpolation": "CUBICSPLINE"},
+                {"input": acc_ct, "output": acc_crot,
+                 "interpolation": "CUBICSPLINE"},
+            ],
+            "channels": [
+                {"sampler": 0, "target": {"node": 7, "path": "translation"}},
+                {"sampler": 1, "target": {"node": 4, "path": "rotation"}},
             ],
         }],
         "images": [{"bufferView": v_png, "mimeType": "image/png",

@@ -285,6 +285,109 @@ class TestLayeredAnimationParity:
         self._check(gltf, [(0.3, sway), (1.0, bob), (1.7, sway)])
 
 
+def _make_cubic(ch, rng):
+    """Convert a LINEAR channel to CUBICSPLINE with Catmull-Rom-ish tangents
+    plus deterministic noise (so the tangent terms actually matter)."""
+    v = np.asarray(ch.values, np.float32)
+    t = np.asarray(ch.times, np.float64)
+    tan = np.zeros_like(v)
+    if len(t) > 1:
+        tan[1:-1] = ((v[2:] - v[:-2]).T / (t[2:] - t[:-2]).astype(np.float32)).T
+    noise = rng.normal(size=v.shape).astype(np.float32) * 0.15
+    return gltf_loader.AnimationChannel(
+        "CUBICSPLINE", ch.path, ch.times, v,
+        in_tangents=tan + noise, out_tangents=tan - noise,
+    )
+
+
+class TestCubicSplineParity:
+    """CUBICSPLINE across all three samplers (sequential oracle, vectorized
+    numpy, native C++) — a capability superset: the reference comments the
+    mode out of its enum (gltf_json.rs:235-236) and rejects such files."""
+
+    @pytest.fixture(scope="class")
+    def gltf(self):
+        registry = rt.MaterialRegistry()
+        builder = rt.VertexLibraryBuilder()
+        from renderer_tpu.assets import proxy
+
+        g = proxy.make_skinned_character(builder, registry, n_joints=5,
+                                         segments=8, radial=6)
+        # rebuild animation 0 with every channel cubic (rotation AND the
+        # translation/scale paths), appending a cubic scale channel too
+        rng = np.random.default_rng(7)
+        anim0 = g.animations[0]
+        channels = [
+            [_make_cubic(ch, rng) for ch in chs] if chs else None
+            for chs in anim0.nodes_channels
+        ]
+        for chs in channels:
+            if chs:
+                tt = np.array([0.0, float(anim0.end_time)], np.float32)
+                sv = np.array([[1, 1, 1], [1.4, 0.8, 1.1]], np.float32)
+                chs.append(_make_cubic(gltf_loader.AnimationChannel(
+                    "LINEAR", "scale", tt, sv), rng))
+                break
+        g.animations.append(gltf_loader.Animation(
+            "cubic", anim0.start_time, anim0.end_time, channels))
+        return g
+
+    def _oracle(self, gltf, playing):
+        transforms = [None] * len(gltf.nodes)
+        stack = [(n, math3d.IDENTITY) for n in gltf.root_nodes]
+        while stack:
+            ni, parent = stack.pop()
+            current = parent @ gltf._animated_transform(ni, playing)
+            transforms[ni] = current
+            for child in gltf.nodes[ni].children:
+                stack.append((child, current))
+        return transforms
+
+    def _check(self, gltf, playing):
+        fast = gltf._fast_node_transforms(playing)
+        assert fast is not None
+        mats, valid = fast
+        oracle = self._oracle(gltf, playing)
+        assert valid.all()
+        for ni, m in enumerate(oracle):
+            np.testing.assert_allclose(
+                mats[ni], m, atol=2e-6, rtol=1e-5, err_msg=f"node {ni}"
+            )
+
+    def test_native_matches_oracle(self, gltf):
+        cubic = gltf.animations[-1]
+        for t in (0.0, 1e-4, 0.37 * cubic.end_time, 0.93 * cubic.end_time):
+            self._check(gltf, [(float(t), cubic)])
+
+    def test_numpy_fallback_matches_oracle(self, gltf, monkeypatch):
+        from renderer_tpu.tools import native
+
+        monkeypatch.setattr(native, "make_anim_pose", lambda *a, **k: None)
+        cubic = gltf.animations[-1]
+        cubic._compiled = None  # drop any cached native sampler
+        for t in (0.0, 0.41 * cubic.end_time, 0.88 * cubic.end_time):
+            self._check(gltf, [(float(t), cubic)])
+        cubic._compiled = None  # don't leak the stubbed sampler
+
+    def test_layered_with_linear(self, gltf):
+        sway, cubic = gltf.animations[0], gltf.animations[-1]
+        self._check(gltf, [(0.6, cubic), (1.2, sway)])
+        self._check(gltf, [(1.2, sway), (0.6, cubic)])
+
+    def test_rotation_stays_normalized(self, gltf):
+        cubic = gltf.animations[-1]
+        comp = gltf_loader._CompiledAnimation(cubic, gltf.nodes)
+        t = 0.43 * cubic.end_time
+        mats = comp.local_matrices(float(t), "cubic")
+        # every animated local's 3x3 must be a pure rotation * scale with
+        # orthogonal columns — only true if the quaternion was renormalized
+        for m in mats:
+            r = np.asarray(m[:3, :3], np.float64)
+            scale = np.linalg.norm(r, axis=0)
+            rot = r / scale
+            np.testing.assert_allclose(rot.T @ rot, np.eye(3), atol=1e-5)
+
+
 class TestAnimationInterpolation:
     def _channel(self, interp="LINEAR"):
         times = np.array([1.0, 2.0, 4.0], np.float32)
@@ -318,6 +421,61 @@ class TestAnimationInterpolation:
         ch = self._channel()
         with pytest.raises(gltf_loader.AnimationError):
             gltf_loader._interpolate(ch, 4.0, "t")
+
+    def _cubic_channel(self, path="translation"):
+        w = 4 if path == "rotation" else 3
+        times = np.array([1.0, 2.0, 4.0], np.float32)
+        rng = np.random.default_rng(3)
+        values = rng.normal(size=(3, w)).astype(np.float32)
+        if path == "rotation":
+            values /= np.linalg.norm(values, axis=1, keepdims=True)
+        return gltf_loader.AnimationChannel(
+            "CUBICSPLINE", path, times, values,
+            in_tangents=rng.normal(size=(3, w)).astype(np.float32),
+            out_tangents=rng.normal(size=(3, w)).astype(np.float32),
+        )
+
+    def test_cubic_matches_spec_formula(self):
+        # independent literal evaluation of the glTF-spec Hermite basis
+        ch = self._cubic_channel()
+        time, k, d = 1.5, 0, 1.0
+        s = (time - 1.0) / d
+        expect = (
+            (2 * s**3 - 3 * s**2 + 1) * ch.values[k].astype(np.float64)
+            + d * (s**3 - 2 * s**2 + s) * ch.out_tangents[k].astype(np.float64)
+            + (-2 * s**3 + 3 * s**2) * ch.values[k + 1].astype(np.float64)
+            + d * (s**3 - s**2) * ch.in_tangents[k + 1].astype(np.float64)
+        )
+        got = gltf_loader._interpolate(ch, time, "t")
+        np.testing.assert_allclose(got, expect.astype(np.float32), atol=0)
+        # second span has d = 2 — the span length scales the tangent terms
+        time, k, d = 3.0, 1, 2.0
+        s = (time - 2.0) / d
+        expect = (
+            (2 * s**3 - 3 * s**2 + 1) * ch.values[k].astype(np.float64)
+            + d * (s**3 - 2 * s**2 + s) * ch.out_tangents[k].astype(np.float64)
+            + (-2 * s**3 + 3 * s**2) * ch.values[k + 1].astype(np.float64)
+            + d * (s**3 - s**2) * ch.in_tangents[k + 1].astype(np.float64)
+        )
+        np.testing.assert_allclose(
+            gltf_loader._interpolate(ch, time, "t"),
+            expect.astype(np.float32), atol=0,
+        )
+
+    def test_cubic_rotation_normalized_and_exact_at_keyframes(self):
+        ch = self._cubic_channel("rotation")
+        got = gltf_loader._interpolate(ch, 1.7, "t")
+        np.testing.assert_allclose(np.linalg.norm(got), 1.0, atol=1e-6)
+        # at a keyframe the stored value comes back EXACTLY (no renormalize)
+        np.testing.assert_array_equal(
+            gltf_loader._interpolate(ch, 2.0, "t"), ch.values[1]
+        )
+
+    def test_cubic_clamp_before_first(self):
+        ch = self._cubic_channel()
+        np.testing.assert_array_equal(
+            gltf_loader._interpolate(ch, 0.5, "t"), ch.values[0]
+        )
 
 
 class TestAtlas:

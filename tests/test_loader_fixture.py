@@ -149,7 +149,7 @@ class TestLoadedStructure:
         _registry, _lib, gltf = loaded
         e = expected_arrays()
         times, rot, trans, scale = e["anim"]
-        assert len(gltf.animations) == 1
+        assert len(gltf.animations) == 2
         anim = gltf.animations[0]
         assert anim.name == "wiggle"
         assert anim.start_time == 0.0 and anim.end_time == 1.5
@@ -163,6 +163,47 @@ class TestLoadedStructure:
         ch_sc = anim.nodes_channels[8][0]
         assert ch_sc.path == "scale"
         np.testing.assert_array_equal(ch_sc.values, scale)
+
+    def test_cubicspline_channels(self, loaded):
+        """The (in-tangent, value, out-tangent) triples of a CUBICSPLINE
+        output accessor are split into the channel's three arrays."""
+        _registry, _lib, gltf = loaded
+        ct, ctr, crot = expected_arrays()["anim_cubic"]
+        anim = gltf.animations[1]
+        assert anim.name == "bounce"
+        assert anim.start_time == 0.0 and anim.end_time == pytest.approx(1.2)
+        ch_tr = gltf.animations[1].nodes_channels[7][0]
+        assert ch_tr.interpolation == "CUBICSPLINE"
+        np.testing.assert_array_equal(ch_tr.times, ct)
+        np.testing.assert_array_equal(ch_tr.in_tangents, ctr[:, 0])
+        np.testing.assert_array_equal(ch_tr.values, ctr[:, 1])
+        np.testing.assert_array_equal(ch_tr.out_tangents, ctr[:, 2])
+        ch_rot = anim.nodes_channels[4][0]
+        assert ch_rot.path == "rotation"
+        np.testing.assert_array_equal(ch_rot.in_tangents, crot[:, 0])
+        np.testing.assert_array_equal(ch_rot.values, crot[:, 1])
+        np.testing.assert_array_equal(ch_rot.out_tangents, crot[:, 2])
+
+    def test_cubic_playback_matches_oracle(self, loaded):
+        """Layered LINEAR + CUBICSPLINE playback from real bytes: the fast
+        path (native/vectorized) against the sequential per-node oracle."""
+        _registry, _lib, gltf = loaded
+        playing = [(0.7, gltf.animations[0]), (0.9, gltf.animations[1])]
+        fast = gltf._fast_node_transforms(playing)
+        assert fast is not None
+        mats, valid = fast
+        transforms = [None] * len(gltf.nodes)
+        stack = [(n, math3d.IDENTITY) for n in gltf.root_nodes]
+        while stack:
+            ni, parent = stack.pop()
+            current = parent @ gltf._animated_transform(ni, playing)
+            transforms[ni] = current
+            for child in gltf.nodes[ni].children:
+                stack.append((child, current))
+        for ni, m in enumerate(transforms):
+            np.testing.assert_allclose(
+                mats[ni], m, atol=2e-6, rtol=1e-5, err_msg=f"node {ni}"
+            )
 
     def test_embedded_png_decoded_with_mips(self, loaded):
         _registry, _lib, gltf = loaded
