@@ -142,6 +142,9 @@ class Node:
     skin: int | None
     children: list[int]
     transform: np.ndarray  # 4x4, parent-flattened at load
+    # node-level morph weight override (glTF: node.weights beats
+    # mesh.weights; animation weights channels beat both)
+    weights: np.ndarray | None = None
 
 
 def _interpolate(channel: AnimationChannel, time: float, animation_name) -> np.ndarray:
@@ -209,14 +212,22 @@ class _CompiledAnimation:
         chans: list[tuple[int, AnimationChannel]] = []
         self.touched: list[int] = []  # node indices that have a channel list
         self.has_weights = False
+        self.weight_channels: list[tuple[int, AnimationChannel]] = []
         for ni, channels in enumerate(anim.nodes_channels):
             if channels is None:
                 continue
+            # a node with ANY channel list gets its TRS recomposed, matching
+            # the sequential decompose→recompose (even when only a weights
+            # channel targets it)
             slot = len(self.touched)
             self.touched.append(ni)
             for ch in channels:
                 if ch.path == "weights":
-                    self.has_weights = True  # fall back (morph unsupported)
+                    # morph weights don't touch node transforms — they are
+                    # sampled separately (Gltf.morph_weights_at)
+                    self.has_weights = True
+                    self.weight_channels.append((ni, ch))
+                    continue
                 if len(ch.times) == 0:
                     raise AnimationError(f"animation {anim.name}: empty channel")
                 chans.append((slot, ch))
@@ -361,14 +372,13 @@ class _CompiledAnimation:
         return math3d.trs_batch(t, q, s)
 
 
-def _compiled_animation(anim: "Animation", nodes) -> _CompiledAnimation | None:
+def _compiled_animation(anim: "Animation", nodes) -> _CompiledAnimation:
     # re-bake if the cache was built against a different Gltf's node list
     # (an Animation reused across models must not serve the other model's
     # baked static TRS)
     if anim._compiled is None or anim._compiled.nodes_ref is not nodes:
         anim._compiled = _CompiledAnimation(anim, nodes)
-    comp = anim._compiled
-    return None if comp.has_weights else comp
+    return anim._compiled
 
 
 def _decompose_trs(m: np.ndarray):
@@ -428,6 +438,8 @@ class Gltf:
         self.animations: list[Animation] = []
         # (mesh, material) per primitive per mesh index
         self.meshes: list[list[tuple[Mesh, Material]]] = []
+        # glTF mesh-level default morph weights per mesh index (or None)
+        self.mesh_weights: list[np.ndarray | None] = []
         self.materials: list[Material] = []
         self.textures: list[Texture] = []
         self._walk = None  # cached (order, parent, static_locals) arrays
@@ -450,6 +462,17 @@ class Gltf:
         for a in self.animations:
             a._compiled = None
 
+    @property
+    def has_morph(self) -> bool:
+        """True when any primitive carries morph targets (computed once —
+        geometry is immutable after load)."""
+        cached = getattr(self, "_has_morph_cache", None)
+        if cached is None:
+            cached = self._has_morph_cache = any(
+                m.morph_count for prims in self.meshes for m, _mat in prims
+            )
+        return cached
+
     # -- queueing (scene_queueing.rs) -------------------------------------
 
     def _mesh_iter(self):
@@ -467,12 +490,15 @@ class Gltf:
     def _split_rows(self):
         """Cached queue-order split of _mesh_iter: (skinned rows
         [(node_index, mesh, material, skin_index)], static DrawBlock,
-        static node indices [M]). Statics batch into one vectorized
-        queue_block; interleaving order vs the sequential loop only moves
-        draws with DIFFERENT sort keys relative to each other (the skinned
-        flag bit separates the groups), so the sorted stream is identical."""
+        static node indices [M], static default morph weights [M, 8] or
+        None, morphed static rows [(row, morph_count, node_index)]).
+        Statics batch into one vectorized queue_block; interleaving order vs
+        the sequential loop only moves draws with DIFFERENT sort keys
+        relative to each other (the skinned flag bit separates the groups),
+        so the sorted stream is identical."""
         cached = getattr(self, "_rows_cache", None)
         if cached is None:
+            from renderer_tpu.core import constants as _c
             from renderer_tpu.scene.scene import make_draw_block
 
             skinned_rows = []
@@ -484,19 +510,72 @@ class Gltf:
                 else:
                     static_items.append((mesh, material, None))
                     static_idx.append(ni)
+            static_mw = None
+            morph_rows = []
+            for r, ((mesh, _mat, _j), ni) in enumerate(
+                zip(static_items, static_idx)
+            ):
+                if mesh.morph_count:
+                    morph_rows.append((r, mesh.morph_count, ni))
+            if morph_rows:
+                static_mw = np.zeros(
+                    (len(static_items), _c.MAX_MORPH_TARGETS), np.float32
+                )
+                for r, mc, ni in morph_rows:
+                    w = self._node_default_weights(ni)
+                    if w is not None:
+                        k = min(mc, w.size)
+                        static_mw[r, :k] = w[:k]
             cached = self._rows_cache = (
                 skinned_rows,
                 make_draw_block(static_items),
                 np.asarray(static_idx, np.int64),
+                static_mw,
+                morph_rows,
             )
         return cached
 
+    def _node_default_weights(self, ni: int) -> np.ndarray | None:
+        """glTF default morph weights for a node's mesh: node.weights beats
+        mesh.weights (animation weights channels beat both)."""
+        node = self.nodes[ni]
+        if node.weights is not None:
+            return node.weights
+        if node.mesh is not None and node.mesh < len(self.mesh_weights):
+            return self.mesh_weights[node.mesh]
+        return None
+
+    def morph_weights_at(
+        self, playing_animations: list[tuple[float, "Animation"]]
+    ) -> dict[int, np.ndarray]:
+        """node index → morph weights [T] sampled from the playing
+        animations' weights channels (later animations override — channel
+        semantics applied to weights). The reference leaves this as a
+        todo!() (gltf/src/lib.rs:229); we implement it."""
+        out: dict[int, np.ndarray] = {}
+        for time, anim in playing_animations:
+            comp = _compiled_animation(anim, self.nodes)
+            for ni, ch in comp.weight_channels:
+                out[ni] = np.asarray(
+                    _interpolate(ch, float(time), anim.name), np.float32
+                ).reshape(-1)
+        return out
+
+    def _row_morph_weights(self, ni: int, mesh, wmap) -> np.ndarray | None:
+        if not mesh.morph_count:
+            return None
+        w = wmap.get(ni)
+        if w is None:
+            w = self._node_default_weights(ni)
+        return None if w is None else w[: mesh.morph_count]
+
     def queue(self, scene: Scene, transform: np.ndarray) -> bool:
-        skinned_rows, block, static_idx = self._split_rows()
+        skinned_rows, block, static_idx, static_mw, _ = self._split_rows()
         assert not skinned_rows, "skinned meshes must have joints defined"
         locals_ = self._walk_arrays()[2][static_idx]  # [M, 4, 4] node poses
         return scene.queue_block(
-            block, np.asarray(transform, np.float32) @ locals_
+            block, np.asarray(transform, np.float32) @ locals_,
+            morph_weights=static_mw,
         )
 
     def queue_animated(
@@ -510,10 +589,15 @@ class Gltf:
         model transform; static meshes get transform @ animated node pose."""
         all_drawn = True
         joints_offsets_per_skin: dict[int, int] = {}
+        wmap = (
+            self.morph_weights_at(playing_animations)
+            if self.has_morph else {}
+        )
         fast = self._fast_node_transforms(playing_animations)
         if fast is None:
             node_transforms = self.get_node_transforms(playing_animations)
             for node_index, mesh, material, skin_index, _ in self._mesh_iter():
+                mw = self._row_morph_weights(node_index, mesh, wmap)
                 if skin_index is not None:
                     offset = joints_offsets_per_skin.get(skin_index)
                     if offset is None:
@@ -528,13 +612,14 @@ class Gltf:
                                 animated = math3d.IDENTITY
                             palette[i] = animated @ joint.inverse_bind_matrix
                         joints_offsets_per_skin[skin_index] = offset
-                    all_drawn &= scene.queue_mesh(mesh, material, offset, transform)
+                    all_drawn &= scene.queue_mesh(mesh, material, offset,
+                                                  transform, mw)
                 else:
                     animated = node_transforms[node_index]
                     if animated is None:
                         animated = math3d.IDENTITY
                     all_drawn &= scene.queue_mesh(
-                        mesh, material, None, transform @ animated
+                        mesh, material, None, transform @ animated, mw
                     )
             return all_drawn
 
@@ -546,8 +631,9 @@ class Gltf:
         all_valid = getattr(self, "_walk_all_valid", None)
         if all_valid is None:
             all_valid = self._walk_all_valid = bool(valid.all())
-        skinned_rows, block, static_idx = self._split_rows()
-        for _, mesh, material, skin_index in skinned_rows:
+        skinned_rows, block, static_idx, static_mw, morph_rows = \
+            self._split_rows()
+        for ni, mesh, material, skin_index in skinned_rows:
             offset = joints_offsets_per_skin.get(skin_index)
             if offset is None:
                 skin = self.skins[skin_index]
@@ -562,14 +648,27 @@ class Gltf:
                 )
                 np.matmul(a, ibms, out=palette[: len(skin.joints)])
                 joints_offsets_per_skin[skin_index] = offset
-            all_drawn &= scene.queue_mesh(mesh, material, offset, transform)
+            all_drawn &= scene.queue_mesh(
+                mesh, material, offset, transform,
+                self._row_morph_weights(ni, mesh, wmap),
+            )
         if len(static_idx):
             a = mats[static_idx] if all_valid else np.where(
                 valid[static_idx][:, None, None], mats[static_idx],
                 math3d.IDENTITY,
             )
+            mw = static_mw
+            if wmap and morph_rows:
+                mw = static_mw.copy()
+                for r, mc, ni in morph_rows:
+                    w = wmap.get(ni)
+                    if w is not None:
+                        k = min(mc, w.size)
+                        mw[r] = 0.0
+                        mw[r, :k] = w[:k]
             all_drawn &= scene.queue_block(
-                block, np.asarray(transform, np.float32) @ a
+                block, np.asarray(transform, np.float32) @ a,
+                morph_weights=mw,
             )
         return all_drawn
 
@@ -632,16 +731,14 @@ class Gltf:
 
     def _fast_node_transforms(self, playing_animations):
         """Vectorized pose evaluation for any number of playing animations:
-        (mats [n, 4, 4] f32, valid [n] bool) or None when the sequential
-        path must run (morph-target channels)."""
+        (mats [n, 4, 4] f32, valid [n] bool); None only when nothing is
+        playing (node transforms are then the static poses)."""
         if len(playing_animations) == 0:
             return None
-        comps = []
-        for _t, anim in playing_animations:
-            comp = _compiled_animation(anim, self.nodes)
-            if comp is None:
-                return None  # morph channels → sequential path (which raises)
-            comps.append(comp)
+        comps = [
+            _compiled_animation(anim, self.nodes)
+            for _t, anim in playing_animations
+        ]
         if len(playing_animations) > 1:
             return self._layered_node_transforms(playing_animations, comps)
         time, anim = playing_animations[0]
@@ -737,6 +834,8 @@ class Gltf:
                 continue
             scale, rotation, translation = _decompose_trs(result)
             for ch in channels:
+                if ch.path == "weights":
+                    continue  # morph weights are sampled by morph_weights_at
                 value = _interpolate(ch, time, animation.name)
                 if ch.path == "translation":
                     translation = value
@@ -744,8 +843,6 @@ class Gltf:
                     rotation = value
                 elif ch.path == "scale":
                     scale = value
-                else:  # weights: morph targets unsupported (reference todo!())
-                    raise AnimationError("morph target animation not supported")
             result = math3d.trs(translation, rotation, scale)
         return result
 
@@ -801,10 +898,11 @@ class _Accessors:
 
     def read(self, accessor_index: int, ctype: int | None, atype: str) -> np.ndarray:
         """Accessor → numpy [count, ncomp] with ctype/atype validation
-        (lib.rs:650-724)."""
+        (lib.rs:650-724). Sparse accessors (common for morph-target deltas)
+        decode per the spec: the dense base (zeros when the accessor has no
+        bufferView) overridden at `sparse.indices` with `sparse.values` —
+        a superset of the reference, which has no sparse handling."""
         acc = self.gltf["accessors"][accessor_index]
-        if acc.get("sparse"):
-            raise GltfLoadingError("sparse accessors not supported")
         if ctype is not None and acc["componentType"] != ctype:
             raise GltfLoadingError(
                 f"accessor {accessor_index}: componentType "
@@ -817,9 +915,44 @@ class _Accessors:
         dtype = np.dtype(_CTYPE_NP[acc["componentType"]]).newbyteorder("<")
         ncomp = _ATYPE_N[atype]
         count = acc["count"]
-        view = self.gltf["bufferViews"][acc["bufferView"]]
+        if "bufferView" in acc:
+            base = self._read_view(
+                acc["bufferView"], dtype, ncomp, count,
+                acc.get("byteOffset", 0),
+            )
+        else:
+            # spec: a sparse (or zero-filled) accessor may omit bufferView
+            base = np.zeros((count, ncomp), dtype)
+        sparse = acc.get("sparse")
+        if sparse:
+            sc = sparse["count"]
+            sidx = sparse["indices"]
+            ict = sidx["componentType"]
+            if ict not in (GLTF_UNSIGNED_BYTE, GLTF_UNSIGNED_SHORT,
+                           GLTF_UNSIGNED_INT):
+                raise GltfLoadingError(
+                    "sparse indices componentType must be unsigned int"
+                )
+            idt = np.dtype(_CTYPE_NP[ict]).newbyteorder("<")
+            indices = self._read_view(
+                sidx["bufferView"], idt, 1, sc, sidx.get("byteOffset", 0)
+            ).reshape(-1).astype(np.int64)
+            svals = sparse["values"]
+            values = self._read_view(
+                svals["bufferView"], dtype, ncomp, sc,
+                svals.get("byteOffset", 0),
+            )
+            if sc and (indices.max() >= count or indices.min() < 0):
+                raise GltfLoadingError("sparse index out of accessor range")
+            base = base.copy()
+            base[indices] = values
+        return base
+
+    def _read_view(self, view_index: int, dtype, ncomp: int, count: int,
+                   acc_offset: int) -> np.ndarray:
+        view = self.gltf["bufferViews"][view_index]
         data = self._buffer(view["buffer"])
-        start = view.get("byteOffset", 0) + acc.get("byteOffset", 0)
+        start = view.get("byteOffset", 0) + acc_offset
         stride = view.get("byteStride")
         elem_size = dtype.itemsize * ncomp
         if stride is None or stride == elem_size:
@@ -907,6 +1040,7 @@ def load_gltf(
                 np.array(node.get("rotation", [0, 0, 0, 1]), np.float32),
                 np.array(node.get("scale", [1, 1, 1]), np.float32),
             )
+        nw = node.get("weights")
         out.nodes.append(
             Node(
                 name=node.get("name"),
@@ -914,6 +1048,7 @@ def load_gltf(
                 skin=node.get("skin"),
                 children=list(node.get("children", [])),
                 transform=m,
+                weights=None if nw is None else np.asarray(nw, np.float32),
             )
         )
 
@@ -1048,14 +1183,45 @@ def load_gltf(
                 joints = acc.read(attrs["JOINTS_0"], GLTF_UNSIGNED_BYTE, "VEC4")
                 weights = acc.read(attrs["WEIGHTS_0"], GLTF_FLOAT, "VEC4")
 
+            # morph targets (POSITION/NORMAL delta accessors) — the
+            # reference leaves morph support as a todo!() (lib.rs:229); we
+            # load and render them
+            morph_targets = None
+            targets = prim.get("targets")
+            if targets:
+                from renderer_tpu.core import constants as _c
+
+                if len(targets) > _c.MAX_MORPH_TARGETS:
+                    raise GltfLoadingError(
+                        f"primitive has {len(targets)} morph targets; the "
+                        f"capacity is {_c.MAX_MORPH_TARGETS} "
+                        "(constants.MAX_MORPH_TARGETS)"
+                    )
+                morph_targets = []
+                for tgt in targets:
+                    if "POSITION" not in tgt:
+                        raise GltfLoadingError(
+                            "morph target missing POSITION deltas"
+                        )
+                    pd = acc.read(tgt["POSITION"], GLTF_FLOAT, "VEC3")
+                    nd = (
+                        acc.read(tgt["NORMAL"], GLTF_FLOAT, "VEC3")
+                        if "NORMAL" in tgt else None
+                    )
+                    morph_targets.append((pd, nd))
+
             lib_mesh = builder.add_mesh(
                 positions, uvs, normals, tangents, indices.reshape(-1),
-                joints=joints, weights=weights,
+                joints=joints, weights=weights, morph_targets=morph_targets,
             )
             if "material" not in prim:
                 raise GltfLoadingError("primitive missing material")
             primitives.append((lib_mesh, out.materials[prim["material"]]))
         out.meshes.append(primitives)
+        mw = mesh.get("weights")
+        out.mesh_weights.append(
+            None if mw is None else np.asarray(mw, np.float32)
+        )
 
     # -- animations ------------------------------------------------------------
     for anim in gltf.get("animations", []):
@@ -1104,6 +1270,14 @@ def load_gltf(
                 in_tan = np.ascontiguousarray(arr[:, 0])
                 values = np.ascontiguousarray(arr[:, 1])
                 out_tan = np.ascontiguousarray(arr[:, 2])
+            elif path == "weights":
+                # T weights per keyframe ride flat in the SCALAR accessor
+                if len(times) == 0 or values.size % len(times):
+                    raise GltfLoadingError(
+                        "weights output accessor count must be a multiple "
+                        "of the keyframe count"
+                    )
+                values = values.reshape(len(times), -1)
             lst = nodes_channels[target["node"]]
             if lst is None:
                 lst = nodes_channels[target["node"]] = []

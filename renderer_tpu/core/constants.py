@@ -12,6 +12,13 @@ MAX_MATERIALS = 1000
 MAX_JOINT_COUNT = 65536 // (4 * 16)  # 1024
 MAX_DRAW_CALLS = 65536 // 4  # 16384
 
+# Morph-target capacity (NO reference counterpart: the reference leaves
+# morph animation as a todo!(), gltf/src/lib.rs:229 — we implement it).
+# Per-draw morph weights are a fixed [MAX_DRAW_CALLS, MAX_MORPH_TARGETS]
+# column of the scene SoA; meshes with more targets are refused LOUDLY at
+# load time (resource exhaustion is never silent).
+MAX_MORPH_TARGETS = 8
+
 # Texture-slot indices of the PBR default 1x1 textures
 # (reference: renderer/src/renderer/descriptors.rs:186-203,
 #  renderer/src/image_loading/pbr_defaults.rs:11-14).

@@ -32,13 +32,24 @@ def _enable_compilation_cache() -> None:
     """Persistent compile cache — the VkPipelineCache analog (the reference
     threads a pipeline cache through every recreation so resizes reuse
     compiled pipelines, pipelines.rs:164-174). Makes first frames after the
-    first process start near-instant."""
+    first process start near-instant.
+
+    The cache is NOT enabled for the CPU backend: XLA:CPU's AOT
+    export/import is unsafe in this jaxlib — loading entries written on a
+    different fleet host warns "could lead to execution errors such as
+    SIGILL", and SERIALIZING certain CPU executables segfaults outright
+    (reproduced deterministically inside
+    compilation_cache.put_executable_and_time during a full test-suite
+    run). CPU compiles are seconds, not the 2-5 min TPU compiles the cache
+    exists for — the in-process jit cache covers CPU."""
     if getattr(_enable_compilation_cache, "_done", False):
         return
     _enable_compilation_cache._done = True
     try:
         import pathlib
 
+        if jax.default_backend() == "cpu":
+            return
         cache_dir = pathlib.Path(__file__).resolve().parents[2] / ".cache" / "jax"
         cache_dir.mkdir(parents=True, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", str(cache_dir))
@@ -77,11 +88,13 @@ def _jitted_frame_fns(interpret: bool):
     the persistent on-disk cache."""
     frame_fn = jax.jit(
         functools.partial(pipeline.render_frame, interpret=interpret),
-        static_argnames=("config", "skin_start", "has_masked", "has_blended"),
+        static_argnames=("config", "skin_start", "has_masked", "has_blended",
+                         "morph_k"),
     )
     frames_fn = jax.jit(
         functools.partial(pipeline.render_frames_scan, interpret=interpret),
-        static_argnames=("config", "skin_start", "has_masked", "has_blended"),
+        static_argnames=("config", "skin_start", "has_masked", "has_blended",
+                         "morph_k"),
     )
     return frame_fn, frames_fn
 
@@ -425,7 +438,8 @@ class Renderer:
             dev = {
                 k: jnp.asarray(getattr(gs, k))
                 for k in ("positions", "uvs", "normals", "tangents", "joints",
-                          "weights", "exp_src", "exp_draw", "tri_v")
+                          "weights", "exp_src", "exp_draw", "tri_v",
+                          "morph_pos", "morph_nrm", "morph_row0", "morph_step")
             }
             cached = (gs, dev)
             self._geom_cache[geom_key] = cached
@@ -452,6 +466,7 @@ class Renderer:
         blob = draw_stream.pack_frame_blob(
             fv, scene.joint_palette, self._proj_view(scene),
             (gs.num_tris, gs.num_opaque_tris, gs.num_masked_tris, debug_mode),
+            morph_k=gs.morph_k,
         )
         # the HOST array goes straight into the jit call: the implicit arg
         # device_put rides the dispatch itself, measurably cheaper on
@@ -480,6 +495,7 @@ class Renderer:
                 config=self.config, skin_start=gs.skin_start,
                 has_masked=gs.num_masked_tris > 0,
                 has_blended=gs.num_tris > gs.num_opaque_tris + gs.num_masked_tris,
+                morph_k=gs.morph_k,
             )
         return img, stats
 
@@ -545,6 +561,7 @@ class Renderer:
                 fv, scene.joint_palette, self._proj_view(scene),
                 (gs.num_tris, gs.num_opaque_tris, gs.num_masked_tris,
                  debug_mode),
+                morph_k=gs.morph_k,
             )
             for fv, scene in zip(fvs, scenes)
         ])
@@ -556,6 +573,7 @@ class Renderer:
                 config=self.config, skin_start=gs.skin_start,
                 has_masked=gs.num_masked_tris > 0,
                 has_blended=gs.num_tris > gs.num_opaque_tris + gs.num_masked_tris,
+                morph_k=gs.morph_k,
             )
 
         imgs, stats = dispatch()

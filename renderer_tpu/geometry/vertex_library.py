@@ -29,7 +29,10 @@ class VertexLayout:
 
 @dataclass(frozen=True)
 class Mesh:
-    """A window into a VertexLibrary (reference: scene/mesh.rs:9-17)."""
+    """A window into a VertexLibrary (reference: scene/mesh.rs:9-17).
+    `morph_count` — number of morph targets whose deltas live in the
+    library's morph bank (0 = no morphing; the reference leaves morph
+    animation as a todo!(), gltf/src/lib.rs:229 — we implement it)."""
 
     library: "VertexLibrary"
     layout: str
@@ -38,6 +41,7 @@ class Mesh:
     first_index: int
     index_count: int
     mesh_id: int
+    morph_count: int = 0
 
     @property
     def skinned(self) -> bool:
@@ -59,6 +63,14 @@ class VertexLibrary:
         self.joints = np.zeros((0, 4), np.int32)
         self.weights = np.zeros((0, 4), np.float32)
         self.indices = np.zeros((0,), np.uint32)
+        # morph-target delta bank: row 0 is an all-zero sentinel; a morphed
+        # mesh's target k stores vertex v's deltas at row
+        # morph_row0[vertex] + k * morph_step[vertex] (row0/step are 0 for
+        # unmorphed vertices, so every tap lands on the zero row)
+        self.morph_pos = np.zeros((1, 3), np.float32)
+        self.morph_nrm = np.zeros((1, 3), np.float32)
+        self.morph_row0 = np.zeros((0,), np.int32)
+        self.morph_step = np.zeros((0,), np.int32)
         self.meshes: list[Mesh] = []
         self.library_id = VertexLibrary._next_library_id
         VertexLibrary._next_library_id += 1
@@ -93,9 +105,11 @@ class VertexLibraryBuilder:
 
     def __init__(self, measurer: VertexLibraryMeasurer | None = None) -> None:
         self._chunks: list[dict[str, np.ndarray]] = []
+        self._morph_chunks: list[tuple[np.ndarray, np.ndarray]] = []
         self._library = VertexLibrary()
         self._vertex_cursor = 0
         self._index_cursor = 0
+        self._morph_cursor = 1  # bank row 0 is the zero sentinel
 
     def add_mesh(
         self,
@@ -106,7 +120,13 @@ class VertexLibraryBuilder:
         indices: np.ndarray,
         joints: np.ndarray | None = None,
         weights: np.ndarray | None = None,
+        morph_targets: list | None = None,
     ) -> Mesh:
+        """morph_targets — optional list of (position_deltas [n,3],
+        normal_deltas [n,3] | None) per target, f16-quantized like base
+        positions (vertex_buffers.rs:96-179 discipline applied to the
+        deltas; the reference has no morph support to mirror). At most
+        constants.MAX_MORPH_TARGETS targets; more is a loud error."""
         positions = np.asarray(positions, np.float32).reshape(-1, 3)
         n = positions.shape[0]
         uvs = np.asarray(uvs, np.float32).reshape(-1, 2)
@@ -126,6 +146,37 @@ class VertexLibraryBuilder:
             joints_arr = np.zeros((n, 4), np.int32)
             weights_arr = np.zeros((n, 4), np.float32)
 
+        morph_count = 0
+        morph_row0 = np.zeros(n, np.int32)
+        morph_step = np.zeros(n, np.int32)
+        if morph_targets:
+            from renderer_tpu.core import constants
+
+            morph_count = len(morph_targets)
+            if morph_count > constants.MAX_MORPH_TARGETS:
+                raise ValueError(
+                    f"mesh has {morph_count} morph targets; the per-draw "
+                    f"weight capacity is {constants.MAX_MORPH_TARGETS} "
+                    "(constants.MAX_MORPH_TARGETS)"
+                )
+            dpos = np.zeros((morph_count * n, 3), np.float32)
+            dnrm = np.zeros((morph_count * n, 3), np.float32)
+            for k, target in enumerate(morph_targets):
+                pd, nd = target
+                pd = np.asarray(pd, np.float32).reshape(-1, 3)
+                assert pd.shape[0] == n, "morph position-delta count mismatch"
+                dpos[k * n : (k + 1) * n] = quantize.quantize_position(pd)
+                if nd is not None:
+                    nd = np.asarray(nd, np.float32).reshape(-1, 3)
+                    assert nd.shape[0] == n, "morph normal-delta count mismatch"
+                    # f16 like positions (snorm10 can't hold the ±2 range of
+                    # a normal delta)
+                    dnrm[k * n : (k + 1) * n] = quantize.quantize_position(nd)
+            self._morph_chunks.append((dpos, dnrm))
+            morph_row0[:] = self._morph_cursor + np.arange(n, dtype=np.int32)
+            morph_step[:] = n
+            self._morph_cursor += morph_count * n
+
         self._chunks.append(
             {
                 "positions": quantize.quantize_position(positions),
@@ -135,6 +186,8 @@ class VertexLibraryBuilder:
                 "joints": joints_arr,
                 "weights": weights_arr,
                 "indices": indices,
+                "morph_row0": morph_row0,
+                "morph_step": morph_step,
             }
         )
         mesh = Mesh(
@@ -145,6 +198,7 @@ class VertexLibraryBuilder:
             first_index=self._index_cursor,
             index_count=int(indices.size),
             mesh_id=len(self._library.meshes),
+            morph_count=morph_count,
         )
         self._library.meshes.append(mesh)
         self._vertex_cursor += n
@@ -154,7 +208,17 @@ class VertexLibraryBuilder:
     def build(self) -> VertexLibrary:
         lib = self._library
         if self._chunks:
-            for key in ("positions", "uvs", "normals", "tangents", "joints", "weights", "indices"):
+            for key in ("positions", "uvs", "normals", "tangents", "joints",
+                        "weights", "indices", "morph_row0", "morph_step"):
                 setattr(lib, key, np.concatenate([c[key] for c in self._chunks], axis=0))
+        if self._morph_chunks:
+            zero = np.zeros((1, 3), np.float32)
+            lib.morph_pos = np.concatenate(
+                [zero] + [c[0] for c in self._morph_chunks], axis=0
+            )
+            lib.morph_nrm = np.concatenate(
+                [zero] + [c[1] for c in self._morph_chunks], axis=0
+            )
+            self._morph_chunks = []
         self._chunks = []
         return lib

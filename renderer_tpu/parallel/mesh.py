@@ -44,6 +44,7 @@ def render_frame_sharded(
     mesh: Mesh,
     has_masked: bool = True,
     has_blended: bool = True,
+    morph_k: int = 0,
     interpret: bool = False,
 ):
     """The full frame step under shard_map. Inputs are replicated (they are
@@ -70,7 +71,7 @@ def render_frame_sharded(
     def step(geom, frame, materials):
         from renderer_tpu.scene.draw_stream import unpack_frame
 
-        frame = unpack_frame(frame)
+        frame = unpack_frame(frame, morph_k=morph_k)
         i = jax.lax.axis_index(axis)
 
         # -- tp: transform a vertex shard, all_gather the results ----------
@@ -79,7 +80,8 @@ def render_frame_sharded(
         lgeom = dict(geom)
         lgeom["exp_src"] = jax.lax.dynamic_slice_in_dim(geom["exp_src"], start, per)
         lgeom["exp_draw"] = jax.lax.dynamic_slice_in_dim(geom["exp_draw"], start, per)
-        vs_local = vertex_stage.run_vertex_stage(lgeom, frame, skin_start=None)
+        vs_local = vertex_stage.run_vertex_stage(lgeom, frame, skin_start=None,
+                                                 morph_k=morph_k)
         vs = {
             k: jax.lax.all_gather(v, axis, axis=0, tiled=True)
             for k, v in vs_local.items()
@@ -117,10 +119,12 @@ def render_frame_sharded(
     return sharded(geom, frame, materials)
 
 
-def jit_sharded_frame(config: RenderConfig, mesh: Mesh, interpret: bool = False):
+def jit_sharded_frame(config: RenderConfig, mesh: Mesh, interpret: bool = False,
+                      morph_k: int = 0):
     return jax.jit(
         functools.partial(
-            render_frame_sharded, config=config, mesh=mesh, interpret=interpret
+            render_frame_sharded, config=config, mesh=mesh, interpret=interpret,
+            morph_k=morph_k,
         )
     )
 
@@ -142,6 +146,7 @@ def render_frames_batched(
     mesh: Mesh,  # ('dp', 'sp') mesh with dp == B
     has_masked: bool = True,
     has_blended: bool = True,
+    morph_k: int = 0,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """dp × sp frame rendering: each dp group renders one frame of the batch
@@ -165,7 +170,8 @@ def render_frames_batched(
         from renderer_tpu.scene.draw_stream import unpack_frame
 
         frame = unpack_frame(
-            jax.tree_util.tree_map(lambda a: a[0], frames_local)
+            jax.tree_util.tree_map(lambda a: a[0], frames_local),
+            morph_k=morph_k,
         )
         i = jax.lax.axis_index("sp")
 
@@ -174,7 +180,8 @@ def render_frames_batched(
         lgeom = dict(geom)
         lgeom["exp_src"] = jax.lax.dynamic_slice_in_dim(geom["exp_src"], start, per)
         lgeom["exp_draw"] = jax.lax.dynamic_slice_in_dim(geom["exp_draw"], start, per)
-        vs_local = vertex_stage.run_vertex_stage(lgeom, frame, skin_start=None)
+        vs_local = vertex_stage.run_vertex_stage(lgeom, frame, skin_start=None,
+                                                 morph_k=morph_k)
         vs = {
             k: jax.lax.all_gather(v, "sp", axis=0, tiled=True)
             for k, v in vs_local.items()

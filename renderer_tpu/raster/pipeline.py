@@ -424,6 +424,7 @@ def render_frames_scan(
     skin_start: int,
     has_masked: bool = True,
     has_blended: bool = True,
+    morph_k: int = 0,
     interpret: bool = False,
 ):
     """Device-resident multi-frame rendering: ONE dispatch renders K frames
@@ -439,7 +440,7 @@ def render_frames_scan(
             geom, {"blob": blob}, materials,
             config=config, skin_start=skin_start,
             has_masked=has_masked, has_blended=has_blended,
-            interpret=interpret,
+            morph_k=morph_k, interpret=interpret,
         )
         return carry, (img, stats)
 
@@ -456,14 +457,16 @@ def render_frame(
     skin_start: int,
     has_masked: bool = True,
     has_blended: bool = True,
+    morph_k: int = 0,
     interpret: bool = False,
 ):
     """Single-chip frame: returns (final u8 RGB image [H, W, 3],
     stats i32[N_STATS])."""
     from renderer_tpu.scene.draw_stream import unpack_frame
 
-    frame = unpack_frame(frame)
-    vs = vertex_stage.run_vertex_stage(geom, frame, skin_start)
+    frame = unpack_frame(frame, morph_k=morph_k)
+    vs = vertex_stage.run_vertex_stage(geom, frame, skin_start,
+                                       morph_k=morph_k)
     return render_shard(
         geom, frame, materials, vs,
         config=config,

@@ -28,12 +28,19 @@ def _apply_affine(m, p):
     return jnp.einsum("...ij,...j->...i", m[..., :3], p) + m[..., 3]
 
 
-def run_vertex_stage(geom: dict, frame: dict, skin_start: int | None) -> dict:
+def run_vertex_stage(geom: dict, frame: dict, skin_start: int | None,
+                     morph_k: int = 0) -> dict:
     """geom: device arrays from GeometryStream; frame: per-frame arrays.
     skin_start is a static python int (compiled into the stage): vertices at
     index ≥ skin_start are skinned. Pass None when the stream is not
     partitioned (e.g. sharded over devices) — skinning is then computed for
     every vertex and selected by the per-draw `skinned` flag.
+
+    morph_k (static): number of morph-target weight columns. Morph deltas
+    apply BEFORE skinning and the model transform (glTF spec order; the
+    reference leaves morph animation as a todo!(), gltf/src/lib.rs:229).
+    Unmorphed vertices address the bank's zero row, so the tap is a no-op
+    for them; morph_k == 0 compiles the tap out entirely.
 
     Returns per-expanded-vertex arrays: clip [VE,4], uv [VE,2],
     normal [VE,3], tangent [VE,4], draw [VE] i32.
@@ -43,6 +50,17 @@ def run_vertex_stage(geom: dict, frame: dict, skin_start: int | None) -> dict:
     ve = src.shape[0]
 
     pos = geom["positions"][src]  # [VE,3]
+    nrm_base = geom["normals"][src]  # [VE,3]
+    if morph_k:
+        row0 = geom["morph_row0"][src]  # [VE]
+        step = geom["morph_step"][src]  # [VE]
+        w = frame["morph_weights"][drw]  # [VE, K]
+        for k in range(morph_k):
+            tap = row0 + k * step
+            pos = pos + w[:, k : k + 1] * geom["morph_pos"][tap]
+            # morphed normal = normalize(n + Σ w·dn) — the trailing
+            # _normalize below performs the normalization
+            nrm_base = nrm_base + w[:, k : k + 1] * geom["morph_nrm"][tap]
     model = frame["transforms"][drw]  # [VE,3,4]
 
     if skin_start is None:
@@ -77,7 +95,7 @@ def run_vertex_stage(geom: dict, frame: dict, skin_start: int | None) -> dict:
     pv = frame["proj_view"]  # [4,4] = projection @ view
     clip = world @ pv[:, :3].T + pv[:, 3]  # [VE,4]
 
-    normal = _normalize(jnp.einsum("vij,vj->vi", frame["normal_mats"][drw], geom["normals"][src]))
+    normal = _normalize(jnp.einsum("vij,vj->vi", frame["normal_mats"][drw], nrm_base))
     tang4 = geom["tangents"][src]
     tang = _normalize(jnp.einsum("vij,vj->vi", model[:, :, :3], tang4[:, :3]))
     # Gram-Schmidt: ensure 90° between normal and tangent (main.vert:91).

@@ -78,6 +78,14 @@ class GeometryStream:
     tangents: np.ndarray
     joints: np.ndarray
     weights: np.ndarray
+    # morph-target delta banks (row 0 = zero sentinel) + per-vertex bank
+    # addressing; morph_k = max target count over the draw list (0 = the
+    # morph tap is compiled out of the vertex stage entirely)
+    morph_pos: np.ndarray  # [B, 3]
+    morph_nrm: np.ndarray  # [B, 3]
+    morph_row0: np.ndarray  # [V] i32
+    morph_step: np.ndarray  # [V] i32
+    morph_k: int
     # expanded (draw, vertex) stream [VE]
     exp_src: np.ndarray  # i32 → index into concatenated attributes
     exp_draw: np.ndarray  # i32 → draw slot
@@ -111,6 +119,19 @@ def build_geometry(draws: list[DrawParameters], max_triangles: int) -> GeometryS
         tangents = np.concatenate([l.tangents for l in libs], axis=0)
         joints = np.concatenate([l.joints for l in libs], axis=0)
         weights = np.concatenate([l.weights for l in libs], axis=0)
+        # morph banks concatenate like vertices; each library's nonzero
+        # row0 entries shift by its bank base (row 0 of the FIRST bank is
+        # the shared zero sentinel — every bank's own row 0 is also zero,
+        # so cross-library sentinel hits stay harmless)
+        morph_pos = np.concatenate([l.morph_pos for l in libs], axis=0)
+        morph_nrm = np.concatenate([l.morph_nrm for l in libs], axis=0)
+        row0_parts, base_b = [], 0
+        for l in libs:
+            r = l.morph_row0
+            row0_parts.append(np.where(r > 0, r + base_b, 0).astype(np.int32))
+            base_b += l.morph_pos.shape[0]
+        morph_row0 = np.concatenate(row0_parts)
+        morph_step = np.concatenate([l.morph_step for l in libs])
     else:
         positions = np.zeros((1, 3), np.float32)
         uvs = np.zeros((1, 2), np.float32)
@@ -118,6 +139,11 @@ def build_geometry(draws: list[DrawParameters], max_triangles: int) -> GeometryS
         tangents = np.zeros((1, 4), np.float32)
         joints = np.zeros((1, 4), np.int32)
         weights = np.zeros((1, 4), np.float32)
+        morph_pos = np.zeros((1, 3), np.float32)
+        morph_nrm = np.zeros((1, 3), np.float32)
+        morph_row0 = np.zeros(1, np.int32)
+        morph_step = np.zeros(1, np.int32)
+    morph_k = max((d.mesh.morph_count for d in draws), default=0)
 
     exp_src_parts: list[np.ndarray] = []
     exp_draw_parts: list[np.ndarray] = []
@@ -176,6 +202,11 @@ def build_geometry(draws: list[DrawParameters], max_triangles: int) -> GeometryS
         tangents=tangents,
         joints=joints,
         weights=weights,
+        morph_pos=morph_pos,
+        morph_nrm=morph_nrm,
+        morph_row0=morph_row0,
+        morph_step=morph_step,
+        morph_k=morph_k,
         exp_src=exp_src,
         exp_draw=exp_draw,
         tri_v=tri_v,
@@ -199,6 +230,9 @@ class FrameView:
     geom_key: bytes  # device-geometry cache key
     pdf: np.ndarray  # [cap, 12] f32 — sorted 3x4 transforms
     pdi: np.ndarray  # [cap, 4] i32 — material, joints, skinned, debug_id
+    # sorted per-draw morph weights [cap, MAX_MORPH_TARGETS] f32, or None
+    # when no queued draw carried weights (the common case pays nothing)
+    pmw: np.ndarray | None = None
 
 
 def frame_view(scene: Scene) -> FrameView:
@@ -231,7 +265,12 @@ def frame_view(scene: Scene) -> FrameView:
             first[1:] = np.where(sorted_keys[1:] != sorted_keys[:-1], idx, 0)
             pdi[:n, 3] = np.maximum.accumulate(first)
     geom_key = (sorted_keys & GEOMETRY_KEY_MASK).tobytes()
-    return FrameView(order, sorted_keys, geom_key, pdf, pdi)
+    pmw = None
+    if scene._any_morph:
+        pmw = np.zeros((cap, constants.MAX_MORPH_TARGETS), np.float32)
+        if n:
+            pmw[:n] = scene._morph_weights[:n][order]
+    return FrameView(order, sorted_keys, geom_key, pdf, pdi, pmw)
 
 
 def build_frame_arrays(scene: Scene) -> dict[str, np.ndarray]:
@@ -274,48 +313,70 @@ def pack_frame_arrays(fv: FrameView, joint_palette: np.ndarray,
 
 def pack_frame_blob(fv: FrameView, joint_palette: np.ndarray,
                     proj_view: np.ndarray,
-                    counts: tuple[int, int, int, int]) -> np.ndarray:
-    """ONE i32 upload for the whole per-frame state (pdf | pdi | palette |
-    proj_view | counts) — the literal analog of the reference writing all
-    temp uniforms into one per-frame arena buffer (renderer.rs:258-302).
-    Each host→device upload carries a fixed dispatch cost that dominates at
-    these sizes (~50 KB total), so five uploads → one. f32 sections are
-    bit-preserved via .view(int32) (i32 payloads are never canonicalized in
-    transfer, unlike f32 NaN bit patterns)."""
+                    counts: tuple[int, int, int, int],
+                    morph_k: int = 0) -> np.ndarray:
+    """ONE i32 upload for the whole per-frame state (pdf | pdi | [pmw] |
+    palette | proj_view | counts) — the literal analog of the reference
+    writing all temp uniforms into one per-frame arena buffer
+    (renderer.rs:258-302). Each host→device upload carries a fixed dispatch
+    cost that dominates at these sizes (~50 KB total), so five uploads →
+    one. f32 sections are bit-preserved via .view(int32) (i32 payloads are
+    never canonicalized in transfer, unlike f32 NaN bit patterns).
+
+    `morph_k` — the geometry stream's morph_k: when nonzero, a sorted
+    per-draw morph-weight section [cap, morph_k] rides between pdi and the
+    palette (scenes without morphing never pay for it; unpack_frame must be
+    given the same static morph_k)."""
     cap = fv.pdf.shape[0]
     jp = np.ascontiguousarray(joint_palette[:, :3, :], np.float32)
     j12 = jp.size
-    blob = np.empty(cap * 16 + j12 + 16 + 4, np.int32)
+    mw = cap * morph_k
+    blob = np.empty(cap * 16 + mw + j12 + 16 + 4, np.int32)
     blob[: cap * 12] = fv.pdf.reshape(-1).view(np.int32)
     blob[cap * 12 : cap * 16] = fv.pdi.reshape(-1)
-    blob[cap * 16 : cap * 16 + j12] = jp.reshape(-1).view(np.int32)
-    blob[cap * 16 + j12 : cap * 16 + j12 + 16] = (
+    if morph_k:
+        pmw = (
+            fv.pmw[:, :morph_k] if fv.pmw is not None
+            else np.zeros((cap, morph_k), np.float32)
+        )
+        blob[cap * 16 : cap * 16 + mw] = (
+            np.ascontiguousarray(pmw).reshape(-1).view(np.int32)
+        )
+    base = cap * 16 + mw
+    blob[base : base + j12] = jp.reshape(-1).view(np.int32)
+    blob[base + j12 : base + j12 + 16] = (
         np.asarray(proj_view, np.float32).reshape(-1).view(np.int32)
     )
     blob[-4:] = np.asarray(counts, np.int32)
     return blob
 
 
-def unpack_frame(packed: dict) -> dict:
+def unpack_frame(packed: dict, morph_k: int = 0) -> dict:
     """Inverse of pack_frame_arrays / pack_frame_blob on device values
     (slices and bitcasts are free under jit), plus the per-draw normal
     matrices — the closed-form cofactor inverse-transpose runs ON DEVICE
     inside the jitted frame (16k tiny cross products are noise on a TPU but
     milliseconds of numpy on the host). Accepts already-unpacked dicts
-    unchanged."""
+    unchanged. `morph_k` must match the pack_frame_blob call (a static jit
+    key — it changes the blob layout)."""
     if "blob" in packed:
         import jax
         import jax.numpy as jnp
 
         blob = packed["blob"]
         j12 = constants.MAX_JOINT_COUNT * 12
-        cap = (blob.shape[0] - j12 - 16 - 4) // 16
+        cap = (blob.shape[0] - j12 - 16 - 4) // (16 + morph_k)
         f = jax.lax.bitcast_convert_type(blob, jnp.float32)
+        mw = cap * morph_k
+        base = cap * 16 + mw
         packed = {
             "pdf": f[: cap * 12].reshape(cap, 12),
             "pdi": blob[cap * 12 : cap * 16].reshape(cap, 4),
-            "joint_palette": f[cap * 16 : cap * 16 + j12].reshape(-1, 3, 4),
-            "proj_view": f[cap * 16 + j12 : cap * 16 + j12 + 16].reshape(4, 4),
+            "morph_weights": (
+                f[cap * 16 : base].reshape(cap, morph_k) if morph_k else None
+            ),
+            "joint_palette": f[base : base + j12].reshape(-1, 3, 4),
+            "proj_view": f[base + j12 : base + j12 + 16].reshape(4, 4),
             "counts": blob[-4:],
             "ui": packed.get("ui"),
         }
@@ -344,6 +405,7 @@ def unpack_frame(packed: dict) -> dict:
         "skinned": pdi[:, 2],
         "debug_id": pdi[:, 3],
         "joint_palette": packed["joint_palette"],
+        "morph_weights": packed.get("morph_weights"),
         "proj_view": packed["proj_view"],
         "num_tris": counts[0],
         "n_opaque": counts[1],

@@ -128,6 +128,7 @@ class DrawParameters:
     material: Material
     transform: np.ndarray  # 4x4 model matrix
     joints_offset: int | None
+    morph_weights: np.ndarray | None = None  # [≤MAX_MORPH_TARGETS]
 
     def sort_key(self):
         """DrawParameters/DrawCallTag ordering (scene.rs:35-41,
@@ -168,9 +169,13 @@ class Scene:
         self._material_id = np.zeros(cap, np.int32)
         self._joints_offset = np.zeros(cap, np.int32)
         self._skinned = np.zeros(cap, np.int32)
+        self._morph_weights = np.zeros(
+            (cap, constants.MAX_MORPH_TARGETS), np.float32
+        )
         self._source = np.zeros(cap, np.int32)  # index into _sources
         self._sources: list[tuple[Mesh, Material]] = []
         self._draws_cache: list[DrawParameters] | None = None
+        self._any_morph = False  # any queued draw carried nonzero weights
 
     # -- queueing -------------------------------------------------------------
 
@@ -179,6 +184,7 @@ class Scene:
         self._sources.clear()
         self._joint_cursor = 0
         self._draws_cache = None
+        self._any_morph = False
 
     def _ensure(self, extra: int) -> None:
         need = self._n + extra
@@ -199,7 +205,23 @@ class Scene:
         self._material_id = grow(self._material_id)
         self._joints_offset = grow(self._joints_offset)
         self._skinned = grow(self._skinned)
+        self._morph_weights = grow(self._morph_weights)
         self._source = grow(self._source)
+
+    def _store_morph(self, i: int, n: int, morph_weights) -> None:
+        """Write per-draw morph weights [n, ≤MAX_MORPH_TARGETS] (or clear
+        the rows — the SoA is reused across frames)."""
+        self._morph_weights[i : i + n] = 0.0
+        if morph_weights is None:
+            return
+        w = np.asarray(morph_weights, np.float32)
+        w = w.reshape(1, -1) if w.ndim == 1 else w
+        assert w.shape[1] <= constants.MAX_MORPH_TARGETS, (
+            f"{w.shape[1]} morph weights > MAX_MORPH_TARGETS "
+            f"({constants.MAX_MORPH_TARGETS})"
+        )
+        self._morph_weights[i : i + n, : w.shape[1]] = w
+        self._any_morph = True
 
     def queue_mesh(
         self,
@@ -207,6 +229,7 @@ class Scene:
         material: Material,
         joints_offset: int | None,
         transform: np.ndarray,
+        morph_weights: np.ndarray | None = None,
     ) -> bool:
         if self._n >= constants.MAX_DRAW_CALLS:
             return False
@@ -215,6 +238,7 @@ class Scene:
         )
         self._ensure(1)
         i = self._n
+        self._store_morph(i, 1, morph_weights)
         self._transforms[i] = np.asarray(transform, np.float32)
         self._keys[i] = _pack_key(
             pipeline_index(material, mesh.skinned),
@@ -251,6 +275,7 @@ class Scene:
             return n == 0
         self._ensure(fit)
         i = self._n
+        self._store_morph(i, fit, None)
         self._transforms[i : i + fit] = transforms[:fit]
         self._keys[i : i + fit] = _pack_key(
             pipeline_index(material, mesh.skinned),
@@ -265,11 +290,13 @@ class Scene:
         self._draws_cache = None
         return fit == n
 
-    def queue_block(self, block: DrawBlock, transforms: np.ndarray) -> bool:
+    def queue_block(self, block: DrawBlock, transforms: np.ndarray,
+                    morph_weights: np.ndarray | None = None) -> bool:
         """Queue a precomputed DrawBlock with per-draw transforms [M, 4, 4]
         in one vectorized append. Equivalent to M queue_mesh calls in block
         order (partial fill at the draw cap, like the reference's per-draw
-        refusal, scene.rs:78-92)."""
+        refusal, scene.rs:78-92). `morph_weights` — optional per-draw
+        [M, ≤MAX_MORPH_TARGETS] morph weights."""
         transforms = np.asarray(transforms, np.float32)
         m = block.keys.shape[0]
         assert transforms.shape == (m, 4, 4)
@@ -278,6 +305,9 @@ class Scene:
             return m == 0
         self._ensure(fit)
         i = self._n
+        self._store_morph(
+            i, fit, None if morph_weights is None else morph_weights[:fit]
+        )
         self._transforms[i : i + fit] = transforms[:fit]
         self._keys[i : i + fit] = block.keys[:fit]
         self._material_id[i : i + fit] = block.material_id[:fit]
@@ -327,8 +357,13 @@ class Scene:
         for i in idx:
             mesh, material = self._sources[self._source[i]]
             joints = int(self._joints_offset[i]) if self._skinned[i] else None
+            morph = (
+                self._morph_weights[i, : mesh.morph_count].copy()
+                if mesh.morph_count else None
+            )
             out.append(
-                DrawParameters(mesh, material, self._transforms[i].copy(), joints)
+                DrawParameters(mesh, material, self._transforms[i].copy(),
+                               joints, morph)
             )
         return out
 
@@ -348,5 +383,6 @@ class Scene:
         self._sources.clear()
         self._draws_cache = None
         for d in value:
-            ok = self.queue_mesh(d.mesh, d.material, d.joints_offset, d.transform)
+            ok = self.queue_mesh(d.mesh, d.material, d.joints_offset,
+                                 d.transform, d.morph_weights)
             assert ok, "draw list exceeds MAX_DRAW_CALLS"

@@ -13,6 +13,9 @@ the asset mount's missing Sponza/Ame .bin LFS buffers leave untested:
 - animation samplers: LINEAR rotation (VEC4), STEP + LINEAR translation
   (VEC3), scale; SCALAR f32 input with min/max; a second animation with
   CUBICSPLINE samplers (3-elements-per-keyframe output accessors)
+- morph targets (POSITION+NORMAL and POSITION-only), mesh-level default
+  weights overridden by node weights, and weights animation channels in
+  both LINEAR ([K·T] flat scalars) and CUBICSPLINE ([K·3·T]) form
 - an embedded image via bufferView (PNG)
 
 Deterministic: `python -m tests.make_loader_fixture` rewrites byte-identical
@@ -105,6 +108,27 @@ def expected_arrays() -> dict:
         [[1, 1, 1], [1, 1.2, 1], [1, 0.9, 1], [1, 1, 1]], np.float32
     )
 
+    # morph targets on prim0 (2 targets: POSITION+NORMAL, POSITION-only) —
+    # beyond the reference, whose weights evaluation is a todo!()
+    # (gltf/src/lib.rs:229)
+    n_v0 = p0.shape[0]
+    morph_d0 = np.zeros((n_v0, 3), np.float32)
+    morph_d0[:, 0] = 0.25  # shift +x
+    morph_n0 = np.zeros((n_v0, 3), np.float32)
+    morph_n0[:, 0] = 0.5  # tilt normals +x
+    morph_d1 = np.zeros((n_v0, 3), np.float32)
+    morph_d1[:, 1] = np.linspace(0, 0.5, n_v0, dtype=np.float32)  # shear +y
+    # weights animation: LINEAR 2-target weights (T·K flat scalars), plus a
+    # CUBICSPLINE weights channel in the second animation (triples)
+    wa_values = np.array(
+        [[0.0, 0.0], [0.5, 0.25], [1.0, 0.5], [0.25, 1.0]], np.float32
+    )  # [K=4, T=2] against anim_times
+    cubic_w = np.stack([  # [K=3, 3(a,v,b), T=2]
+        [[0.0, 0.1], [0.0, 0.0], [0.2, 0.0]],
+        [[0.1, 0.0], [0.75, 0.5], [-0.1, 0.1]],
+        [[0.0, 0.0], [0.25, 1.0], [0.0, 0.0]],
+    ]).astype(np.float32)
+
     # second animation: CUBICSPLINE samplers (in-tangent, value, out-tangent
     # triples per keyframe) — beyond the reference, which comments the mode
     # out of its enum (gltf_json.rs:235-236)
@@ -129,6 +153,8 @@ def expected_arrays() -> dict:
         "ibms": ibms,
         "anim": (anim_times, anim_rot, anim_trans, anim_scale),
         "anim_cubic": (cubic_times, cubic_trans, cubic_rot),
+        "morph": (morph_d0, morph_n0, morph_d1),
+        "morph_anim": (wa_values, cubic_w),
     }
 
 
@@ -157,6 +183,8 @@ def build() -> tuple[dict, bytes]:
     ibms = e["ibms"]
     anim_times, anim_rot, anim_trans, anim_scale = e["anim"]
     cubic_times, cubic_trans, cubic_rot = e["anim_cubic"]
+    morph_d0, morph_n0, morph_d1 = e["morph"]
+    wa_values, cubic_w = e["morph_anim"]
 
     blob = bytearray()
     views = []
@@ -268,6 +296,30 @@ def build() -> tuple[dict, bytes]:
                            FLOAT, "VEC3", 9)
     acc_crot = add_accessor(add_view(cubic_rot.astype("<f4").tobytes()),
                             FLOAT, "VEC4", 9)
+    # morph deltas + weights animations
+    acc_md0 = add_accessor(add_view(morph_d0.astype("<f4").tobytes()),
+                           FLOAT, "VEC3", morph_d0.shape[0])
+    acc_mn0 = add_accessor(add_view(morph_n0.astype("<f4").tobytes()),
+                           FLOAT, "VEC3", morph_n0.shape[0])
+    # morph_d1 ships SPARSE (bufferView-less zero base + u16 indices into
+    # the nonzero rows) — the common export form for blend-shape deltas
+    sp_rows = np.nonzero(np.any(morph_d1 != 0.0, axis=1))[0].astype(np.uint16)
+    v_spi = add_view(sp_rows.astype("<u2").tobytes())
+    v_spv = add_view(morph_d1[sp_rows].astype("<f4").tobytes())
+    accessors.append({
+        "componentType": FLOAT, "type": "VEC3",
+        "count": morph_d1.shape[0],
+        "sparse": {
+            "count": int(sp_rows.size),
+            "indices": {"bufferView": v_spi, "componentType": U16},
+            "values": {"bufferView": v_spv},
+        },
+    })
+    acc_md1 = len(accessors) - 1
+    acc_wa = add_accessor(add_view(wa_values.astype("<f4").tobytes()),
+                          FLOAT, "SCALAR", wa_values.size)
+    acc_cw = add_accessor(add_view(cubic_w.astype("<f4").tobytes()),
+                          FLOAT, "SCALAR", cubic_w.size)
 
     # -- embedded PNG ------------------------------------------------------
     png = _png_bytes()
@@ -281,7 +333,7 @@ def build() -> tuple[dict, bytes]:
             # 0 root → static mesh node + two skinned nodes + bone chains
             {"name": "root", "children": [1, 2, 3, 4, 7],
              "translation": [0, 0, 0]},
-            {"name": "static", "mesh": 0,
+            {"name": "static", "mesh": 0, "weights": [0.5, 0.25],
              "matrix": [1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 0, 0.5, 0, 0, 1]},
             {"name": "skinned-a", "mesh": 1, "skin": 0},
             {"name": "skinned-b", "mesh": 2, "skin": 1},
@@ -297,7 +349,12 @@ def build() -> tuple[dict, bytes]:
                 "attributes": {"POSITION": acc_p0, "NORMAL": acc_n0,
                                "TEXCOORD_0": acc_uv0, "TANGENT": acc_t0},
                 "indices": acc_i0, "material": 0,
-            }]},
+                "targets": [
+                    {"POSITION": acc_md0, "NORMAL": acc_mn0},
+                    {"POSITION": acc_md1},
+                ],
+            }],
+             "weights": [0.25, 0.0]},
             {"primitives": [{
                 "attributes": {"POSITION": acc_p1, "NORMAL": acc_n1,
                                "TEXCOORD_0": acc_uv1, "TANGENT": acc_t1,
@@ -324,11 +381,14 @@ def build() -> tuple[dict, bytes]:
                  "interpolation": "STEP"},
                 {"input": acc_at, "output": acc_asc,
                  "interpolation": "LINEAR"},
+                {"input": acc_at, "output": acc_wa,
+                 "interpolation": "LINEAR"},
             ],
             "channels": [
                 {"sampler": 0, "target": {"node": 5, "path": "rotation"}},
                 {"sampler": 1, "target": {"node": 6, "path": "translation"}},
                 {"sampler": 2, "target": {"node": 8, "path": "scale"}},
+                {"sampler": 3, "target": {"node": 1, "path": "weights"}},
             ],
         }, {
             "name": "bounce",
@@ -337,10 +397,13 @@ def build() -> tuple[dict, bytes]:
                  "interpolation": "CUBICSPLINE"},
                 {"input": acc_ct, "output": acc_crot,
                  "interpolation": "CUBICSPLINE"},
+                {"input": acc_ct, "output": acc_cw,
+                 "interpolation": "CUBICSPLINE"},
             ],
             "channels": [
                 {"sampler": 0, "target": {"node": 7, "path": "translation"}},
                 {"sampler": 1, "target": {"node": 4, "path": "rotation"}},
+                {"sampler": 2, "target": {"node": 1, "path": "weights"}},
             ],
         }],
         "images": [{"bufferView": v_png, "mimeType": "image/png",

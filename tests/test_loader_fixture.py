@@ -106,6 +106,16 @@ class TestAccessorDecoding:
         np.testing.assert_array_equal(got_w, weights)
         assert got_j.dtype == np.uint8
 
+    def test_sparse_accessor(self, acc):
+        """Sparse morph delta: zero base (no bufferView) + u16 indices /
+        f32 values overrides decode to the dense ground-truth array."""
+        gltf, a = acc
+        _d0, _n0, d1 = expected_arrays()["morph"]
+        acc_md1 = gltf["meshes"][0]["primitives"][0]["targets"][1]["POSITION"]
+        spec = gltf["accessors"][acc_md1]
+        assert "sparse" in spec and "bufferView" not in spec
+        np.testing.assert_array_equal(a.read(acc_md1, FLOAT, "VEC3"), d1)
+
     def test_ctype_and_atype_validation(self, acc):
         from renderer_tpu.assets.gltf_loader import GltfLoadingError
 
@@ -183,6 +193,57 @@ class TestLoadedStructure:
         np.testing.assert_array_equal(ch_rot.in_tangents, crot[:, 0])
         np.testing.assert_array_equal(ch_rot.values, crot[:, 1])
         np.testing.assert_array_equal(ch_rot.out_tangents, crot[:, 2])
+
+    def test_morph_targets_loaded(self, loaded):
+        """Morph deltas decode from real bytes into the library bank
+        (f16-quantized like base positions) with mesh defaults and node
+        overrides resolved per the spec."""
+        from renderer_tpu.geometry import quantize
+
+        _registry, lib, gltf = loaded
+        d0, n0, d1 = expected_arrays()["morph"]
+        mesh0 = gltf.meshes[0][0][0]
+        assert mesh0.morph_count == 2
+        o = mesh0.vertex_offset
+        nv = mesh0.vertex_count
+        r0 = lib.morph_row0[o : o + nv]
+        step = lib.morph_step[o]
+        np.testing.assert_array_equal(
+            lib.morph_pos[r0], quantize.quantize_position(d0)
+        )
+        np.testing.assert_array_equal(
+            lib.morph_nrm[r0], quantize.quantize_position(n0)
+        )
+        np.testing.assert_array_equal(
+            lib.morph_pos[r0 + step], quantize.quantize_position(d1)
+        )
+        np.testing.assert_array_equal(lib.morph_nrm[r0 + step], 0.0)
+        # node.weights beats mesh.weights
+        np.testing.assert_array_equal(
+            gltf._node_default_weights(1), [0.5, 0.25]
+        )
+        np.testing.assert_array_equal(gltf.mesh_weights[0], [0.25, 0.0])
+
+    def test_weight_channels_sample_and_layer(self, loaded):
+        """LINEAR [K·T] and CUBICSPLINE [K·3·T] weights channels sample per
+        keyframe; a later playing animation's weights override."""
+        _registry, _lib, gltf = loaded
+        wa, cubic_w = expected_arrays()["morph_anim"]
+        wiggle, bounce = gltf.animations
+        # LINEAR at the second keyframe exactly
+        w = gltf.morph_weights_at([(0.5, wiggle)])
+        np.testing.assert_allclose(w[1], wa[1], atol=1e-7)
+        # midway between keyframes 1 and 2 → lerp
+        w = gltf.morph_weights_at([(0.75, wiggle)])
+        np.testing.assert_allclose(w[1], 0.5 * (wa[1] + wa[2]), atol=1e-6)
+        # cubic at a keyframe returns the middle (value) element exactly
+        w = gltf.morph_weights_at([(0.6, bounce)])
+        np.testing.assert_array_equal(w[1], cubic_w[1, 1])
+        # layering: the later animation wins the node's weights
+        w = gltf.morph_weights_at([(0.75, wiggle), (0.6, bounce)])
+        np.testing.assert_array_equal(w[1], cubic_w[1, 1])
+        w = gltf.morph_weights_at([(0.6, bounce), (0.75, wiggle)])
+        np.testing.assert_allclose(w[1], 0.5 * (wa[1] + wa[2]), atol=1e-6)
 
     def test_cubic_playback_matches_oracle(self, loaded):
         """Layered LINEAR + CUBICSPLINE playback from real bytes: the fast

@@ -99,6 +99,55 @@ def test_dp_batch_matches_single(config):
         assert agreement > 0.999, f"frame {b} agreement {agreement}"
 
 
+def test_morph_sharded_matches_single_device(config):
+    """Morph-target displacement under the tp×sp decomposition: the morph
+    bank is replicated like every vertex attribute; the per-draw weights
+    ride the frame blob's morph section (morph_k static key)."""
+    from renderer_tpu.core import math3d
+
+    registry = rt.MaterialRegistry()
+    builder = rt.VertexLibraryBuilder()
+    half, z = 0.6, 1.5
+    p = np.array([[-half, half, z], [half, half, z],
+                  [-half, -half, z], [half, -half, z]], np.float32)
+    uv = np.array([[0, 1], [1, 1], [0, 0], [1, 0]], np.float32)
+    n = np.tile([0, 0, -1.0], (4, 1)).astype(np.float32)
+    t = np.tile([1, 0, 0, 1.0], (4, 1)).astype(np.float32)
+    idx = np.array([0, 1, 2, 2, 1, 3], np.uint32)
+    delta = np.zeros((4, 3), np.float32)
+    delta[:, 0] = 0.5
+    dn = np.tile([0.5, 0, 0], (4, 1)).astype(np.float32)
+    mesh_m = builder.add_mesh(p, uv, n, t, idx, morph_targets=[(delta, dn)])
+    builder.build()
+    mat = registry.create_material(
+        "morph-mc", rt.PbrMaterialParameters(base_color_factor=(1, 1, 1, 1))
+    )
+    scene = rt.Scene()
+    scene.queue_mesh(mesh_m, mat, None, math3d.IDENTITY,
+                     morph_weights=np.array([0.5], np.float32))
+    renderer = rt.Renderer(registry, config)
+    fv = draw_stream.frame_view(scene)
+    gs, geom = renderer._geometry(scene, fv.order, fv.geom_key)
+    assert gs.morph_k == 1
+    frame = renderer._frame_arrays(scene, fv, gs, debug_mode=3)
+    mats = renderer._materials()
+    single, single_stats = pipeline.render_frame(
+        geom, frame, mats, config=config, skin_start=gs.skin_start,
+        morph_k=gs.morph_k, interpret=pipeline.interpret_mode(),
+    )
+    mesh = pmesh.make_mesh(8)
+    sharded, sharded_stats = pmesh.jit_sharded_frame(
+        config, mesh, interpret=pipeline.interpret_mode(), morph_k=gs.morph_k
+    )(geom, frame, mats)
+    np.testing.assert_array_equal(
+        np.asarray(single_stats), np.asarray(sharded_stats)
+    )
+    single = np.asarray(single)
+    assert (single.sum(-1) > 0).mean() > 0.05  # the morphed quad covers
+    agreement = (single == np.asarray(sharded)).all(axis=-1).mean()
+    assert agreement > 0.999, f"sharded/single agreement {agreement}"
+
+
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as ge
 
