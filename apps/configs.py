@@ -189,6 +189,41 @@ def run_all(outdir: str = "configs_out", frames: int = 10) -> list[dict]:
     img, ms = _timed(stress4m_renderer, scene, 0, max(frames // 3, 2))
     record("stress-4Mpairs-1080p", img, ms)
 
+    # 9. morph-target animation: a blend-shape sheet driven by per-frame
+    # weights — the capability the reference leaves as a todo!()
+    # (gltf/src/lib.rs:229). Per-frame host work = requeue with new
+    # weights; the delta-bank tap runs inside the jitted vertex stage.
+    mreg = rt.MaterialRegistry()
+    mbuilder = rt.VertexLibraryBuilder()
+    mmesh, mmat = proxy_mod.make_morph_sheet(mbuilder, mreg)
+    mbuilder.build()
+    morph_renderer = rt.Renderer(
+        mreg, rt.RenderConfig(width=640, height=480), overflow_policy="off"
+    )
+
+    def morph_scene(t: float) -> rt.Scene:
+        scene = rt.Scene(world_space=rt.GLTF)
+        eye = np.array([0.0, 2.2, 2.6], np.float32)
+        pos, orient = math3d.look_at(
+            eye, np.array([0.0, 0.0, 0.0], np.float32),
+            np.array([0, 1, 0], np.float32),
+        )
+        scene.camera.position, scene.camera.orientation = pos, orient
+        w = np.array([0.5 + 0.5 * np.sin(2.0 * t),
+                      0.5 + 0.5 * np.cos(1.3 * t)], np.float32)
+        scene.queue_mesh(mmesh, mmat, None, math3d.IDENTITY, morph_weights=w)
+        return scene
+
+    img = morph_renderer.render_frame_device(morph_scene(0.0), 3)
+    img.block_until_ready()
+    t0 = time.perf_counter()
+    nm = max(frames // 2, 3)
+    for i in range(nm):
+        img = morph_renderer.render_frame_device(morph_scene(0.4 * (i + 1)), 3)
+    img.block_until_ready()
+    record("morph-sheet-480p-normals", img,
+           (time.perf_counter() - t0) / nm * 1e3)
+
     # results FIRST: the deferred PNG readbacks can wedge for minutes on
     # tunneled runtimes (readback latency scales with dispatch history —
     # see tools/readback_probe.py), and the numbers must never be lost

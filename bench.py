@@ -134,9 +134,12 @@ def verify_main(frames: int, pair_capacity: int | None) -> None:
         scene = make_scene(t)
         fv = draw_stream.frame_view(scene)
         gs, geom = renderer._geometry(scene, fv.order, fv.geom_key)
-        frame = draw_stream.unpack_frame(renderer._frame_arrays(scene, fv, gs))
+        frame = draw_stream.unpack_frame(
+            renderer._frame_arrays(scene, fv, gs), morph_k=gs.morph_k
+        )
         vs = vertex_stage.run_vertex_stage(geom, frame,
-                                           skin_start=gs.skin_start)
+                                           skin_start=gs.skin_start,
+                                           morph_k=gs.morph_k)
         td = setup.triangle_setup(
             vs["clip"], geom["tri_v"], frame["num_tris"],
             cfg.width, cfg.height,

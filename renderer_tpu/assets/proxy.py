@@ -460,3 +460,73 @@ def make_stress_field(
         )
         meshes.append(builder.add_mesh(p, uv, n, t, idx))
     return meshes, material
+
+
+def make_morph_sheet(
+    builder: VertexLibraryBuilder,
+    registry,
+    n: int = 48,
+    extent: float = 2.0,
+):
+    """A subdivided sheet with two morph targets — the demo workload for
+    blend-shape animation (a capability the reference never implemented;
+    its weights evaluation is a todo!(), gltf/src/lib.rs:229):
+
+    - target 0: a standing wave (y = a·sin(2πx/e)·cos(2πz/e)) with the
+      matching analytic normal deltas,
+    - target 1: a radial gaussian bulge, position deltas only (the vertex
+      stage renormalizes n + Σ w·Δn, so a missing Δn tilts nothing).
+
+    Returns (mesh, material); animate with
+    scene.queue_mesh(..., morph_weights=[w0(t), w1(t)]).
+    """
+    from renderer_tpu.materials.registry import PbrMaterialParameters
+
+    h = extent / 2.0
+    xs = np.linspace(-h, h, n + 1, dtype=np.float32)
+    gx, gz = np.meshgrid(xs, xs, indexing="ij")
+    positions = np.stack([gx, np.zeros_like(gx), gz], -1).reshape(-1, 3)
+    uvs = np.stack(
+        [(gx + h) / extent, (gz + h) / extent], -1
+    ).reshape(-1, 2).astype(np.float32)
+    normals = np.tile(np.array([0, 1, 0], np.float32), (positions.shape[0], 1))
+    tangents = np.zeros((positions.shape[0], 4), np.float32)
+    tangents[:, 0] = 1.0
+    tangents[:, 3] = 1.0
+
+    # two CCW-from-above triangles per cell (the overdraw-stack winding)
+    ii = np.arange(n, dtype=np.uint32)
+    a = (ii[:, None] * (n + 1) + ii[None, :]).reshape(-1)  # (i, j)
+    b = a + (n + 1)  # (i+1, j)
+    c = b + 1        # (i+1, j+1)
+    d = a + 1        # (i, j+1)
+    indices = np.stack([a, c, b, a, d, c], -1).reshape(-1).astype(np.uint32)
+
+    x, z = positions[:, 0], positions[:, 2]
+    k = 2.0 * np.pi / extent
+    amp = 0.35
+    wave_y = amp * np.sin(k * x) * np.cos(k * z)
+    d0 = np.zeros_like(positions)
+    d0[:, 1] = wave_y
+    # normal of y = f(x, z) is normalize(-df/dx, 1, -df/dz); the delta is
+    # (normal - base) since the stage computes normalize(n + Σ w·Δn)
+    dfdx = amp * k * np.cos(k * x) * np.cos(k * z)
+    dfdz = -amp * k * np.sin(k * x) * np.sin(k * z)
+    wn = np.stack([-dfdx, np.ones_like(dfdx), -dfdz], -1)
+    wn /= np.linalg.norm(wn, axis=-1, keepdims=True)
+    dn0 = (wn - normals).astype(np.float32)
+
+    r2 = (x * x + z * z) / (h * h)
+    d1 = np.zeros_like(positions)
+    d1[:, 1] = 0.5 * np.exp(-4.0 * r2)
+
+    mesh = builder.add_mesh(
+        positions, uvs, normals, tangents, indices,
+        morph_targets=[(d0.astype(np.float32), dn0),
+                       (d1.astype(np.float32), None)],
+    )
+    material = registry.create_material(
+        "morph-sheet",
+        PbrMaterialParameters(base_color_factor=(0.85, 0.55, 0.25, 1.0)),
+    )
+    return mesh, material
