@@ -260,6 +260,17 @@ def render_shard(
     def clampc(c):  # -2 candidate sentinel → background for interpolation
         return jnp.maximum(c, -1)
 
+    def shade_candidates(cands: list) -> list:
+        """Shade all candidate maps in ONE stacked [C,H,W] call (identical
+        math to shading each candidate separately — interpolants/shade are
+        leading-dim polymorphic — but the frame module contains a single
+        shading subgraph instead of one per candidate: ~5x smaller HLO and
+        proportionally faster XLA compiles, on TPU and CPU alike)."""
+        out = shade.shade_interpolated(
+            interpolants_of(clampc(jnp.stack(cands))), vs, frame, materials,
+            cfg.trilinear, cfg.aniso_samples, cfg.srgb_per_tap, shade_dt)
+        return [out[i] for i in range(len(cands))]
+
     # -- phase 1: opaque + masked visibility (all samples per kernel pass) ---
     mask_sat = zero
     blend_sat = zero
@@ -283,14 +294,11 @@ def render_shard(
     if has_masked:
         slots = [lt_m[s][k] for s in range(msaa) for k in range(cfg.mask_layers)]
         cands = _extract_candidates(slots, min(len(slots), cfg.mask_layers + extra))
-        acs = [
-            shade.base_alpha(interpolants_of(clampc(c)), frame, materials,
-                             cfg.trilinear, cfg.aniso_samples,
-                             cfg.srgb_per_tap, shade_dt)
-            for c in cands
-        ]
-        alphas = [a for a, _ in acs]
-        cutoffs = [co for _, co in acs]
+        a_all, co_all = shade.base_alpha(
+            interpolants_of(clampc(jnp.stack(cands))), frame, materials,
+            cfg.trilinear, cfg.aniso_samples, cfg.srgb_per_tap, shade_dt)
+        alphas = [a_all[i] for i in range(len(cands))]
+        cutoffs = [co_all[i] for i in range(len(cands))]
         for s in range(msaa):
             # a2c: with MSAA, alpha additionally gates per-sample coverage
             # (sample s covered iff a·S > s + 0.5).
@@ -334,12 +342,7 @@ def render_shard(
         shade_demand = zero
     n_c = min(msaa, max(cfg.msaa_shade_candidates, 1))
     cands_s = _extract_candidates(solid_tid, n_c)
-    shaded_s = [
-        shade.shade_interpolated(interpolants_of(clampc(c)), vs, frame,
-                                 materials, cfg.trilinear, cfg.aniso_samples,
-                                 cfg.srgb_per_tap, shade_dt)
-        for c in cands_s
-    ]
+    shaded_s = shade_candidates(cands_s)
     hdr = []
     for s in range(msaa):
         color, unmatched = _select(solid_tid[s], cands_s, shaded_s)
@@ -354,13 +357,7 @@ def render_shard(
     if has_blended:
         slots = [lt_b[s][k] for s in range(msaa) for k in range(cfg.blend_layers)]
         cands_b = _extract_candidates(slots, min(len(slots), cfg.blend_layers + extra))
-        shaded_b = [
-            shade.shade_interpolated(interpolants_of(clampc(c)), vs, frame,
-                                     materials, cfg.trilinear,
-                                     cfg.aniso_samples, cfg.srgb_per_tap,
-                                     shade_dt)
-            for c in cands_b
-        ]
+        shaded_b = shade_candidates(cands_b)
         for s in range(msaa):
             for k in range(cfg.blend_layers):
                 t = lt_b[s][k]
@@ -388,21 +385,25 @@ def render_shard(
         )
         ui_sat = saturated_px(aux_ui, cfg.ui_layers)
         ui_demand = demand_max(aux_ui)
-        for k in range(cfg.ui_layers):
-            if len(ui_spos) == 1:
-                rgb_k, a_k = ui_stage.shade_ui_layer(
-                    lt_ui[0, k], ui, materials, config=cfg, row0=row0
-                )
-                a_k = a_k[..., None]
+        # ALL layers (and sample sets under ui_msaa) shaded in one stacked
+        # call (shade_ui_layer is leading-dim polymorphic); the composite
+        # below applies them in the same layer order as before.
+        if len(ui_spos) == 1:
+            rgb_all, a_all = ui_stage.shade_ui_layer(
+                lt_ui[0], ui, materials, config=cfg, row0=row0
+            )  # [K,H,W,3], [K,H,W]
+            for k in range(cfg.ui_layers):
+                a_k = a_all[k][..., None]
                 for s in range(msaa):
-                    hdr[s] = hdr[s] * (1.0 - a_k) + rgb_k * a_k
-            else:
+                    hdr[s] = hdr[s] * (1.0 - a_k) + rgb_all[k] * a_k
+        else:
+            rgb_all, a_all = ui_stage.shade_ui_layer(
+                lt_ui, ui, materials, config=cfg, row0=row0
+            )  # [S,K,H,W,3], [S,K,H,W]
+            for k in range(cfg.ui_layers):
                 for s in range(msaa):
-                    rgb_k, a_k = ui_stage.shade_ui_layer(
-                        lt_ui[s, k], ui, materials, config=cfg, row0=row0
-                    )
-                    a_k = a_k[..., None]
-                    hdr[s] = hdr[s] * (1.0 - a_k) + rgb_k * a_k
+                    a_k = a_all[s, k][..., None]
+                    hdr[s] = hdr[s] * (1.0 - a_k) + rgb_all[s, k] * a_k
 
     img = post.tonemap(jnp.stack(hdr) if msaa > 1 else hdr[0])
     clamped = jnp.sum(clamp_mask[:out_rows, : cfg.width].astype(jnp.int32))

@@ -64,6 +64,13 @@ def _binned_kernel(
     # equivalent to shifting the geometry, and shares ONE binned buffer and
     # ONE DMA stream across all samples)
     sample_positions: tuple = ((0.5, 0.5),),
+    # Mosaic (TPU) wants the sub-chunk walk unrolled: static VMEM slices,
+    # no loop overhead, full ILP across the double-buffered DMA stream.
+    # Interpret mode (the CPU test oracle) rolls it into a fori_loop —
+    # identical iteration order and math, but the traced module shrinks
+    # ~30x (CHUNK//sub copies of the edge/depth block → one), which is
+    # most of the test suite's XLA compile time.
+    unroll: bool = True,
 ):
     # slim binned layout (binning.KEEP_ROWS): rows 0-8 edge planes (C has
     # the eps band pre-folded, setup.py), 9-11 depth plane, 12-14 1/w
@@ -164,10 +171,22 @@ def _binned_kernel(
         soa = buf[:, pl.ds(pl.multiple_of(slot * CHUNK, CHUNK), CHUNK)]  # [B_ROWS,CHUNK]
         chunk = soa.T  # [CHUNK,ROWS]
         base = ci * CHUNK
-        for sc in range(CHUNK // sub):
-            @pl.when(base + sc * sub < count)
-            def _(sc=sc):
-                process_sub(chunk[sc * sub : (sc + 1) * sub], base + sc * sub)
+        if unroll:
+            for sc in range(CHUNK // sub):
+                @pl.when(base + sc * sub < count)
+                def _(sc=sc):
+                    process_sub(chunk[sc * sub : (sc + 1) * sub], base + sc * sub)
+        else:
+            def sub_body(sc, _):
+                @pl.when(base + sc * sub < count)
+                def _():
+                    process_sub(
+                        jax.lax.dynamic_slice_in_dim(chunk, sc * sub, sub, 0),
+                        base + sc * sub,
+                    )
+                return 0
+
+            jax.lax.fori_loop(0, CHUNK // sub, sub_body, 0)
         return 0
 
     jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
@@ -219,7 +238,7 @@ def rasterize_binned(
     )
     kernel = functools.partial(
         _binned_kernel, tile_h=tile_h, tile_w=tile_w, sub=sub, tiles_x=tiles_x,
-        sample_positions=tuple(sample_positions),
+        sample_positions=tuple(sample_positions), unroll=not interpret,
     )
     depth, trid = pl.pallas_call(
         kernel,

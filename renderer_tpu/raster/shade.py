@@ -28,6 +28,7 @@ Parity notes:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from renderer_tpu.materials.atlas import MAX_MIPS
@@ -151,10 +152,29 @@ def make_sampler(materials: dict, uv, lod_base, trilinear: bool = True,
         rho_min = jnp.maximum(jnp.minimum(lx, ly), rho_max / aniso)
         lodf = jnp.log2(rho_min)
         major = jnp.where((lx >= ly)[..., None], duv_dx, duv_dy)  # [H,W,2]
-        acc = jnp.asarray(0.0, compute_dtype)
-        for i in range(aniso):
-            t = (i + 0.5) / aniso - 0.5
-            acc = acc + sample_filtered(slot, lodf, uv + major * t)
+        if aniso <= 4:
+            # low tap counts stay unrolled: XLA fuses the whole tap chain
+            # with the surrounding shade math (the fast default path)
+            acc = jnp.asarray(0.0, compute_dtype)
+            for i in range(aniso):
+                t = (i + 0.5) / aniso - 0.5
+                acc = acc + sample_filtered(slot, lodf, uv + major * t)
+            return acc * compute_dtype(1.0 / aniso)
+
+        # high tap counts (the exact-sampler aniso16 mode) loop in HLO:
+        # unrolling 16 trilinear taps per texture made the frame module
+        # ~10x larger and dominated compile time. The loop accumulates in
+        # the SAME order as the unrolled path, and (i+0.5)/aniso is exact
+        # in f32 for pow-2 tap counts, so results are bit-identical.
+        def tap_body(i, acc):
+            t = (i.astype(jnp.float32) + 0.5) / aniso - 0.5
+            return acc + sample_filtered(slot, lodf, uv + major * t)
+
+        acc = jax.lax.fori_loop(
+            0, aniso, tap_body,
+            jnp.zeros(jnp.broadcast_shapes(uv.shape[:-1], slot.shape) + (4,),
+                      compute_dtype),
+        )
         return acc * compute_dtype(1.0 / aniso)
 
     return sample
@@ -185,7 +205,7 @@ def _cross(a, b):
 
 
 def interpolants(
-    trid: jnp.ndarray,  # [H,W] i32, -1 = background
+    trid: jnp.ndarray,  # [..., H,W] i32, -1 = background
     geom: dict,
     vstage: dict,
     *,
@@ -197,13 +217,18 @@ def interpolants(
     triangle's vertices, reconstructs perspective-correct barycentrics, and
     interpolates uv/normal/tangent plus the analytic UV screen derivative
     (for mip selection). Reused by the main shade, the masked-alpha test,
-    and per-layer blended shading."""
-    h, w = trid.shape
+    and per-layer blended shading.
+
+    Leading-dim polymorphic: trid may carry extra leading axes (the pipeline
+    stacks all shade candidates into one [C,H,W] call so the frame module
+    contains ONE shading subgraph instead of one per candidate — identical
+    math, ~5x smaller HLO, same result bit for bit)."""
+    h, w = trid.shape[-2:]
     covered = trid >= 0
     t = jnp.where(covered, trid, 0)
 
-    vid = geom["tri_v"][t]  # [H,W,3]
-    clip = vstage["clip"][vid]  # [H,W,3,4]
+    vid = geom["tri_v"][t]  # [...,H,W,3]
+    clip = vstage["clip"][vid]  # [...,H,W,3,4]
 
     # Homogeneous (2DH) barycentrics — matches the raster kernels' edge
     # planes exactly and stays valid for triangles crossing w = 0: with
@@ -231,11 +256,11 @@ def interpolants(
     )
     lp = jnp.stack([g0, g1, g2], axis=-1) * inv_gsum[..., None]
 
-    def interp(attr):  # attr [VE,K] -> [H,W,K]
-        return jnp.einsum("hwv,hwvk->hwk", lp, attr[vid])
+    def interp(attr):  # attr [VE,K] -> [...,H,W,K]
+        return jnp.einsum("...v,...vk->...k", lp, attr[vid])
 
     uv = interp(vstage["uv"])
-    draw = vstage["draw"][vid[..., 0]]  # [H,W]
+    draw = vstage["draw"][vid[..., 0]]  # [...,H,W]
 
     # Analytic UV screen derivatives for mip selection:
     # d(f)/dx = Σ A_i (f_i − f) / Σ g_i (A_i = ∂g_i/∂px).

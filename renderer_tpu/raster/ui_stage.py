@@ -83,7 +83,7 @@ def rasterize_ui(
 
 
 def shade_ui_layer(
-    lt: jnp.ndarray,  # [Hp, Wp] i32 layer tids (-1 empty)
+    lt: jnp.ndarray,  # [..., Hp, Wp] i32 layer tids (-1 empty)
     ui: dict,
     materials: dict,
     *,
@@ -91,9 +91,14 @@ def shade_ui_layer(
     row0,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """imgui.frag for one captured layer at pixel centers. Returns
-    (rgb [H,W,3], alpha [H,W]) ready for src-alpha compositing."""
+    (rgb [...,H,W,3], alpha [...,H,W]) ready for src-alpha compositing.
+
+    Leading-dim polymorphic like shade.interpolants: the pipeline shades
+    ALL captured UI layers (and MSAA sample sets under ui_msaa) in one
+    stacked call, so the frame module carries one UI-shading subgraph
+    instead of layers x samples copies."""
     cfg = config
-    h, w = lt.shape
+    h, w = lt.shape[-2:]
     covered = lt >= 0
     t = jnp.where(covered, lt, 0)
 
@@ -117,8 +122,8 @@ def shade_ui_layer(
     inv_s = jnp.reciprocal(jnp.where(jnp.abs(s) > 1e-12, s, 1.0))
     lam = jnp.stack([g0, g1, g2], axis=-1) * inv_s[..., None]
 
-    uv = jnp.einsum("hwv,hwvk->hwk", lam, ui["uv"][vid])
-    col = jnp.einsum("hwv,hwvk->hwk", lam, ui["col"][vid])
+    uv = jnp.einsum("...v,...vk->...k", lam, ui["uv"][vid])
+    col = jnp.einsum("...v,...vk->...k", lam, ui["col"][vid])
 
     # analytic UV derivatives of the affine map (∂lam_i/∂x = a_i / s with
     # a_i from the edge vectors; Σ a_i = 0)
@@ -131,8 +136,8 @@ def shade_ui_layer(
          p[..., 1, 0] - p[..., 0, 0]], axis=-1,
     ) * inv_s[..., None]
     uvv = ui["uv"][vid]  # [H,W,3,2]
-    duv_dx = jnp.einsum("hwv,hwvk->hwk", a, uvv)
-    duv_dy = jnp.einsum("hwv,hwvk->hwk", b, uvv)
+    duv_dx = jnp.einsum("...v,...vk->...k", a, uvv)
+    duv_dy = jnp.einsum("...v,...vk->...k", b, uvv)
 
     cmd = ui["tri_cmd"][t]  # [H,W]
     crect = ui["clip"][cmd]  # [H,W,4]
