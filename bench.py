@@ -198,6 +198,42 @@ def run_verifier(frames: int, pair_capacity: int | None,
     return None
 
 
+_progress = {"t": time.time(), "label": "start"}
+
+
+def _mark(label: str) -> None:
+    _progress["t"] = time.time()
+    _progress["label"] = label
+
+
+def _start_stall_watchdog(limit_s: float) -> None:
+    """Fail fast (with an honest one-line JSON) instead of hanging forever
+    when the TPU tunnel is down: device init on a dead tunnel blocks
+    indefinitely with no exception (measured 2026-08-18: jax.devices() hung
+    past 20 min twice). The limit is generous — a cold remote compile is
+    2-5 min — and resets at every phase boundary / timing pass."""
+    import threading
+
+    def watch():
+        while True:
+            time.sleep(30.0)
+            idle = time.time() - _progress["t"]
+            if idle > limit_s:
+                print(json.dumps({
+                    "metric": "bench-stalled",
+                    "value": 0.0,
+                    "unit": "fps",
+                    "vs_baseline": 0.0,
+                    "dropped_pairs": -1,
+                    "overflow_checked": False,
+                    "error": f"no progress for {int(idle)}s after "
+                             f"'{_progress['label']}' — device/tunnel stall",
+                }), flush=True)
+                os._exit(1)
+
+    threading.Thread(target=watch, daemon=True).start()
+
+
 def main():
     args = [a for a in sys.argv[1:]]
     pair_capacity = None
@@ -214,10 +250,13 @@ def main():
         verify_main(frames, pair_capacity)
         return
 
+    _start_stall_watchdog(float(os.environ.get("BENCH_STALL_LIMIT", "2700")))
+
     # -- phase 1: completeness verification (fresh process, sequential) ------
     overflow = -1
     for _attempt in range(3):
         result = run_verifier(frames, pair_capacity)
+        _mark(f"verifier attempt {_attempt + 1}")
         if result is None:
             break
         overflow = int(result["dropped_pairs"])
@@ -234,6 +273,7 @@ def main():
         print(f"# verifier found {overflow} dropped pairs; re-verifying at "
               f"pair_capacity={cap}", file=sys.stderr)
         pair_capacity = cap
+    _mark("verifier done")
     checked = overflow >= 0
     if not checked:
         print("# completeness verification unavailable; reporting "
@@ -241,6 +281,7 @@ def main():
 
     # -- phase 2: timed run (ZERO device→host copies, this process) ----------
     name, renderer, make_scene = build_bench(pair_capacity)
+    _mark("bench built")
 
     def run_pass(label: str):
         """Warmup (compile) + timed loop. NO device→host copies before or
@@ -257,6 +298,7 @@ def main():
         for t in ts[WARMUP:]:
             img = renderer.render_frame_device(make_scene(t), debug_mode=0)
         img.block_until_ready()
+        _mark(f"{label} done")
         return frames / (time.perf_counter() - t0)
 
     # Best of 3 passes: the tunneled runtime's dispatch latency swings up to
