@@ -195,7 +195,7 @@ def _binned_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("padded_height", "padded_width", "tile_h", "tile_w",
-                     "sub", "sample_positions", "interpret"),
+                     "sub", "sample_positions", "interpret", "unroll"),
 )
 def rasterize_binned(
     binned: jnp.ndarray,  # [B_ROWS, Pp] f32 slim SoA from binning
@@ -210,6 +210,8 @@ def rasterize_binned(
     sub: int = 8,
     sample_positions: tuple = ((0.5, 0.5),),  # in-pixel positions (MSAA)
     interpret: bool = False,
+    unroll: bool | None = None,  # default: unrolled on TPU, rolled in
+    # interpret mode (tests override to pin bit-equality of both paths)
 ):
     """Per-tile-binned visibility raster: each grid step streams only its own
     tile's (contiguous) triangle rows ONCE and evaluates every sample
@@ -238,7 +240,8 @@ def rasterize_binned(
     )
     kernel = functools.partial(
         _binned_kernel, tile_h=tile_h, tile_w=tile_w, sub=sub, tiles_x=tiles_x,
-        sample_positions=tuple(sample_positions), unroll=not interpret,
+        sample_positions=tuple(sample_positions),
+        unroll=(not interpret) if unroll is None else unroll,
     )
     depth, trid = pl.pallas_call(
         kernel,
