@@ -85,12 +85,25 @@ def _jitted_frame_fns(interpret: bool):
     all per-renderer state rides in the arguments (config is a static jit
     key), so two Renderers with the same config reuse one compiled
     executable — the VkPipelineCache discipline applied to traces, not just
-    the persistent on-disk cache."""
-    frame_fn = jax.jit(
-        functools.partial(pipeline.render_frame, interpret=interpret),
-        static_argnames=("config", "skin_start", "has_masked", "has_blended",
-                         "morph_k"),
-    )
+    the persistent on-disk cache.
+
+    Interpret mode (CPU tests) composes the frame EAGERLY instead: each
+    Pallas kernel then runs as its own standalone jit. Inside one monolithic
+    jitted module, XLA:CPU executes the interpret-emulated kernel ref writes
+    catastrophically slowly (measured: the mini-sandbox all-classes frame
+    took 108 s/frame monolithic vs ~1 s composed of standalone stages —
+    the layered-capture kernels alone accounted for all of it), and the
+    monolith also recompiles per config while the eager glue ops cache
+    process-wide. Same ops, same order — goldens pin the equivalence; the
+    TPU path and the scan/multichip paths stay single-jit."""
+    if interpret:
+        frame_fn = functools.partial(pipeline.render_frame, interpret=True)
+    else:
+        frame_fn = jax.jit(
+            functools.partial(pipeline.render_frame, interpret=interpret),
+            static_argnames=("config", "skin_start", "has_masked",
+                             "has_blended", "morph_k"),
+        )
     frames_fn = jax.jit(
         functools.partial(pipeline.render_frames_scan, interpret=interpret),
         static_argnames=("config", "skin_start", "has_masked", "has_blended",
