@@ -222,7 +222,7 @@ def interpolants(
     Leading-dim polymorphic: trid may carry extra leading axes (the pipeline
     stacks all shade candidates into one [C,H,W] call so the frame module
     contains ONE shading subgraph instead of one per candidate — identical
-    math, ~5x smaller HLO, same result bit for bit)."""
+    per-element math, ~5x smaller HLO; golden-pinned)."""
     h, w = trid.shape[-2:]
     covered = trid >= 0
     t = jnp.where(covered, trid, 0)
