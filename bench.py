@@ -135,7 +135,8 @@ def verify_main(frames: int, pair_capacity: int | None) -> None:
         fv = draw_stream.frame_view(scene)
         gs, geom = renderer._geometry(scene, fv.order, fv.geom_key)
         frame = draw_stream.unpack_frame(
-            renderer._frame_arrays(scene, fv, gs), morph_k=gs.morph_k
+            renderer._frame_arrays(scene, fv, gs), morph_k=gs.morph_k,
+            joint_cap=renderer._joint_cap(scene),
         )
         vs = vertex_stage.run_vertex_stage(geom, frame,
                                            skin_start=gs.skin_start,

@@ -102,12 +102,12 @@ def _jitted_frame_fns(interpret: bool):
         frame_fn = jax.jit(
             functools.partial(pipeline.render_frame, interpret=interpret),
             static_argnames=("config", "skin_start", "has_masked",
-                             "has_blended", "morph_k"),
+                             "has_blended", "morph_k", "joint_cap"),
         )
     frames_fn = jax.jit(
         functools.partial(pipeline.render_frames_scan, interpret=interpret),
         static_argnames=("config", "skin_start", "has_masked", "has_blended",
-                         "morph_k"),
+                         "morph_k", "joint_cap"),
     )
     return frame_fn, frames_fn
 
@@ -475,11 +475,19 @@ class Renderer:
         self._mat_cache = (reg.version, dev)
         return dev
 
+    def _joint_cap(self, scene: Scene) -> int:
+        """Pow-2 joint-palette bucket for the frame blob, sized from the
+        scene's exact joint cursor (measure-then-allocate, like the draw
+        cap — no overflow stat needed: allocation is host-side bump, so the
+        bucket can never truncate a live joint). A static jit key; consumers
+        that unpack a blob this renderer packed must pass the same value."""
+        return _next_pow2(max(scene._joint_cursor, 8))
+
     def _frame_arrays(self, scene: Scene, fv, gs, debug_mode: int = 0) -> dict:
         blob = draw_stream.pack_frame_blob(
             fv, scene.joint_palette, self._proj_view(scene),
             (gs.num_tris, gs.num_opaque_tris, gs.num_masked_tris, debug_mode),
-            morph_k=gs.morph_k,
+            morph_k=gs.morph_k, joint_cap=self._joint_cap(scene),
         )
         # the HOST array goes straight into the jit call: the implicit arg
         # device_put rides the dispatch itself, measurably cheaper on
@@ -508,7 +516,7 @@ class Renderer:
                 config=self.config, skin_start=gs.skin_start,
                 has_masked=gs.num_masked_tris > 0,
                 has_blended=gs.num_tris > gs.num_opaque_tris + gs.num_masked_tris,
-                morph_k=gs.morph_k,
+                morph_k=gs.morph_k, joint_cap=self._joint_cap(scene),
             )
         return img, stats
 
@@ -569,12 +577,14 @@ class Renderer:
                 "list (geometry stream is shared across the batch)"
             )
         gs, geom_dev = self._geometry(scenes[0], fvs[0].order, fvs[0].geom_key)
+        # one blob layout for the whole batch: the widest scene's bucket
+        joint_cap = max(self._joint_cap(s) for s in scenes)
         blobs = np.stack([
             draw_stream.pack_frame_blob(
                 fv, scene.joint_palette, self._proj_view(scene),
                 (gs.num_tris, gs.num_opaque_tris, gs.num_masked_tris,
                  debug_mode),
-                morph_k=gs.morph_k,
+                morph_k=gs.morph_k, joint_cap=joint_cap,
             )
             for fv, scene in zip(fvs, scenes)
         ])
@@ -586,7 +596,7 @@ class Renderer:
                 config=self.config, skin_start=gs.skin_start,
                 has_masked=gs.num_masked_tris > 0,
                 has_blended=gs.num_tris > gs.num_opaque_tris + gs.num_masked_tris,
-                morph_k=gs.morph_k,
+                morph_k=gs.morph_k, joint_cap=joint_cap,
             )
 
         imgs, stats = dispatch()

@@ -130,12 +130,14 @@ def fused_frame_ms(renderer, scene, iters: int = 16) -> float:
     blob = draw_stream.pack_frame_blob(
         fv, scene.joint_palette, renderer._proj_view(scene),
         (gs.num_tris, gs.num_opaque_tris, gs.num_masked_tris, 0),
+        joint_cap=renderer._joint_cap(scene),
     )
     mats = renderer._materials()
     kwargs = dict(
         config=renderer.config, skin_start=gs.skin_start,
         has_masked=gs.num_masked_tris > 0,
         has_blended=gs.num_tris > gs.num_opaque_tris + gs.num_masked_tris,
+        joint_cap=renderer._joint_cap(scene),
     )
 
     def run(k):
@@ -177,7 +179,8 @@ def device_stage_timings(renderer, scene, iters: int = 10) -> dict[str, float]:
     fv = draw_stream.frame_view(scene)
     gs, geom = renderer._geometry(scene, fv.order, fv.geom_key)
     packed = renderer._frame_arrays(scene, fv, gs)
-    frame = draw_stream.unpack_frame(packed)
+    frame = draw_stream.unpack_frame(packed, morph_k=gs.morph_k,
+                                     joint_cap=renderer._joint_cap(scene))
     mats = renderer._materials()
 
     timings: dict[str, float] = {}

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
+from renderer_tpu.core import constants
 from renderer_tpu.core.config import RenderConfig
 from renderer_tpu.raster import pipeline, vertex_stage
 
@@ -45,6 +46,7 @@ def render_frame_sharded(
     has_masked: bool = True,
     has_blended: bool = True,
     morph_k: int = 0,
+    joint_cap: int = constants.MAX_JOINT_COUNT,
     interpret: bool = False,
 ):
     """The full frame step under shard_map. Inputs are replicated (they are
@@ -71,7 +73,7 @@ def render_frame_sharded(
     def step(geom, frame, materials):
         from renderer_tpu.scene.draw_stream import unpack_frame
 
-        frame = unpack_frame(frame, morph_k=morph_k)
+        frame = unpack_frame(frame, morph_k=morph_k, joint_cap=joint_cap)
         i = jax.lax.axis_index(axis)
 
         # -- tp: transform a vertex shard, all_gather the results ----------
@@ -120,11 +122,12 @@ def render_frame_sharded(
 
 
 def jit_sharded_frame(config: RenderConfig, mesh: Mesh, interpret: bool = False,
-                      morph_k: int = 0):
+                      morph_k: int = 0,
+                      joint_cap: int = constants.MAX_JOINT_COUNT):
     return jax.jit(
         functools.partial(
             render_frame_sharded, config=config, mesh=mesh, interpret=interpret,
-            morph_k=morph_k,
+            morph_k=morph_k, joint_cap=joint_cap,
         )
     )
 
@@ -147,6 +150,7 @@ def render_frames_batched(
     has_masked: bool = True,
     has_blended: bool = True,
     morph_k: int = 0,
+    joint_cap: int = constants.MAX_JOINT_COUNT,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """dp × sp frame rendering: each dp group renders one frame of the batch
@@ -171,7 +175,7 @@ def render_frames_batched(
 
         frame = unpack_frame(
             jax.tree_util.tree_map(lambda a: a[0], frames_local),
-            morph_k=morph_k,
+            morph_k=morph_k, joint_cap=joint_cap,
         )
         i = jax.lax.axis_index("sp")
 

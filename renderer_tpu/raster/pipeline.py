@@ -35,6 +35,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from renderer_tpu.core import constants
 from renderer_tpu.core.config import RenderConfig
 from renderer_tpu.raster import (
     binning,
@@ -426,6 +427,7 @@ def render_frames_scan(
     has_masked: bool = True,
     has_blended: bool = True,
     morph_k: int = 0,
+    joint_cap: int = constants.MAX_JOINT_COUNT,
     interpret: bool = False,
 ):
     """Device-resident multi-frame rendering: ONE dispatch renders K frames
@@ -441,7 +443,7 @@ def render_frames_scan(
             geom, {"blob": blob}, materials,
             config=config, skin_start=skin_start,
             has_masked=has_masked, has_blended=has_blended,
-            morph_k=morph_k, interpret=interpret,
+            morph_k=morph_k, joint_cap=joint_cap, interpret=interpret,
         )
         return carry, (img, stats)
 
@@ -459,13 +461,14 @@ def render_frame(
     has_masked: bool = True,
     has_blended: bool = True,
     morph_k: int = 0,
+    joint_cap: int = constants.MAX_JOINT_COUNT,
     interpret: bool = False,
 ):
     """Single-chip frame: returns (final u8 RGB image [H, W, 3],
     stats i32[N_STATS])."""
     from renderer_tpu.scene.draw_stream import unpack_frame
 
-    frame = unpack_frame(frame, morph_k=morph_k)
+    frame = unpack_frame(frame, morph_k=morph_k, joint_cap=joint_cap)
     vs = vertex_stage.run_vertex_stage(geom, frame, skin_start,
                                        morph_k=morph_k)
     return render_shard(

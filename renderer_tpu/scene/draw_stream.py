@@ -314,7 +314,8 @@ def pack_frame_arrays(fv: FrameView, joint_palette: np.ndarray,
 def pack_frame_blob(fv: FrameView, joint_palette: np.ndarray,
                     proj_view: np.ndarray,
                     counts: tuple[int, int, int, int],
-                    morph_k: int = 0) -> np.ndarray:
+                    morph_k: int = 0,
+                    joint_cap: int | None = None) -> np.ndarray:
     """ONE i32 upload for the whole per-frame state (pdf | pdi | [pmw] |
     palette | proj_view | counts) — the literal analog of the reference
     writing all temp uniforms into one per-frame arena buffer
@@ -326,8 +327,20 @@ def pack_frame_blob(fv: FrameView, joint_palette: np.ndarray,
     `morph_k` — the geometry stream's morph_k: when nonzero, a sorted
     per-draw morph-weight section [cap, morph_k] rides between pdi and the
     palette (scenes without morphing never pay for it; unpack_frame must be
-    given the same static morph_k)."""
+    given the same static morph_k).
+
+    `joint_cap` — pow-2 joint bucket (Renderer._joint_cap): only the first
+    joint_cap palette rows ride the blob. The full MAX_JOINT_COUNT palette
+    is 48 KB — ~10× the rest of the blob for demo-scale scenes whose skins
+    use a few dozen joints — so the bucket is the dominant per-frame
+    transfer saving. Sized host-side from the scene's exact joint cursor
+    (measure-then-allocate like the draw cap), so it can never truncate a
+    live joint; unpack_frame must be given the same static joint_cap.
+    None = the palette's full row count (back-compat layout)."""
     cap = fv.pdf.shape[0]
+    if joint_cap is not None:
+        assert joint_cap <= joint_palette.shape[0]
+        joint_palette = joint_palette[:joint_cap]
     jp = np.ascontiguousarray(joint_palette[:, :3, :], np.float32)
     j12 = jp.size
     mw = cap * morph_k
@@ -351,20 +364,21 @@ def pack_frame_blob(fv: FrameView, joint_palette: np.ndarray,
     return blob
 
 
-def unpack_frame(packed: dict, morph_k: int = 0) -> dict:
+def unpack_frame(packed: dict, morph_k: int = 0,
+                 joint_cap: int = constants.MAX_JOINT_COUNT) -> dict:
     """Inverse of pack_frame_arrays / pack_frame_blob on device values
     (slices and bitcasts are free under jit), plus the per-draw normal
     matrices — the closed-form cofactor inverse-transpose runs ON DEVICE
     inside the jitted frame (16k tiny cross products are noise on a TPU but
     milliseconds of numpy on the host). Accepts already-unpacked dicts
-    unchanged. `morph_k` must match the pack_frame_blob call (a static jit
-    key — it changes the blob layout)."""
+    unchanged. `morph_k` and `joint_cap` must match the pack_frame_blob
+    call (static jit keys — they change the blob layout)."""
     if "blob" in packed:
         import jax
         import jax.numpy as jnp
 
         blob = packed["blob"]
-        j12 = constants.MAX_JOINT_COUNT * 12
+        j12 = joint_cap * 12
         cap = (blob.shape[0] - j12 - 16 - 4) // (16 + morph_k)
         f = jax.lax.bitcast_convert_type(blob, jnp.float32)
         mw = cap * morph_k

@@ -213,3 +213,57 @@ def test_stress_field_shape_invariants():
         tris = idx.reshape(-1, 3)
         # grid triangulation: no padded degenerate (0,0,0) triangles
         assert (tris[:, 0] != tris[:, 1]).all()
+
+
+class TestJointCapBucket:
+    """The frame blob carries only a pow-2 joint-palette bucket sized from
+    the scene's exact joint cursor (Renderer._joint_cap) — the full
+    MAX_JOINT_COUNT palette is 48 KB of per-frame transfer, ~10× the rest
+    of the blob for demo-scale skins. pack/unpack with the bucketed layout
+    must be bit-identical to the full layout on every field."""
+
+    def test_blob_roundtrip_bucketed_equals_full(self):
+        import jax
+
+        registry, _b, meshes, mats = _assets(n_meshes=2)
+        scene = rt.Scene()
+        off, pal = scene.allocate_joint_offset(52)
+        rng = np.random.default_rng(7)
+        pal[:] = rng.standard_normal(pal.shape).astype(np.float32)
+        for i, m in enumerate(meshes):
+            tr = np.eye(4, dtype=np.float32)
+            tr[0, 3] = 0.1 * i
+            assert scene.queue_mesh(m, mats[i], None, tr)
+        fv = draw_stream.frame_view(scene)
+        pv = rng.standard_normal((4, 4)).astype(np.float32)
+        meta = (12, 8, 2, 0)
+
+        jc = 64  # _next_pow2(52)
+        blob_b = draw_stream.pack_frame_blob(fv, scene.joint_palette, pv,
+                                             meta, joint_cap=jc)
+        blob_f = draw_stream.pack_frame_blob(fv, scene.joint_palette, pv, meta)
+        # the bucket saves (MAX_JOINT_COUNT - jc) * 12 i32 words per frame
+        assert blob_f.size - blob_b.size == (constants.MAX_JOINT_COUNT - jc) * 12
+
+        fb = draw_stream.unpack_frame({"blob": jax.numpy.asarray(blob_b)},
+                                      joint_cap=jc)
+        ff = draw_stream.unpack_frame({"blob": jax.numpy.asarray(blob_f)})
+        assert fb["joint_palette"].shape[0] == jc
+        np.testing.assert_array_equal(
+            np.asarray(fb["joint_palette"]),
+            np.asarray(ff["joint_palette"])[:jc],
+        )
+        for k in ("transforms", "normal_mats", "material_id", "joints_offset",
+                  "skinned", "debug_id", "proj_view"):
+            np.testing.assert_array_equal(np.asarray(fb[k]), np.asarray(ff[k]))
+        assert int(fb["num_tris"]) == int(ff["num_tris"]) == 12
+
+    def test_renderer_bucket_covers_cursor(self):
+        registry, _b, meshes, mats = _assets(n_meshes=1)
+        r = rt.Renderer(registry, rt.RenderConfig(width=64, height=64))
+        scene = rt.Scene()
+        assert r._joint_cap(scene) == 8  # floor for skinless scenes
+        scene.allocate_joint_offset(52)
+        assert r._joint_cap(scene) == 64
+        scene.allocate_joint_offset(constants.MAX_JOINT_COUNT - 52)
+        assert r._joint_cap(scene) == constants.MAX_JOINT_COUNT

@@ -149,7 +149,8 @@ class TestTotalPairsAndShrink:
         # oracle: bin the same setup directly and count pairs + overflow
         fv = draw_stream.frame_view(scene)
         gs, geom = r._geometry(scene, fv.order, fv.geom_key)
-        frame = draw_stream.unpack_frame(r._frame_arrays(scene, fv, gs))
+        frame = draw_stream.unpack_frame(r._frame_arrays(scene, fv, gs),
+                                         joint_cap=r._joint_cap(scene))
         vs = vertex_stage.run_vertex_stage(geom, frame, skin_start=gs.skin_start)
         td = setup.triangle_setup(vs["clip"], geom["tri_v"], frame["num_tris"],
                                   cfg.width, cfg.height)

@@ -29,22 +29,22 @@ def _device_inputs(config):
     gs, geom_dev = renderer._geometry(scene, fv.order, fv.geom_key)
     frame = renderer._frame_arrays(scene, fv, gs, debug_mode=3)
     mats = renderer._materials()
-    return renderer, gs, geom_dev, frame, mats
+    return renderer, gs, geom_dev, frame, mats, renderer._joint_cap(scene)
 
 
 def test_sharded_matches_single_device(config):
     import jax
 
-    renderer, gs, geom, frame, mats = _device_inputs(config)
+    renderer, gs, geom, frame, mats, jc = _device_inputs(config)
     single, single_stats = pipeline.render_frame(
         geom, frame, mats, config=config, skin_start=gs.skin_start,
-        interpret=pipeline.interpret_mode(),
+        joint_cap=jc, interpret=pipeline.interpret_mode(),
     )
     mesh = pmesh.make_mesh(8)
     # jit the sharded step — eager shard_map dispatches per-op multi-device
     # compiles (minutes); one fused compile takes seconds
     sharded, sharded_stats = pmesh.jit_sharded_frame(
-        config, mesh, interpret=pipeline.interpret_mode()
+        config, mesh, interpret=pipeline.interpret_mode(), joint_cap=jc
     )(geom, frame, mats)
     np.testing.assert_array_equal(
         np.asarray(single_stats), np.asarray(sharded_stats)
@@ -62,7 +62,7 @@ def test_dp_batch_matches_single(config):
     import jax
     import jax.numpy as jnp
 
-    renderer, gs, geom, frame, mats = _device_inputs(config)
+    renderer, gs, geom, frame, mats, jc = _device_inputs(config)
     singles = []
     frames = []
     for mode in (1, 3):
@@ -77,7 +77,7 @@ def test_dp_batch_matches_single(config):
             np.asarray(
                 pipeline.render_frame(
                     geom, f, mats, config=config, skin_start=gs.skin_start,
-                    interpret=pipeline.interpret_mode(),
+                    joint_cap=jc, interpret=pipeline.interpret_mode(),
                 )[0]
             )
         )
@@ -89,7 +89,8 @@ def test_dp_batch_matches_single(config):
         jax.jit(
             functools.partial(
                 pmesh.render_frames_batched,
-                config=config, mesh=mesh2, interpret=pipeline.interpret_mode(),
+                config=config, mesh=mesh2, joint_cap=jc,
+                interpret=pipeline.interpret_mode(),
             )
         )(geom, batched, mats)
     )
@@ -131,13 +132,15 @@ def test_morph_sharded_matches_single_device(config):
     assert gs.morph_k == 1
     frame = renderer._frame_arrays(scene, fv, gs, debug_mode=3)
     mats = renderer._materials()
+    jc = renderer._joint_cap(scene)
     single, single_stats = pipeline.render_frame(
         geom, frame, mats, config=config, skin_start=gs.skin_start,
-        morph_k=gs.morph_k, interpret=pipeline.interpret_mode(),
+        morph_k=gs.morph_k, joint_cap=jc, interpret=pipeline.interpret_mode(),
     )
     mesh = pmesh.make_mesh(8)
     sharded, sharded_stats = pmesh.jit_sharded_frame(
-        config, mesh, interpret=pipeline.interpret_mode(), morph_k=gs.morph_k
+        config, mesh, interpret=pipeline.interpret_mode(), morph_k=gs.morph_k,
+        joint_cap=jc,
     )(geom, frame, mats)
     np.testing.assert_array_equal(
         np.asarray(single_stats), np.asarray(sharded_stats)

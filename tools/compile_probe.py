@@ -27,6 +27,7 @@ def probe(width, height, msaa, pair_cap, tag):
         geom_dev, frame, mats, config=config, skin_start=gs.skin_start,
         has_masked=gs.num_masked_tris > 0,
         has_blended=gs.num_tris > gs.num_opaque_tris + gs.num_masked_tris,
+        joint_cap=renderer._joint_cap(scene),
     )
     t1 = time.time()
     print(f"[{tag}] trace+lower {t1-t0:.1f}s", flush=True)

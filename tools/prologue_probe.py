@@ -63,8 +63,10 @@ def main():
         lambda: draw_stream.frame_view(scene), reps
     )
     fv = draw_stream.frame_view(scene)
+    jc = renderer._joint_cap(scene)
     t["pack_blob_us"] = median_us(
-        lambda: draw_stream.pack_frame_blob(fv, scene.joint_palette, pv, meta),
+        lambda: draw_stream.pack_frame_blob(fv, scene.joint_palette, pv, meta,
+                                            joint_cap=jc),
         reps,
     )
     t["camera_us"] = median_us(lambda: renderer._proj_view(scene), reps)
@@ -73,7 +75,7 @@ def main():
         s = make_scene(1.02)
         f = draw_stream.frame_view(s)
         draw_stream.pack_frame_blob(
-            f, s.joint_palette, renderer._proj_view(s), meta
+            f, s.joint_palette, renderer._proj_view(s), meta, joint_cap=jc
         )
 
     t["full_prologue_us"] = median_us(full, reps)
