@@ -783,8 +783,12 @@ class Gltf:
         order, parents, static = self._walk_arrays()
 
         # native full path (sample + layer + decompose + chain), cached per
-        # compiled-animation tuple (rebaked comps produce a fresh key)
-        key = tuple(id(c) for c in comps)
+        # compiled-animation tuple (rebaked comps produce a fresh key).
+        # The comps themselves are the key — identity hashing, and the
+        # strong references pin them alive so a freed comp's id() can never
+        # alias a live entry (an id-keyed tuple could silently serve a
+        # sampler baked for different animations after a rebake).
+        key = tuple(comps)
         cache = getattr(self, "_multi_cache", None)
         if cache is None:
             cache = self._multi_cache = {}

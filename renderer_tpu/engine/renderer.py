@@ -162,18 +162,18 @@ class Renderer:
         self.overflow_policy = overflow_policy
         self.shrink_after = shrink_after
         self.max_layers = max_layers
-        self._shrink_streak = 0
-        self._streak_max_pairs = 0  # max total_pairs across the streak
         self._skip_stat_checks = 0  # frames dispatched before a capacity change
-        # layer-count right-sizing state: the configured counts are the
-        # floor (never shrink below what the caller asked for); per-knob
-        # (streak length, streak peak demand) for shrink hysteresis
+        # capacity right-sizing state, shared by every demand-fed knob:
+        # the configured counts are the floor (never shrink below what the
+        # caller asked for); per-knob (streak length, streak peak demand)
+        # for shrink hysteresis (_streak_shrink)
         self._layer_floors = {
             field: getattr(self.config, field) for _, field in _LAYER_KNOBS
         }
-        self._layer_streaks = {field: (0, 0) for _, field in _LAYER_KNOBS}
         self._shade_floor = self.config.msaa_shade_candidates
-        self._shade_streak = (0, 0)
+        self._streaks = {field: (0, 0) for _, field in _LAYER_KNOBS}
+        self._streaks["pair_capacity"] = (0, 0)
+        self._streaks["msaa_shade_candidates"] = (0, 0)
         self._geom_cache: dict = {}
         self._mat_cache: tuple[int, dict] | None = None
         self._interpret = pipeline.interpret_mode()
@@ -246,8 +246,41 @@ class Renderer:
                 ).validate()
                 changed = True
         if changed:
-            self._shrink_streak = 0
+            self._streaks["pair_capacity"] = (0, 0)
         return changed
+
+    def _streak_shrink(self, field: str, demand: int, bucket, floor: int,
+                       what: str) -> None:
+        """Shared shrink hysteresis for every demand-fed capacity knob:
+        after `shrink_after` CONSECUTIVE frames whose demand fit a smaller
+        bucket, shrink `field` to the bucket of the streak's PEAK demand —
+        an oscillating scene (e.g. a camera swinging back to a heavy angle
+        within the window) can never shrink below its own peak. `bucket(d)`
+        maps a demand value to its capacity bucket; `floor` is the
+        caller-configured minimum."""
+        from dataclasses import replace
+
+        cur = getattr(self.config, field)
+        if max(bucket(demand), floor) >= cur:
+            self._streaks[field] = (0, 0)
+            return
+        streak, peak = self._streaks[field]
+        peak = demand if streak == 0 else max(peak, demand)
+        streak += 1
+        if streak < self.shrink_after:
+            self._streaks[field] = (streak, peak)
+            return
+        # every frame in the streak individually fit under the current
+        # capacity with headroom, so the peak's bucket is a strict shrink
+        desired = max(bucket(peak), floor)
+        if desired < cur:
+            print(
+                f"[renderer] {field}={cur} oversized for {streak} "
+                f"consecutive frames (streak peak {what} {peak}); "
+                f"shrinking to {desired} (recompiles)",
+            )
+            self.config = replace(self.config, **{field: desired}).validate()
+        self._streaks[field] = (0, 0)
 
     def _grow_layer_capacity(self, stats_host) -> bool:
         """Grow mask_layers/blend_layers/ui_layers toward the measured peak
@@ -289,43 +322,21 @@ class Renderer:
                 "(recompiles)",
             )
             self.config = replace(self.config, **{field: new}).validate()
-            self._layer_streaks[field] = (0, 0)
+            self._streaks[field] = (0, 0)
             changed = True
         return changed
 
     def _maybe_shrink_layers(self, stats_host) -> None:
         """Shrink a grown layer count back toward its configured floor after
-        `shrink_after` consecutive frames whose peak demand fit a smaller
-        pow-2 bucket — sized from the streak's PEAK demand (same discipline
-        as the pair bucket: an oscillating scene can never shrink below its
-        own peak)."""
-        from dataclasses import replace
-
+        a clean streak (see _streak_shrink) — pow-2 buckets like the growth
+        side."""
         for stat, field in _LAYER_KNOBS:
             idx = pipeline.STAT_NAMES.index(stat)
             if len(stats_host) <= idx:
                 return
-            demand = int(stats_host[idx])
-            cur = getattr(self.config, field)
-            floor = self._layer_floors[field]
-            if max(_next_pow2(demand), floor) >= cur:
-                self._layer_streaks[field] = (0, 0)
-                continue
-            streak, peak = self._layer_streaks[field]
-            peak = demand if streak == 0 else max(peak, demand)
-            streak += 1
-            if streak < self.shrink_after:
-                self._layer_streaks[field] = (streak, peak)
-                continue
-            desired = max(_next_pow2(peak), floor)
-            if desired < cur:
-                print(
-                    f"[renderer] {field}={cur} oversized for {streak} "
-                    f"consecutive frames (streak peak demand {peak} "
-                    f"fragments/pixel); shrinking to {desired} (recompiles)",
-                )
-                self.config = replace(self.config, **{field: desired}).validate()
-            self._layer_streaks[field] = (0, 0)
+            self._streak_shrink(field, int(stats_host[idx]), _next_pow2,
+                                self._layer_floors[field],
+                                "demand (fragments/pixel)")
 
     def _grow_shade_candidates(self, stats_host) -> bool:
         """Grow msaa_shade_candidates toward the measured peak count of
@@ -349,7 +360,7 @@ class Renderer:
             f"{cur} -> {new} (recompiles)",
         )
         self.config = replace(self.config, msaa_shade_candidates=new).validate()
-        self._shade_streak = (0, 0)
+        self._streaks["msaa_shade_candidates"] = (0, 0)
         return True
 
     def _maybe_shrink_shade_candidates(self, stats_host) -> None:
@@ -358,35 +369,16 @@ class Renderer:
         phases size their candidate sets from this knob too, and their
         demand is not measured separately — never shrink while any shading
         fallback is active."""
-        from dataclasses import replace
-
         demand_idx = pipeline.STAT_NAMES.index("shade_demand_max")
         clamp_idx = pipeline.STAT_NAMES.index("shade_clamped_px")
         if len(stats_host) <= demand_idx:
             return
-        demand = int(stats_host[demand_idx])
-        cur = self.config.msaa_shade_candidates
-        floor = self._shade_floor
-        if int(stats_host[clamp_idx]) > 0 or max(demand, floor) >= cur:
-            self._shade_streak = (0, 0)
+        if int(stats_host[clamp_idx]) > 0:
+            self._streaks["msaa_shade_candidates"] = (0, 0)
             return
-        streak, peak = self._shade_streak
-        peak = demand if streak == 0 else max(peak, demand)
-        streak += 1
-        if streak < self.shrink_after:
-            self._shade_streak = (streak, peak)
-            return
-        desired = max(peak, floor)
-        if desired < cur:
-            print(
-                f"[renderer] msaa_shade_candidates={cur} oversized for "
-                f"{streak} consecutive frames (streak peak demand {peak}); "
-                f"shrinking to {desired} (recompiles)",
-            )
-            self.config = replace(
-                self.config, msaa_shade_candidates=desired
-            ).validate()
-        self._shade_streak = (0, 0)
+        self._streak_shrink("msaa_shade_candidates",
+                            int(stats_host[demand_idx]), lambda d: d,
+                            self._shade_floor, "demand")
 
     def _grow_capacities(self, stats_host) -> bool:
         """All capacity-growth feedback for one checked stats vector:
@@ -406,40 +398,16 @@ class Renderer:
 
     def _maybe_shrink_pair_capacity(self, stats_host) -> None:
         """Shrink the binning bucket when the scene has sustainedly needed
-        ≤ half of it (with 2× headroom) — see `shrink_after`. The target is
-        sized from the MAX total_pairs across the whole streak, not the last
-        frame, so a scene oscillating within the window (a camera swinging
-        back to a heavy angle) can never shrink below its own peak demand."""
+        ≤ half of it (with 2× headroom) — see `shrink_after` and
+        _streak_shrink (sized from the streak's peak total_pairs)."""
         idx = pipeline.STAT_NAMES.index("total_pairs")
         if len(stats_host) <= idx:
             return
-        total = int(stats_host[idx])
-        desired_now = 1 << max(14, (max(total, 1) * 2 - 1).bit_length())
-        if desired_now >= self.config.pair_capacity:
-            self._shrink_streak = 0
-            return
-        self._streak_max_pairs = (
-            total if self._shrink_streak == 0
-            else max(self._streak_max_pairs, total)
+        self._streak_shrink(
+            "pair_capacity", int(stats_host[idx]),
+            lambda d: 1 << max(14, (max(d, 1) * 2 - 1).bit_length()),
+            0, "total_pairs",
         )
-        self._shrink_streak += 1
-        if self._shrink_streak < self.shrink_after:
-            return
-        # every frame in the streak individually fit under the current
-        # capacity with headroom, so the max's bucket is a strict shrink
-        desired = 1 << max(
-            14, (max(self._streak_max_pairs, 1) * 2 - 1).bit_length()
-        )
-        print(
-            f"[renderer] binning bucket oversized for {self._shrink_streak} "
-            f"consecutive frames (streak peak ~{self._streak_max_pairs} "
-            f"pairs); shrinking pair_capacity {self.config.pair_capacity} "
-            f"-> {desired} (recompiles)",
-        )
-        from dataclasses import replace
-
-        self.config = replace(self.config, pair_capacity=desired).validate()
-        self._shrink_streak = 0
 
     # -- device array preparation -------------------------------------------
 

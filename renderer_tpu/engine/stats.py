@@ -130,14 +130,14 @@ def fused_frame_ms(renderer, scene, iters: int = 16) -> float:
     blob = draw_stream.pack_frame_blob(
         fv, scene.joint_palette, renderer._proj_view(scene),
         (gs.num_tris, gs.num_opaque_tris, gs.num_masked_tris, 0),
-        joint_cap=renderer._joint_cap(scene),
+        morph_k=gs.morph_k, joint_cap=renderer._joint_cap(scene),
     )
     mats = renderer._materials()
     kwargs = dict(
         config=renderer.config, skin_start=gs.skin_start,
         has_masked=gs.num_masked_tris > 0,
         has_blended=gs.num_tris > gs.num_opaque_tris + gs.num_masked_tris,
-        joint_cap=renderer._joint_cap(scene),
+        morph_k=gs.morph_k, joint_cap=renderer._joint_cap(scene),
     )
 
     def run(k):
@@ -186,7 +186,8 @@ def device_stage_timings(renderer, scene, iters: int = 10) -> dict[str, float]:
     timings: dict[str, float] = {}
 
     vs_fn = jax.jit(
-        functools.partial(vertex_stage.run_vertex_stage, skin_start=gs.skin_start)
+        functools.partial(vertex_stage.run_vertex_stage,
+                          skin_start=gs.skin_start, morph_k=gs.morph_k)
     )
     timings["vertex+skinning"] = _time_call(vs_fn, geom, frame, iters=iters)
     vs = vs_fn(geom, frame)

@@ -12,11 +12,22 @@ Parity: renderer/shaders/glsl/main.vert (static + skinned variants).
   normal here, then interpolated (main.vert:91).
 
 All math is dense [VE, …] jnp — XLA fuses the gathers and the small einsums.
+
+Every position-affecting contraction is pinned to Precision.HIGHEST: TPU
+matmul units default to reduced (bf16-pass) f32 multiplication, which would
+wobble clip positions — visibly on geometry, and structurally on the
+integer tile spans that binning derives from them (bench.py's CPU-replay
+completeness verifier relies on the CPU and TPU programs producing the
+same pair counts). These contractions are a negligible FLOP share of the
+frame (contraction dims of 3-4 vs the raster/shade bulk).
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+_HI = jax.lax.Precision.HIGHEST
 
 
 def _normalize(v, axis=-1):
@@ -25,7 +36,7 @@ def _normalize(v, axis=-1):
 
 def _apply_affine(m, p):
     """[..., 3, 4] affine applied to [..., 3] points."""
-    return jnp.einsum("...ij,...j->...i", m[..., :3], p) + m[..., 3]
+    return jnp.einsum("...ij,...j->...i", m[..., :3], p, precision=_HI) + m[..., 3]
 
 
 def run_vertex_stage(geom: dict, frame: dict, skin_start: int | None,
@@ -67,9 +78,11 @@ def run_vertex_stage(geom: dict, frame: dict, skin_start: int | None,
         jidx = geom["joints"][src] + frame["joints_offset"][drw][:, None]
         jmats = frame["joint_palette"][jidx]  # [VE,4,3,4]
         w = geom["weights"][src]
-        skin = jnp.einsum("vj,vjab->vab", w, jmats)
-        rot = jnp.einsum("vij,vjk->vik", model[:, :, :3], skin[:, :, :3])
-        trans = jnp.einsum("vij,vj->vi", model[:, :, :3], skin[:, :, 3]) + model[:, :, 3]
+        skin = jnp.einsum("vj,vjab->vab", w, jmats, precision=_HI)
+        rot = jnp.einsum("vij,vjk->vik", model[:, :, :3], skin[:, :, :3],
+                         precision=_HI)
+        trans = jnp.einsum("vij,vj->vi", model[:, :, :3], skin[:, :, 3],
+                           precision=_HI) + model[:, :, 3]
         skinned_model = jnp.concatenate([rot, trans[:, :, None]], axis=2)
         is_skinned = (frame["skinned"][drw] > 0)[:, None, None]
         world = _apply_affine(jnp.where(is_skinned, skinned_model, model), pos)
@@ -79,10 +92,12 @@ def run_vertex_stage(geom: dict, frame: dict, skin_start: int | None,
         jidx = geom["joints"][s_src] + frame["joints_offset"][s_drw][:, None]  # [Vs,4]
         jmats = frame["joint_palette"][jidx]  # [Vs,4,3,4]
         w = geom["weights"][s_src]  # [Vs,4]
-        skin = jnp.einsum("vj,vjab->vab", w, jmats)  # [Vs,3,4]
+        skin = jnp.einsum("vj,vjab->vab", w, jmats, precision=_HI)  # [Vs,3,4]
         m = model[skin_start:]
-        rot = jnp.einsum("vij,vjk->vik", m[:, :, :3], skin[:, :, :3])
-        trans = jnp.einsum("vij,vj->vi", m[:, :, :3], skin[:, :, 3]) + m[:, :, 3]
+        rot = jnp.einsum("vij,vjk->vik", m[:, :, :3], skin[:, :, :3],
+                         precision=_HI)
+        trans = jnp.einsum("vij,vj->vi", m[:, :, :3], skin[:, :, 3],
+                           precision=_HI) + m[:, :, 3]
         skinned_model = jnp.concatenate([rot, trans[:, :, None]], axis=2)
         world = jnp.concatenate(
             [_apply_affine(model[:skin_start], pos[:skin_start]),
@@ -93,11 +108,13 @@ def run_vertex_stage(geom: dict, frame: dict, skin_start: int | None,
         world = _apply_affine(model, pos)
 
     pv = frame["proj_view"]  # [4,4] = projection @ view
-    clip = world @ pv[:, :3].T + pv[:, 3]  # [VE,4]
+    clip = jnp.matmul(world, pv[:, :3].T, precision=_HI) + pv[:, 3]  # [VE,4]
 
-    normal = _normalize(jnp.einsum("vij,vj->vi", frame["normal_mats"][drw], nrm_base))
+    normal = _normalize(jnp.einsum("vij,vj->vi", frame["normal_mats"][drw],
+                                    nrm_base, precision=_HI))
     tang4 = geom["tangents"][src]
-    tang = _normalize(jnp.einsum("vij,vj->vi", model[:, :, :3], tang4[:, :3]))
+    tang = _normalize(jnp.einsum("vij,vj->vi", model[:, :, :3], tang4[:, :3],
+                                  precision=_HI))
     # Gram-Schmidt: ensure 90° between normal and tangent (main.vert:91).
     tang = _normalize(tang - jnp.sum(tang * normal, axis=-1, keepdims=True) * normal)
     tangent = jnp.concatenate([tang, tang4[:, 3:4]], axis=1)
