@@ -229,3 +229,29 @@ def test_rolled_kernel_matches_unrolled_bitexact():
     assert (np.asarray(t_roll) >= 0).sum() > 500, "scene degenerate"
     np.testing.assert_array_equal(np.asarray(t_roll), np.asarray(t_unroll))
     np.testing.assert_array_equal(np.asarray(z_roll), np.asarray(z_unroll))
+
+
+def test_huge_extent_shared_edge_stays_watertight(renderer_and_assets):
+    """ROADMAP guard-band concern, quantified: vertices projecting far
+    off-screen grow the edge-plane coefficients ~quadratically, and the
+    folded eps band grows with them (setup.py eps = 4ulp·(|C| + dim·|AB|)).
+    The band's width in PIXELS stays ~1.2e-7·extent, so watertightness
+    holds to ~10^6-px extents without any guard-band clip. Pin the working
+    range: a shared-edge quad scaled so its vertices land 10^4-10^6 px
+    off-screen must still tile every visible pixel (the shared diagonal
+    crosses the whole viewport)."""
+    renderer, mesh, material = renderer_and_assets
+    for scale in (100.0, 1e4, 1e5):
+        scene = rt.Scene()
+        scene.queue_mesh(
+            mesh, material, None,
+            math3d.trs(translation=np.array([0, 0, 0.8], np.float32),
+                       scale=np.array([scale, scale, 1.0], np.float32)),
+        )
+        img = renderer.render_frame(scene, debug_mode=1)
+        covered = img.sum(axis=-1) > 0
+        bg = np.argwhere(~covered)
+        assert bg.size == 0, (
+            f"scale {scale:g}: {len(bg)} uncovered pixels (first {bg[:5]}) — "
+            "the eps band broke down at this extent"
+        )
