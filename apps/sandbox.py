@@ -222,6 +222,51 @@ def run_loop(
     return stats
 
 
+def flythrough(
+    frames: int = 16,
+    out_dir: str = "/tmp/flythrough",
+    width: int = 1280,
+    height: int = 720,
+    msaa: int = 4,
+    debug_mode: int = 0,
+):
+    """Offline flythrough: render `frames` camera-path frames in ONE
+    device-resident dispatch (Renderer.render_frames_device — lax.scan over
+    packed frame blobs, the TPU-native throughput mode) and dump numbered
+    PNGs. The offline counterpart of run_loop (no UI pass; the HUD rides the
+    interactive path). Overflow policy "sync": the returned batch is always
+    complete — any dropped work re-renders at grown capacity.
+
+    Run: python -m apps.sandbox flythrough [frames] [out_dir] ..."""
+    from PIL import Image
+
+    sandbox = Sandbox()
+    config = rt.RenderConfig(width=int(width), height=int(height),
+                             msaa_samples=int(msaa))
+    renderer = rt.Renderer(sandbox.registry, config, overflow_policy="sync")
+    frames = int(frames)
+    scenes = []
+    for i in range(frames):
+        ang = 2.0 * np.pi * (i / max(frames, 1))
+        eye = np.array([5.0 * np.cos(ang), 1.8, 2.0 * np.sin(ang)], np.float32)
+        target = np.array([0.0, 1.5, 0.0], np.float32)
+        pos, orient = math3d.look_at(eye, target,
+                                     np.array([0, 1, 0], np.float32))
+        scene = sandbox.build_scene(i / 60.0)
+        scene.camera.position = pos
+        scene.camera.orientation = orient
+        scenes.append(scene)
+    imgs, _stats = renderer.render_frames_device(scenes,
+                                                 debug_mode=int(debug_mode))
+    out = np.asarray(imgs)  # ONE readback for the whole batch
+    os.makedirs(out_dir, exist_ok=True)
+    for i in range(frames):
+        Image.fromarray(out[i]).save(os.path.join(out_dir, f"{i:04d}.png"))
+    print(f"wrote {frames} frames to {out_dir} "
+          f"({out.shape[2]}x{out.shape[1]}, one scan dispatch)")
+    return out
+
+
 def main(out_path: str = "sandbox.png", debug_mode: int = 0, game_time: float = 1.0):
     sandbox = Sandbox()
     config = rt.RenderConfig(width=1280, height=720)
@@ -237,4 +282,7 @@ def main(out_path: str = "sandbox.png", debug_mode: int = 0, game_time: float = 
 
 
 if __name__ == "__main__":
-    main(*sys.argv[1:])
+    if len(sys.argv) > 1 and sys.argv[1] == "flythrough":
+        flythrough(*sys.argv[2:])
+    else:
+        main(*sys.argv[1:])
