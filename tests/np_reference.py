@@ -24,10 +24,12 @@ def rasterize(
     width: int,
     height: int,
     cull_backface: bool = True,
+    sample_offset: tuple = (0.5, 0.5),  # in-pixel evaluation point (MSAA)
 ):
     """Returns (tri_id [H,W] (-1 background), depth [H,W], bary [H,W,3]
     perspective-correct). Front face = negative shoelace area in y-down
-    screen coords (Vulkan CCW)."""
+    screen coords (Vulkan CCW). `sample_offset` moves the per-pixel
+    evaluation point off the center (call once per MSAA sample position)."""
     tri_id = np.full((height, width), -1, np.int64)
     depth = np.zeros((height, width), np.float64)
     bary = np.zeros((height, width, 3), np.float64)
@@ -51,7 +53,7 @@ def rasterize(
         y1 = min(int(np.ceil(xy[:, 1].max())), height - 1)
         for py in range(y0, y1 + 1):
             for px in range(x0, x1 + 1):
-                p = np.array([px + 0.5, py + 0.5])
+                p = np.array([px + sample_offset[0], py + sample_offset[1]])
                 # barycentric via sub-triangle areas
                 def tri_area(a, b):
                     return (b[0] - a[0]) * (p[1] - a[1]) - (b[1] - a[1]) * (p[0] - a[0])
