@@ -144,3 +144,110 @@ def test_random_triangle_soup_matches_oracle_msaa4(soup):
     # differences near black — allow 2 u8 steps.
     match = (np.abs(img.astype(int) - expected.astype(int)) <= 2).all(axis=-1)
     assert match.mean() > 0.98, f"msaa4 resolve agreement {match.mean():.4f}"
+
+
+def test_random_blended_stack_matches_compositing_oracle():
+    """Randomized blended compositing: N translucent quads at random depths,
+    alphas, sizes and offsets over an opaque backdrop must match an exact
+    per-pixel src-alpha compositing oracle applied in the renderer\'s sorted
+    draw order (the reference blends in submission order with depth test
+    GREATER_OR_EQUAL and depth WRITE inherited from the opaque pipeline —
+    an accepted translucent fragment occludes later-drawn farther ones,
+    pipeline_parameters.rs + renderer.rs:433-441). Pixels within 1 px of
+    any quad edge are excluded
+    (fill-rule boundary band); everything else must match exactly.
+    overflow_policy=\'sync\' re-renders at grown blend_layers if the random
+    stack exceeds the configured depth, so truncation can\'t skew the test."""
+    from tests.test_alpha_modes import quad
+
+    rng = np.random.default_rng(5)
+    registry = rt.MaterialRegistry()
+    builder = rt.VertexLibraryBuilder()
+    n_blend = 8
+    halves = rng.uniform(0.12, 0.35, n_blend)
+    zs = rng.uniform(0.8, 1.9, n_blend)
+    back = quad(builder, 2.2, half=4.0)
+    meshes = [
+        quad(builder, float(zs[i]), half=float(halves[i]))
+        for i in range(n_blend)
+    ]
+    builder.build()
+
+    backdrop = registry.create_material(
+        "bg", rt.PbrMaterialParameters(base_color_factor=(0.9, 0.1, 0.1, 1))
+    )
+    rgba = np.column_stack([
+        rng.uniform(0.05, 0.95, (n_blend, 3)), rng.uniform(0.2, 0.9, n_blend)
+    ]).astype(np.float32)
+    mats = [
+        registry.create_material(
+            f"b{i}",
+            rt.PbrMaterialParameters(base_color_factor=tuple(rgba[i]),
+                                     alpha_mode=rt.AlphaMode.BLENDED),
+        )
+        for i in range(n_blend)
+    ]
+    offsets = rng.uniform(-0.4, 0.4, (n_blend, 2)).astype(np.float32)
+
+    scene = rt.Scene()
+    assert scene.queue_mesh(back, backdrop, None, math3d.IDENTITY)
+    for i in range(n_blend):
+        t = math3d.trs(translation=np.array([*offsets[i], 0.0], np.float32))
+        assert scene.queue_mesh(meshes[i], mats[i], None, t)
+    renderer = rt.Renderer(
+        registry, rt.RenderConfig(width=W, height=H, msaa_samples=1),
+        overflow_policy="sync",
+    )
+    img = np.asarray(renderer.render_frame(scene, debug_mode=1))
+
+    # oracle: project each quad\'s rect (translation-only transforms keep it
+    # axis-aligned; quad() f16-quantizes the stored positions), composite in
+    # the renderer\'s sorted draw order
+    proj, view = scene.camera.proj_view(W, H, scene.world_space)
+    pv = (proj @ view).astype(np.float64)
+    yy, xx = np.mgrid[0:H, 0:W]
+    cx, cy = xx + 0.5, yy + 0.5
+    color = np.zeros((H, W, 3))
+    color[:] = (0.9, 0.1, 0.1)
+    zbuf = np.zeros((H, W))  # reverse-Z running depth (backdrop ~ far)
+    boundary = np.zeros((H, W), bool)
+    order = sorted(range(1, n_blend + 1),
+                   key=lambda k: scene.draws[k].sort_key())
+    for k in order:
+        i = k - 1
+        h = np.float64(np.float16(np.float32(halves[i])))
+        z = np.float64(np.float16(np.float32(zs[i])))
+        ox, oy = np.float64(offsets[i][0]), np.float64(offsets[i][1])
+        corners = np.array([
+            [-h + ox, -h + oy, z, 1.0], [h + ox, h + oy, z, 1.0]
+        ])
+        clip = corners @ pv.T
+        sx = (clip[:, 0] / clip[:, 3] * 0.5 + 0.5) * W
+        sy = (clip[:, 1] / clip[:, 3] * 0.5 + 0.5) * H
+        x0, x1 = sorted(sx)
+        y0, y1 = sorted(sy)
+        inside = (cx > x0) & (cx < x1) & (cy > y0) & (cy < y1)
+        near_edge = (
+            ((np.abs(cx - x0) < 1.0) | (np.abs(cx - x1) < 1.0)) &
+            (cy > y0 - 1.0) & (cy < y1 + 1.0)
+        ) | (
+            ((np.abs(cy - y0) < 1.0) | (np.abs(cy - y1) < 1.0)) &
+            (cx > x0 - 1.0) & (cx < x1 + 1.0)
+        )
+        boundary |= near_edge
+        # reverse-Z GE test vs the running depth; accepted fragments WRITE
+        # depth (later-drawn farther translucents get rejected)
+        zq = clip[0, 2] / clip[0, 3]
+        accept = inside & (zq >= zbuf)
+        zbuf[accept] = zq
+        a = np.float64(rgba[i, 3])
+        color[accept] = (
+            color[accept] * (1 - a) + rgba[i, :3].astype(np.float64) * a
+        )
+
+    expected = np_reference.aces_srgb_u8(color)
+    ok = (np.abs(img.astype(int) - expected.astype(int)) <= 1).all(axis=-1)
+    interior = ~boundary
+    assert interior.mean() > 0.5
+    frac = ok[interior].mean()
+    assert frac > 0.999, f"blended compositing agreement {frac:.5f}"
