@@ -76,10 +76,20 @@ class Sandbox:
             scale=np.array([0.7, 0.7, 0.7], np.float32),
         )
 
-    def build_scene(self, game_time: float = 0.0) -> rt.Scene:
+    def build_scene(self, game_time: float = 0.0,
+                    scene: rt.Scene | None = None) -> rt.Scene:
         """main.rs:549-583: camera pose, Sponza at identity, Smol Ame with
-        all animations playing at game_time % end_time."""
-        scene = rt.Scene(world_space=rt.GLTF)
+        all animations playing at game_time % end_time.
+
+        Pass the previous frame's `scene` to re-queue into it (Scene.clear —
+        the reference's per-frame reset of one long-lived Scene; its draw
+        SoA and joint palette are reused, skipping ~90 KB of fresh
+        allocations per frame). Callers that need several live scenes at
+        once (render_frames_device batches) omit it and get a fresh one."""
+        if scene is None:
+            scene = rt.Scene(world_space=rt.GLTF)
+        else:
+            scene.clear()
         scene.camera.position = self._cam_position
         scene.camera.orientation = self._cam_orientation
         self.sponza.queue(scene, math3d.IDENTITY)
@@ -157,6 +167,7 @@ def run_loop(
     game_time = 0.0
     frame_times = []
     img = None
+    scene = None
     prev = time.perf_counter()
     for i in range(frames):
         # flying camera: circle the atrium, always facing its center
@@ -165,7 +176,7 @@ def run_loop(
         target = np.array([0.0, 1.5, 0.0], np.float32)
         pos, orient = math3d.look_at(eye, target, np.array([0, 1, 0], np.float32))
 
-        scene = sandbox.build_scene(game_time)
+        scene = sandbox.build_scene(game_time, scene=scene)
         scene.camera.position = pos
         scene.camera.orientation = orient
         ui = None
