@@ -16,7 +16,7 @@ from pathlib import Path
 import numpy as np
 
 import renderer_tpu as rt
-from renderer_tpu.assets.gltf_loader import Gltf, load_gltf
+from renderer_tpu.assets.gltf_loader import load_gltf
 from renderer_tpu.core import math3d
 
 ASSET_ROOT = Path(

@@ -18,7 +18,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from renderer_tpu.core import constants
 from renderer_tpu.core.config import RenderConfig
 from renderer_tpu.engine.profiling import Profiler
 from renderer_tpu.materials.atlas import build_atlas

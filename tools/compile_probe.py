@@ -10,8 +10,6 @@ from renderer_tpu.scene import draw_stream
 
 
 def probe(width, height, msaa, pair_cap, tag):
-    import jax
-
     t_all = time.time()
     sb = sb_mod.Sandbox(with_smol_ame=True)
     config = rt.RenderConfig(width=width, height=height, msaa_samples=msaa,

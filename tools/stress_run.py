@@ -1,4 +1,4 @@
-import sys, time
+import time
 import numpy as np
 import renderer_tpu as rt
 from renderer_tpu.assets import proxy as proxy_mod
