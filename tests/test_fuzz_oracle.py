@@ -251,3 +251,120 @@ def test_random_blended_stack_matches_compositing_oracle():
     assert interior.mean() > 0.5
     frac = ok[interior].mean()
     assert frac > 0.999, f"blended compositing agreement {frac:.5f}"
+
+
+def test_random_masked_stack_matches_a2c_oracle():
+    """Randomized alpha-to-coverage: masked quads with random flat alphas
+    spanning every MSAA4 coverage regime (fail-cutoff, 1..4 samples covered:
+    sample s passes iff alpha > (s+0.5)/4 AND alpha > cutoff) at random
+    depths must match a per-sample oracle — nearest passing fragment wins
+    per sample (reverse-Z GE), failing fragments never occlude, resolve is
+    ACES-per-sample then AVERAGE (main.frag:59-62 cutoff discard + the a2c
+    pipeline state, pipeline_parameters.rs:227-233)."""
+    from renderer_tpu.raster.pipeline import MSAA4_POSITIONS
+    from tests.test_alpha_modes import quad
+
+    rng = np.random.default_rng(17)
+    registry = rt.MaterialRegistry()
+    builder = rt.VertexLibraryBuilder()
+    n_mask = 10
+    halves = rng.uniform(0.12, 0.4, n_mask)
+    zs = rng.uniform(0.8, 1.9, n_mask)
+    back = quad(builder, 2.2, half=4.0)
+    meshes = [quad(builder, float(zs[i]), half=float(halves[i]))
+              for i in range(n_mask)]
+    builder.build()
+
+    cutoff = 0.3
+    backdrop = registry.create_material(
+        "bg", rt.PbrMaterialParameters(base_color_factor=(0.2, 0.2, 0.9, 1))
+    )
+    alphas = rng.uniform(0.15, 1.0, n_mask)
+    mats = [
+        registry.create_material(
+            f"m{i}",
+            rt.PbrMaterialParameters(
+                base_color_factor=(1, 1, 1, float(alphas[i])),
+                alpha_mode=rt.AlphaMode.ALPHA_TO_COVERAGE,
+                alpha_cutoff=cutoff,
+            ),
+        )
+        for i in range(n_mask)
+    ]
+    offsets = rng.uniform(-0.4, 0.4, (n_mask, 2)).astype(np.float32)
+
+    scene = rt.Scene()
+    assert scene.queue_mesh(back, backdrop, None, math3d.IDENTITY)
+    for i in range(n_mask):
+        t = math3d.trs(translation=np.array([*offsets[i], 0.0], np.float32))
+        assert scene.queue_mesh(meshes[i], mats[i], None, t)
+    renderer = rt.Renderer(
+        registry,
+        rt.RenderConfig(width=W, height=H, msaa_samples=4,
+                        msaa_shade_candidates=4),
+        overflow_policy="sync",
+    )
+    img = np.asarray(renderer.render_frame(scene, debug_mode=2))
+
+    # sanity: the random alphas exercise ≥3 distinct coverage regimes
+    floors = np.array([0.125, 0.375, 0.625, 0.875])
+    regimes = {int((alphas[i] > np.maximum(floors, cutoff)).sum())
+               for i in range(n_mask)}
+    assert len(regimes) >= 3, regimes
+
+    # expected: per-sample nearest passing fragment, debug-hash color,
+    # ACES per sample then AVERAGE then sRGB (post.tonemap)
+    palette = np.zeros((n_mask + 1, 3))
+    import jax.numpy as jnp
+
+    from renderer_tpu.raster import shade
+
+    palette = np.asarray(
+        shade.draw_debug_colors(jnp.arange(n_mask + 1, dtype=jnp.int32))
+    ).astype(np.float64)
+    proj, view = scene.camera.proj_view(W, H, scene.world_space)
+    pv = (proj @ view).astype(np.float64)
+    yy, xx = np.mgrid[0:H, 0:W]
+    order = sorted(range(1, n_mask + 1),
+                   key=lambda k: scene.draws[k].sort_key())
+    mapped_sum = np.zeros((H, W, 3))
+    boundary = np.zeros((H, W), bool)
+    for s, (offx, offy) in enumerate(MSAA4_POSITIONS):
+        sx_p, sy_p = xx + offx, yy + offy
+        win = np.zeros((H, W), int)  # backdrop debug id = sorted index 0
+        zbuf = np.zeros((H, W))
+        a2c_floor = (s + 0.5) / 4.0
+        for idx, k in enumerate(order):
+            i = k - 1
+            if not (alphas[i] > cutoff and alphas[i] > a2c_floor):
+                continue
+            h = np.float64(np.float16(np.float32(halves[i])))
+            z = np.float64(np.float16(np.float32(zs[i])))
+            ox, oy = np.float64(offsets[i][0]), np.float64(offsets[i][1])
+            corners = np.array([
+                [-h + ox, -h + oy, z, 1.0], [h + ox, h + oy, z, 1.0]
+            ])
+            clip = corners @ pv.T
+            rx = np.sort((clip[:, 0] / clip[:, 3] * 0.5 + 0.5) * W)
+            ry = np.sort((clip[:, 1] / clip[:, 3] * 0.5 + 0.5) * H)
+            inside = ((sx_p > rx[0]) & (sx_p < rx[1]) &
+                      (sy_p > ry[0]) & (sy_p < ry[1]))
+            boundary |= (
+                ((np.abs(sx_p - rx[0]) < 1.5) | (np.abs(sx_p - rx[1]) < 1.5))
+                & (sy_p > ry[0] - 1.5) & (sy_p < ry[1] + 1.5)
+            ) | (
+                ((np.abs(sy_p - ry[0]) < 1.5) | (np.abs(sy_p - ry[1]) < 1.5))
+                & (sx_p > rx[0] - 1.5) & (sx_p < rx[1] + 1.5)
+            )
+            zq = clip[0, 2] / clip[0, 3]
+            accept = inside & (zq >= zbuf)
+            zbuf[accept] = zq
+            win[accept] = 1 + idx  # sorted index of this masked draw
+        mapped_sum += _aces(palette[win] * 0.8)
+    expected = _srgb_u8(mapped_sum / 4.0)
+
+    ok = (np.abs(img.astype(int) - expected.astype(int)) <= 2).all(axis=-1)
+    interior = ~boundary
+    assert interior.mean() > 0.3
+    frac = ok[interior].mean()
+    assert frac > 0.999, f"masked a2c agreement {frac:.5f}"
