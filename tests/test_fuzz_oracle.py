@@ -368,3 +368,82 @@ def test_random_masked_stack_matches_a2c_oracle():
     assert interior.mean() > 0.3
     frac = ok[interior].mean()
     assert frac > 0.999, f"masked a2c agreement {frac:.5f}"
+
+
+def test_random_ui_rect_stack_matches_compositing_oracle():
+    """Randomized UI overlay: translucent rects with random integer corners,
+    colors, alphas, and clip rects composite in submission order (painter's
+    algorithm) into the linear HDR buffer before tonemap — matched EXACTLY
+    against a numpy oracle (imgui_support.rs:107-169 + imgui.vert/frag;
+    clip passes iff clip.x0 < px ≤ clip.x1 at pixel centers,
+    imgui.frag:28-33). Integer rect corners mean pixel centers (.5) never
+    land on an edge, so every pixel is compared — no exclusion band.
+    overflow_policy='sync' lets the UI layer count grow to the random
+    stack's true depth (the ui_demand_max feedback)."""
+    from renderer_tpu.ui import DrawList
+    from tests.test_alpha_modes import quad
+
+    rng = np.random.default_rng(23)
+    registry = rt.MaterialRegistry()
+    builder = rt.VertexLibraryBuilder()
+    bg = quad(builder, 2.0)
+    builder.build()
+    red = registry.create_material(
+        "red", rt.PbrMaterialParameters(base_color_factor=(1, 0, 0, 1))
+    )
+    scene = rt.Scene()
+    scene.queue_mesh(bg, red, None, math3d.IDENTITY)
+    renderer = rt.Renderer(
+        registry, rt.RenderConfig(width=W, height=H, msaa_samples=1),
+        overflow_policy="sync",
+    )
+    baseline = np.asarray(renderer.render_frame(scene, debug_mode=1))
+
+    n_rects = 12
+    ui = DrawList()
+    cmds = []
+    for _ in range(n_rects):
+        x0, y0 = int(rng.integers(0, W - 8)), int(rng.integers(0, H - 8))
+        x1 = int(rng.integers(x0 + 4, min(x0 + 70, W) + 1))
+        y1 = int(rng.integers(y0 + 4, min(y0 + 60, H) + 1))
+        rgba_u8 = rng.integers(0, 256, 4)
+        rgba_u8[3] = rng.integers(30, 230)
+        clip = None
+        if rng.random() < 0.5:
+            cx0, cy0 = int(rng.integers(0, W - 4)), int(rng.integers(0, H - 4))
+            clip = (cx0, cy0, int(rng.integers(cx0 + 2, W + 1)),
+                    int(rng.integers(cy0 + 2, H + 1)))
+            ui.push_clip_rect(*clip)
+        ui.add_rect_filled((x0, y0), (x1, y1), tuple(int(v) for v in rgba_u8))
+        if clip is not None:
+            ui.pop_clip_rect()
+        cmds.append(((x0, y0, x1, y1), clip, rgba_u8))
+    img = np.asarray(renderer.render_frame(scene, debug_mode=1, ui=ui))
+    stats = renderer.frame_stats()
+    assert stats["overflow_ui"] == 0 and stats["ui_saturated_px"] == 0
+
+    # base linear color from the baseline render: flat red quad over clear
+    # black at msaa1/debug-1 means every baseline pixel is exactly one of
+    # the two colors
+    red_u8 = np_reference.aces_srgb_u8(np.array([1.0, 0, 0]))
+    is_red = (baseline == red_u8).all(axis=-1)
+    assert is_red.any() and (~is_red).any()
+    assert ((baseline == 0).all(axis=-1) | is_red).all()
+    color = np.zeros((H, W, 3))
+    color[is_red] = (1.0, 0, 0)
+
+    yy, xx = np.mgrid[0:H, 0:W]
+    cx, cy = xx + 0.5, yy + 0.5
+    for (x0, y0, x1, y1), clip, rgba_u8 in cmds:
+        inside = (cx > x0) & (cx < x1) & (cy > y0) & (cy < y1)
+        if clip is not None:
+            inside &= ((cx > clip[0]) & (cx <= clip[2]) &
+                       (cy > clip[1]) & (cy <= clip[3]))
+        a = rgba_u8[3] / 255.0
+        rgb = rgba_u8[:3] / 255.0
+        color[inside] = color[inside] * (1 - a) + rgb * a
+    expected = np_reference.aces_srgb_u8(color)
+
+    diff = np.abs(img.astype(int) - expected.astype(int)).max()
+    frac = (np.abs(img.astype(int) - expected.astype(int)) <= 1).all(-1).mean()
+    assert frac == 1.0, f"ui compositing agreement {frac:.5f} (maxdiff {diff})"
