@@ -205,7 +205,8 @@ def run_verifier(frames: int, pair_capacity: int | None,
     return None
 
 
-_progress = {"t": time.time(), "label": "start"}
+_progress = {"t": time.time(), "label": "start",
+             "dropped_pairs": -1, "overflow_checked": False}
 
 
 def _mark(label: str) -> None:
@@ -226,13 +227,16 @@ def _start_stall_watchdog(limit_s: float) -> None:
             time.sleep(30.0)
             idle = time.time() - _progress["t"]
             if idle > limit_s:
+                # carry whatever the CPU-replay verifier already proved —
+                # a dead tunnel shouldn't discard a completed completeness
+                # check
                 print(json.dumps({
                     "metric": "bench-stalled",
                     "value": 0.0,
                     "unit": "fps",
                     "vs_baseline": 0.0,
-                    "dropped_pairs": -1,
-                    "overflow_checked": False,
+                    "dropped_pairs": _progress["dropped_pairs"],
+                    "overflow_checked": _progress["overflow_checked"],
                     "error": f"no progress for {int(idle)}s after "
                              f"'{_progress['label']}' — device/tunnel stall",
                 }), flush=True)
@@ -300,6 +304,8 @@ def main():
         pair_capacity = int(result["pair_capacity"])
     _mark("verifier done")
     checked = overflow >= 0
+    _progress["dropped_pairs"] = overflow
+    _progress["overflow_checked"] = checked
     if not checked:
         print("# completeness verification unavailable; reporting "
               "dropped_pairs=-1", file=sys.stderr)
