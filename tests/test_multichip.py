@@ -164,3 +164,57 @@ def test_entry_compiles():
 
     fn, args = ge.entry()
     jax.jit(fn).lower(*args)
+
+
+def test_skinned_sharded_matches_single_device():
+    """Skinned geometry under the tp×sp decomposition: the multichip vertex
+    stage runs with skin_start=None (skinning computed for every vertex,
+    selected by the per-draw flag) and gathers the joint palette from the
+    REPLICATED frame blob — the sharded image must reproduce the
+    single-device render on the real-skin loader fixture (2 skins,
+    animated pose)."""
+    from renderer_tpu.core import math3d
+    from tests.make_loader_fixture import GLTF_PATH
+    from renderer_tpu.assets.gltf_loader import load_gltf
+
+    cfg = rt.RenderConfig(width=128, height=64, tile_h=8,
+                          tile_w=128).validate()
+    registry = rt.MaterialRegistry()
+    builder = rt.VertexLibraryBuilder()
+    gltf = load_gltf(GLTF_PATH, builder, registry)
+    builder.build()
+    scene = rt.Scene(world_space=rt.GLTF)
+    pos, orient = math3d.look_at(
+        np.array([0.3, 1.2, 4.0], np.float32),
+        np.array([0.3, 0.5, 0.0], np.float32),
+        np.array([0.0, 1.0, 0.0], np.float32),
+    )
+    scene.camera.position = pos
+    scene.camera.orientation = orient
+    gltf.queue_animated(
+        scene, math3d.IDENTITY,
+        [(0.7 % a.end_time, a) for a in gltf.animations],
+    )
+    renderer = rt.Renderer(registry, cfg)
+    fv = draw_stream.frame_view(scene)
+    gs, geom = renderer._geometry(scene, fv.order, fv.geom_key)
+    assert gs.skin_start < geom["exp_src"].shape[0]  # skinned draws present
+    frame = renderer._frame_arrays(scene, fv, gs, debug_mode=0)
+    mats = renderer._materials()
+    jc = renderer._joint_cap(scene)
+    single, single_stats = pipeline.render_frame(
+        geom, frame, mats, config=cfg, skin_start=gs.skin_start,
+        morph_k=gs.morph_k, joint_cap=jc, interpret=pipeline.interpret_mode(),
+    )
+    mesh = pmesh.make_mesh(8)
+    sharded, sharded_stats = pmesh.jit_sharded_frame(
+        cfg, mesh, interpret=pipeline.interpret_mode(), morph_k=gs.morph_k,
+        joint_cap=jc,
+    )(geom, frame, mats)
+    np.testing.assert_array_equal(
+        np.asarray(single_stats), np.asarray(sharded_stats)
+    )
+    single = np.asarray(single)
+    assert (single.sum(-1) > 0).mean() > 0.05  # the fixture scene covers
+    agreement = (single == np.asarray(sharded)).all(axis=-1).mean()
+    assert agreement > 0.999, f"skinned sharded/single agreement {agreement}"
