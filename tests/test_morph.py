@@ -234,3 +234,41 @@ class TestSceneApi:
         np.testing.assert_array_equal(
             scene2.draws[0].morph_weights, WEIGHTS
         )
+
+
+class TestMorphScanBatch:
+    def test_scan_batch_with_varying_weights_matches_per_frame(self):
+        """Device-resident multi-frame scan with DIFFERENT morph weights per
+        frame: each blob's pmw section must drive its own frame's
+        displacement (render_frames_device == the per-frame path for every
+        batch entry). Near-total agreement, not bit equality — interpret
+        mode composes the per-frame path eagerly while the scan is one
+        fused jit (see test_engine.test_render_frames_device_matches_single)."""
+        registry = rt.MaterialRegistry()
+        builder = rt.VertexLibraryBuilder()
+        p, uv, n, t, i = _quad_arrays()
+        morphed = builder.add_mesh(
+            p, uv, n, t, i, morph_targets=[(DELTA0, None), (DELTA1, None)]
+        )
+        builder.build()
+        mat = registry.create_material(
+            "m-scan", rt.PbrMaterialParameters(base_color_factor=(1, 1, 1, 1))
+        )
+        r = rt.Renderer(registry, rt.RenderConfig(width=W, height=H))
+
+        def scene_at(w0, w1):
+            scene = rt.Scene()
+            scene.queue_mesh(morphed, mat, None, math3d.IDENTITY,
+                             morph_weights=np.array([w0, w1], np.float32))
+            return scene
+
+        weight_sets = [(0.0, 0.0), (0.8, 0.0), (0.3, 0.6)]
+        scenes = [scene_at(*w) for w in weight_sets]
+        imgs, _stats = r.render_frames_device(scenes, debug_mode=3)
+        imgs = np.asarray(imgs)
+        distinct = {imgs[k].tobytes() for k in range(3)}
+        assert len(distinct) == 3  # the weights actually changed the frames
+        for k, w in enumerate(weight_sets):
+            single = np.asarray(r.render_frame(scene_at(*w), debug_mode=3))
+            agreement = (imgs[k] == single).all(axis=-1).mean()
+            assert agreement > 0.999, f"frame {k} agreement {agreement}"
