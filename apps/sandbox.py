@@ -138,6 +138,7 @@ def run_loop(
     dump_path: str | None = None,
     show_hud: bool = True,
     immediate_present: bool = False,
+    trace_path: str | None = None,
 ):
     """Headless flying-camera demo loop — the sandbox main loop parity
     (main.rs:325-640): fixed-timestep game time with variable-dt fallback
@@ -152,7 +153,11 @@ def run_loop(
     from renderer_tpu.engine.stats import log_memory_usage
 
     sandbox = Sandbox()
-    profiler = Profiler(enabled=True)
+    # trace_path: also retain per-event spans and write Chrome trace-event
+    # JSON at the end (chrome://tracing / Perfetto — the reference's
+    # profile-with-tracing output, main.rs:30-36)
+    profiler = Profiler(enabled=True,
+                        trace_events=200_000 if trace_path else 0)
     config = rt.RenderConfig(width=width, height=height, msaa_samples=msaa)
     # overflow_policy "off": any per-frame device→host stats read would
     # serialize the dispatch pipeline on tunneled TPU runtimes; the loop
@@ -229,6 +234,9 @@ def run_loop(
 
         # the HUD is already IN the frame (rendered through the UI pass)
         Image.fromarray(out).save(dump_path)
+    if trace_path:
+        n = profiler.export_chrome_trace(trace_path)
+        print(f"wrote {n} trace events to {trace_path}")
     print(f"run_loop: {stats}")
     return stats
 

@@ -25,11 +25,21 @@ class Span:
 
 
 class Profiler:
-    def __init__(self, enabled: bool = True) -> None:
+    def __init__(self, enabled: bool = True, trace_events: int = 0) -> None:
+        """trace_events > 0 additionally retains the last N individual span
+        events (name, start, duration) for `export_chrome_trace` — the
+        reference's profile-with-tracing subscriber drains raw spans the
+        same way (examples/sandbox/src/main.rs:30-36,312-318); the
+        aggregated tree (report/format) stays the default."""
         self.enabled = enabled
         self._spans: dict[tuple[int, str], Span] = {}
         self._depth = 0
         self._order: list[tuple[int, str]] = []
+        self._events = None
+        if trace_events:
+            from collections import deque
+
+            self._events = deque(maxlen=trace_events)
 
     @contextmanager
     def span(self, name: str):
@@ -50,6 +60,25 @@ class Profiler:
             s = self._spans[key]
             s.total_s += dt
             s.count += 1
+            if self._events is not None:
+                self._events.append((name, start, dt))
+
+    def export_chrome_trace(self, path: str) -> int:
+        """Write the retained span events as Chrome trace-event JSON
+        (load in chrome://tracing or https://ui.perfetto.dev) — requires
+        `trace_events` at construction. Returns the number of events
+        written. Complete ('X') events; nesting is reconstructed by the
+        viewer from the time intervals."""
+        import json
+
+        events = [
+            {"name": n, "ph": "X", "ts": s * 1e6, "dur": d * 1e6,
+             "pid": 0, "tid": 0}
+            for (n, s, d) in (self._events or ())
+        ]
+        with open(path, "w") as f:
+            json.dump({"traceEvents": events, "displayTimeUnit": "ms"}, f)
+        return len(events)
 
     def reset(self) -> None:
         self._spans.clear()

@@ -134,3 +134,34 @@ def test_hud_draws_window():
     assert (out != 0).any(), "HUD must draw something"
     # original untouched
     assert (img == 0).all()
+
+
+def test_profiler_chrome_trace_export(tmp_path):
+    """Per-event trace retention + Chrome trace-event JSON export (the
+    profile-with-tracing subscriber analog, main.rs:30-36,312-318): events
+    carry µs timestamps/durations and child spans nest inside their
+    parent's interval."""
+    import json
+    import time as _time
+
+    p = Profiler(enabled=True, trace_events=100)
+    with p.span("frame"):
+        with p.span("inner"):
+            _time.sleep(0.002)
+    path = tmp_path / "trace.json"
+    n = p.export_chrome_trace(str(path))
+    assert n == 2
+    data = json.loads(path.read_text())
+    evs = {e["name"]: e for e in data["traceEvents"]}
+    assert set(evs) == {"frame", "inner"}
+    f, i = evs["frame"], evs["inner"]
+    assert i["dur"] >= 2000  # slept 2 ms
+    # child nests inside the parent interval
+    assert f["ts"] <= i["ts"]
+    assert i["ts"] + i["dur"] <= f["ts"] + f["dur"] + 1.0
+    # bounded retention: the deque caps at trace_events
+    p2 = Profiler(enabled=True, trace_events=4)
+    for k in range(10):
+        with p2.span(f"s{k}"):
+            pass
+    assert p2.export_chrome_trace(str(tmp_path / "t2.json")) == 4
