@@ -39,7 +39,7 @@ def run_all(outdir: str = "configs_out", frames: int = 10) -> list[dict]:
     from PIL import Image
 
     from apps import triangle as tri_app
-    from apps.sandbox import Sandbox
+    from apps.sandbox import Sandbox, orbit_camera
     from renderer_tpu.core import math3d
 
     results = []
@@ -117,13 +117,7 @@ def run_all(outdir: str = "configs_out", frames: int = 10) -> list[dict]:
     times = [1.0 + i / 30.0 for i in range(k)]
     scenes = [full.build_scene(t) for t in times]
     for i, (t, s) in enumerate(zip(times, scenes)):
-        ang = 0.25 * t
-        eye = np.array([5.0 * np.cos(ang), 1.8, 2.0 * np.sin(ang)], np.float32)
-        pos, orient = math3d.look_at(
-            eye, np.array([0.0, 1.5, 0.0], np.float32),
-            np.array([0, 1, 0], np.float32),
-        )
-        s.camera.position, s.camera.orientation = pos, orient
+        s.camera.position, s.camera.orientation = orbit_camera(0.25 * t)
     imgs, _stats = renderer.render_frames_device(scenes, debug_mode=0)  # compile
     imgs.block_until_ready()
     t0 = time.perf_counter()

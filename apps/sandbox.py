@@ -101,6 +101,16 @@ class Sandbox:
         return scene
 
 
+def orbit_camera(ang: float):
+    """The canonical demo orbit: circle the atrium at radius 5, eye height
+    1.8, always facing the atrium center — ONE definition for every
+    flythrough/bench/probe camera path (a change here moves all of them
+    together). Returns (position, orientation) for Scene.camera."""
+    eye = np.array([5.0 * np.cos(ang), 1.8, 2.0 * np.sin(ang)], np.float32)
+    target = np.array([0.0, 1.5, 0.0], np.float32)
+    return math3d.look_at(eye, target, np.array([0, 1, 0], np.float32))
+
+
 def build_bench(for_bench: bool = False):
     """Bench entry (bench.py): full sandbox assets at 1920×1080 with the
     reference's 4×MSAA (main.rs:114-117). Returns (sandbox, renderer, name);
@@ -176,10 +186,7 @@ def run_loop(
     prev = time.perf_counter()
     for i in range(frames):
         # flying camera: circle the atrium, always facing its center
-        ang = 2.0 * np.pi * (i / max(frames, 1))
-        eye = np.array([5.0 * np.cos(ang), 1.8, 2.0 * np.sin(ang)], np.float32)
-        target = np.array([0.0, 1.5, 0.0], np.float32)
-        pos, orient = math3d.look_at(eye, target, np.array([0, 1, 0], np.float32))
+        pos, orient = orbit_camera(2.0 * np.pi * (i / max(frames, 1)))
 
         scene = sandbox.build_scene(game_time, scene=scene)
         scene.camera.position = pos
@@ -266,11 +273,7 @@ def flythrough(
     frames = int(frames)
     scenes = []
     for i in range(frames):
-        ang = 2.0 * np.pi * (i / max(frames, 1))
-        eye = np.array([5.0 * np.cos(ang), 1.8, 2.0 * np.sin(ang)], np.float32)
-        target = np.array([0.0, 1.5, 0.0], np.float32)
-        pos, orient = math3d.look_at(eye, target,
-                                     np.array([0, 1, 0], np.float32))
+        pos, orient = orbit_camera(2.0 * np.pi * (i / max(frames, 1)))
         scene = sandbox.build_scene(i / 60.0)
         scene.camera.position = pos
         scene.camera.orientation = orient

@@ -76,11 +76,8 @@ def build_sponza_bench(pair_capacity: int | None = None):
         # flying camera orbiting the atrium + animated Smol Ame, the same
         # per-frame host work as the reference demo's main loop — re-queued
         # into ONE long-lived Scene (the reference's per-frame reset)
-        ang = 0.25 * game_time
-        eye = np.array([5.0 * np.cos(ang), 1.8, 2.0 * np.sin(ang)], np.float32)
-        target = np.array([0.0, 1.5, 0.0], np.float32)
         scene = pooled[0] = sb.build_scene(game_time, scene=pooled[0])
-        pos, orient = math3d.look_at(eye, target, np.array([0, 1, 0], np.float32))
+        pos, orient = sandbox.orbit_camera(0.25 * game_time)
         scene.camera.position = pos
         scene.camera.orientation = orient
         return scene

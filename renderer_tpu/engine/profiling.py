@@ -83,6 +83,8 @@ class Profiler:
     def reset(self) -> None:
         self._spans.clear()
         self._order.clear()
+        if self._events is not None:
+            self._events.clear()
 
     def snapshot(self, label: str) -> None:
         """Move the accumulated spans into a named section and reset — the

@@ -56,9 +56,8 @@ def test_overflow_always_grows_until_ceiling(renderer):
             make_stats(overflow=(MAX_PAIR_CAPACITY, 0, 0, 0))
         )
     assert renderer.config.pair_capacity == MAX_PAIR_CAPACITY
-    assert not renderer._grow_capacities(
-        make_stats(overflow=(5, 0, 0, 0))
-    ) or renderer.config.pair_capacity == MAX_PAIR_CAPACITY
+    # at the ceiling growth must report False (no recompile loop), only log
+    assert not renderer._grow_capacities(make_stats(overflow=(5, 0, 0, 0)))
 
 
 def test_layer_demand_grows_to_pow2_bucket(renderer):
@@ -134,11 +133,7 @@ def test_random_walk_invariants(renderer):
         if not grew:
             renderer._maybe_shrink_capacities(stats)
         c = renderer.config
-        for (stat, field), floor in zip(
-            (("masked_demand_max", "mask_layers"),
-             ("blended_demand_max", "blend_layers"),
-             ("ui_demand_max", "ui_layers")), floors.values()
-        ):
+        for field, floor in floors.items():
             assert getattr(c, field) >= floor
         assert c.msaa_shade_candidates >= shade_floor
         assert c.pair_capacity & (c.pair_capacity - 1) == 0  # pow-2

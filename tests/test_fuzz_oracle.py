@@ -64,7 +64,7 @@ def soup():
     return registry, make_scene, clip
 
 
-def _debug_palette() -> np.ndarray:
+def _debug_palette(n: int = N_TRIS) -> np.ndarray:
     """The vertex stage's hashed draw color (shade.draw_debug_colors, f32
     parity), linear — tonemapping is applied per test to match the resolve
     order."""
@@ -73,7 +73,7 @@ def _debug_palette() -> np.ndarray:
     from renderer_tpu.raster import shade
 
     return np.asarray(
-        shade.draw_debug_colors(jnp.arange(N_TRIS, dtype=jnp.int32))
+        shade.draw_debug_colors(jnp.arange(n, dtype=jnp.int32))
     ).astype(np.float64)
 
 
@@ -97,10 +97,11 @@ def test_random_triangle_soup_matches_oracle(soup):
 
     tid_ref, _, _ = np_reference.rasterize(clip, W, H)
     palette = _debug_palette()
-    mapped = np.zeros((H, W, 3))
     covered = tid_ref >= 0
-    mapped[covered] = _aces(palette[tid_ref[covered]] * 0.8)
-    expected = _srgb_u8(mapped)
+    # single-sample: tonemap whole pixels through the SHARED oracle helper
+    lin = np.zeros((H, W, 3))
+    lin[covered] = palette[tid_ref[covered]]
+    expected = np_reference.aces_srgb_u8(lin)
 
     # Pixel-exact winner agreement away from triangle boundaries: edge
     # pixels legitimately differ (fill-rule band vs the oracle's >= 0 test),
@@ -314,14 +315,7 @@ def test_random_masked_stack_matches_a2c_oracle():
 
     # expected: per-sample nearest passing fragment, debug-hash color,
     # ACES per sample then AVERAGE then sRGB (post.tonemap)
-    palette = np.zeros((n_mask + 1, 3))
-    import jax.numpy as jnp
-
-    from renderer_tpu.raster import shade
-
-    palette = np.asarray(
-        shade.draw_debug_colors(jnp.arange(n_mask + 1, dtype=jnp.int32))
-    ).astype(np.float64)
+    palette = _debug_palette(n_mask + 1)
     proj, view = scene.camera.proj_view(W, H, scene.world_space)
     pv = (proj @ view).astype(np.float64)
     yy, xx = np.mgrid[0:H, 0:W]

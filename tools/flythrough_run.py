@@ -4,7 +4,7 @@ import time
 import numpy as np
 
 import renderer_tpu as rt
-from apps.sandbox import Sandbox
+from apps.sandbox import Sandbox, orbit_camera
 from renderer_tpu.core import math3d
 
 full = Sandbox(with_smol_ame=True)
@@ -17,11 +17,7 @@ k = 16
 times = [1.0 + i / 30.0 for i in range(k)]
 scenes = [full.build_scene(t) for t in times]
 for t, s in zip(times, scenes):
-    ang = 0.25 * t
-    eye = np.array([5.0 * np.cos(ang), 1.8, 2.0 * np.sin(ang)], np.float32)
-    pos, orient = math3d.look_at(eye, np.array([0.0, 1.5, 0.0], np.float32),
-                                 np.array([0, 1, 0], np.float32))
-    s.camera.position, s.camera.orientation = pos, orient
+    s.camera.position, s.camera.orientation = orbit_camera(0.25 * t)
 imgs, _ = renderer.render_frames_device(scenes, 0)
 imgs.block_until_ready()
 best = 0.0

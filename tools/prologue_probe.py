@@ -41,13 +41,8 @@ def main():
     pooled = [None]
 
     def make_scene(game_time):
-        ang = 0.25 * game_time
-        eye = np.array([5.0 * np.cos(ang), 1.8, 2.0 * np.sin(ang)], np.float32)
         scene = pooled[0] = sb.build_scene(game_time, scene=pooled[0])
-        pos, orient = math3d.look_at(
-            eye, np.array([0.0, 1.5, 0.0], np.float32),
-            np.array([0, 1, 0], np.float32),
-        )
+        pos, orient = sandbox.orbit_camera(0.25 * game_time)
         scene.camera.position = pos
         scene.camera.orientation = orient
         return scene
