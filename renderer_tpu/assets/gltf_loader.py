@@ -443,6 +443,10 @@ class Gltf:
         self.materials: list[Material] = []
         self.textures: list[Texture] = []
         self._walk = None  # cached (order, parent, static_locals) arrays
+        # queue()'s transform @ static-pose product, keyed on the root
+        # transform bytes (the demo re-queues Sponza at the same transform
+        # every frame — main.rs:549-583)
+        self._queue_cache = None
 
     def invalidate_caches(self) -> None:
         """Drop every derived cache: compiled animations (with their baked
@@ -459,6 +463,7 @@ class Gltf:
         self._walk_all_valid = None
         self._rows_cache = None
         self._multi_cache = None
+        self._queue_cache = None
         for a in self.animations:
             a._compiled = None
 
@@ -572,11 +577,16 @@ class Gltf:
     def queue(self, scene: Scene, transform: np.ndarray) -> bool:
         skinned_rows, block, static_idx, static_mw, _ = self._split_rows()
         assert not skinned_rows, "skinned meshes must have joints defined"
-        locals_ = self._walk_arrays()[2][static_idx]  # [M, 4, 4] node poses
-        return scene.queue_block(
-            block, np.asarray(transform, np.float32) @ locals_,
-            morph_weights=static_mw,
-        )
+        t = np.asarray(transform, np.float32)
+        tb = t.tobytes()
+        c = self._queue_cache
+        if c is None or c[0] != tb:
+            locals_ = self._walk_arrays()[2][static_idx]  # [M,4,4] node poses
+            # cached per root transform: static node poses are immutable
+            # after first queue (see invalidate_caches); queue_block copies,
+            # so the cached product is never aliased by the scene
+            self._queue_cache = c = (tb, t @ locals_)
+        return scene.queue_block(block, c[1], morph_weights=static_mw)
 
     def queue_animated(
         self,

@@ -11,7 +11,7 @@ renderer/src/renderer/pipelines.rs:16-40).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, replace
+from dataclasses import dataclass, fields, replace
 
 
 def _round_up(x: int, m: int) -> int:
@@ -129,3 +129,20 @@ class RenderConfig:
 
     def with_resolution(self, width: int, height: int) -> "RenderConfig":
         return replace(self, width=width, height=height)
+
+
+def _memoized_config_hash(self: RenderConfig) -> int:
+    """RenderConfig rides every frame dispatch as a static jit key, so it is
+    hashed once per frame; memoize the field-tuple hash on first use (the
+    instance is frozen — equal configs hash equal, same as the dataclass-
+    generated implementation)."""
+    h = self.__dict__.get("_hash_cache")
+    if h is None:
+        h = hash(tuple(self.__dict__[f.name] for f in fields(self)))
+        object.__setattr__(self, "_hash_cache", h)
+    return h
+
+
+# assigned post-definition: @dataclass(frozen=True) installs its generated
+# __hash__ on the class regardless of a body-level definition
+RenderConfig.__hash__ = _memoized_config_hash  # type: ignore[method-assign]

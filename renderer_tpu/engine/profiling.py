@@ -12,8 +12,13 @@ path).
 from __future__ import annotations
 
 import time
-from contextlib import contextmanager
+from contextlib import contextmanager, nullcontext
 from dataclasses import dataclass, field
+
+# one shared no-op context for disabled profilers: nullcontext is stateless
+# (enter returns None, exit returns False), so reusing a single instance is
+# safe and keeps a disabled span at dict-lookup cost in the frame loop
+_NULL_SPAN = nullcontext()
 
 
 @dataclass
@@ -41,11 +46,13 @@ class Profiler:
 
             self._events = deque(maxlen=trace_events)
 
-    @contextmanager
     def span(self, name: str):
         if not self.enabled:
-            yield
-            return
+            return _NULL_SPAN
+        return self._span(name)
+
+    @contextmanager
+    def _span(self, name: str):
         key = (self._depth, name)
         if key not in self._spans:
             self._spans[key] = Span(name, self._depth)

@@ -236,11 +236,37 @@ class FrameView:
 
 
 def frame_view(scene: Scene) -> FrameView:
-    """Sort + pack the scene's draw SoA for upload. No per-draw Python."""
+    """Sort + pack the scene's draw SoA for upload. No per-draw Python.
+
+    Steady-state fast path: an interactive loop re-queues the SAME draw
+    stream every frame (only transforms / joints / morph weights move — the
+    reference's demo loop has this shape too, main.rs:549-583). The packed
+    u64 keys fully determine the sort order, the merge/debug ids, and every
+    pdi column (_pack_key folds pipeline, library, mesh, material slot,
+    joints offset and the skinned flag into the key), so when this frame's
+    key stream equals the previous one bit-for-bit the sort + merge is
+    reused and only the sorted transforms (and morph weights) are re-packed.
+    The returned FrameView's buffers are valid until the NEXT frame_view
+    call on the same Scene (the per-frame consumers — pack_frame_blob,
+    _geometry — copy or finish with them inside the frame)."""
     from renderer_tpu.scene.scene import GEOMETRY_KEY_MASK
     from renderer_tpu.tools import native
 
     n = scene.draw_count
+    c = getattr(scene, "_fv_cache", None)
+    if (
+        c is not None
+        and c[0] == n
+        and c[1] == scene._any_morph
+        and np.array_equal(c[2], scene._keys[:n])
+    ):
+        _n, _m, _keys, order, sorted_keys, geom_key, pdf, pdi, pmw = c
+        if n:
+            pdf[:n] = scene._transforms[order, :3, :].reshape(n, 12)
+            if pmw is not None:
+                pmw[:n] = scene._morph_weights[order]
+        return FrameView(order, sorted_keys, geom_key, pdf, pdi, pmw)
+
     cap = _next_pow2(max(n, 1))
     nat = native.draw_prologue(
         scene._keys[:n], scene._transforms[:n], scene._material_id[:n],
@@ -270,6 +296,10 @@ def frame_view(scene: Scene) -> FrameView:
         pmw = np.zeros((cap, constants.MAX_MORPH_TARGETS), np.float32)
         if n:
             pmw[:n] = scene._morph_weights[:n][order]
+    # content-keyed, so it survives Scene.clear() + re-queue (the key copy
+    # is the validation witness; everything else is derived from it)
+    scene._fv_cache = (n, scene._any_morph, scene._keys[:n].copy(),
+                       order, sorted_keys, geom_key, pdf, pdi, pmw)
     return FrameView(order, sorted_keys, geom_key, pdf, pdi, pmw)
 
 

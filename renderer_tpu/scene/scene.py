@@ -176,6 +176,10 @@ class Scene:
         self._sources: list[tuple[Mesh, Material]] = []
         self._draws_cache: list[DrawParameters] | None = None
         self._any_morph = False  # any queued draw carried nonzero weights
+        # draw_stream.frame_view's sort/merge cache: content-keyed on the
+        # packed key stream, so it deliberately SURVIVES clear() + re-queue
+        # (the interactive loop re-queues an identical stream every frame)
+        self._fv_cache = None
 
     # -- queueing -------------------------------------------------------------
 

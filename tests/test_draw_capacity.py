@@ -267,3 +267,101 @@ class TestJointCapBucket:
         assert r._joint_cap(scene) == 64
         scene.allocate_joint_offset(constants.MAX_JOINT_COUNT - 52)
         assert r._joint_cap(scene) == constants.MAX_JOINT_COUNT
+
+
+class TestFrameViewCache:
+    """frame_view's steady-state sort/merge cache: an interactive loop
+    re-queues an identical key stream every frame (the reference demo's
+    shape, main.rs:549-583), so the sort + merge + pdi pack is reused and
+    only transforms/morph weights re-pack. Content-keyed on the packed u64
+    keys — which fully determine order, merge ids, and every pdi column —
+    so a hit is provably equivalent to a rebuild; these tests pin that."""
+
+    def _queue(self, scene, picks, transforms):
+        _registry, _b, meshes, mats = self._assets
+        for (i, j), t in zip(picks, transforms):
+            scene.queue_mesh(meshes[i], mats[j], None, t)
+
+    def _rand_transforms(self, rng, n):
+        return [
+            math3d.trs(translation=rng.normal(size=3).astype(np.float32))
+            for _ in range(n)
+        ]
+
+    def test_requeue_same_stream_hits_and_matches_fresh_scene(self):
+        self._assets = _assets()
+        rng = np.random.default_rng(11)
+        picks = [(int(rng.integers(4)), int(rng.integers(4)))
+                 for _ in range(37)]
+
+        scene = rt.Scene()
+        self._queue(scene, picks, self._rand_transforms(rng, 37))
+        fv1 = draw_stream.frame_view(scene)
+        assert scene._fv_cache is not None
+
+        t2 = self._rand_transforms(rng, 37)
+        scene.clear()
+        self._queue(scene, picks, t2)
+        fv2 = draw_stream.frame_view(scene)
+        # the hit reuses the cached sort/merge arrays outright
+        assert fv2.order is fv1.order and fv2.pdi is fv1.pdi
+
+        fresh = rt.Scene()
+        self._queue(fresh, picks, t2)
+        fv3 = draw_stream.frame_view(fresh)
+        np.testing.assert_array_equal(fv2.order, fv3.order)
+        np.testing.assert_array_equal(fv2.sorted_keys, fv3.sorted_keys)
+        assert fv2.geom_key == fv3.geom_key
+        np.testing.assert_array_equal(fv2.pdf, fv3.pdf)
+        np.testing.assert_array_equal(fv2.pdi, fv3.pdi)
+
+    def test_changed_stream_misses_and_stays_correct(self):
+        self._assets = _assets()
+        rng = np.random.default_rng(13)
+        picks = [(int(rng.integers(4)), int(rng.integers(4)))
+                 for _ in range(20)]
+        scene = rt.Scene()
+        self._queue(scene, picks, self._rand_transforms(rng, 20))
+        draw_stream.frame_view(scene)
+
+        # different stream: one extra draw + permuted mesh choices
+        picks2 = list(reversed(picks)) + [(0, 3)]
+        t2 = self._rand_transforms(rng, 21)
+        scene.clear()
+        self._queue(scene, picks2, t2)
+        fv = draw_stream.frame_view(scene)
+
+        fresh = rt.Scene()
+        self._queue(fresh, picks2, t2)
+        ref = draw_stream.frame_view(fresh)
+        np.testing.assert_array_equal(fv.order, ref.order)
+        np.testing.assert_array_equal(fv.pdf, ref.pdf)
+        np.testing.assert_array_equal(fv.pdi, ref.pdi)
+        assert fv.geom_key == ref.geom_key
+
+    def test_morph_weights_repack_on_hit(self):
+        self._assets = _assets()
+        _registry, _b, meshes, mats = self._assets
+        rng = np.random.default_rng(17)
+
+        def queue_with_weights(scene, weights):
+            for k, w in enumerate(weights):
+                scene.queue_mesh(meshes[k % 4], mats[k % 4], None,
+                                 math3d.IDENTITY, morph_weights=w)
+
+        w1 = [rng.random(3).astype(np.float32) for _ in range(6)]
+        scene = rt.Scene()
+        queue_with_weights(scene, w1)
+        draw_stream.frame_view(scene)
+
+        w2 = [rng.random(3).astype(np.float32) for _ in range(6)]
+        scene.clear()
+        queue_with_weights(scene, w2)
+        fv = draw_stream.frame_view(scene)
+
+        fresh = rt.Scene()
+        queue_with_weights(fresh, w2)
+        ref = draw_stream.frame_view(fresh)
+        assert fv.pmw is not None
+        np.testing.assert_array_equal(fv.pmw, ref.pmw)
+        np.testing.assert_array_equal(fv.pdf, ref.pdf)
