@@ -33,6 +33,7 @@ from renderer_tpu.materials.registry import (
     PbrMaterialParameters,
     Texture,
     TextureKind,
+    TextureWrap,
 )
 from renderer_tpu.assets.gltf_loader import Gltf, load_gltf
 from renderer_tpu.scene.scene import Scene
@@ -42,7 +43,7 @@ __all__ = [
     "MAX_DRAW_CALLS", "MAX_JOINT_COUNT", "MAX_MATERIALS", "MAX_TEXTURES",
     "Profiler", "Renderer", "Mesh", "VertexLibrary", "VertexLibraryBuilder",
     "VertexLibraryMeasurer", "AlphaMode", "Material", "MaterialRegistry",
-    "PbrMaterialParameters", "Texture", "TextureKind", "Scene",
+    "PbrMaterialParameters", "Texture", "TextureKind", "TextureWrap", "Scene",
     "Gltf", "load_gltf",
     # HBM accounting — the reference's Bytes printer + vram getters
     # (lib.rs:75-95,103-128)

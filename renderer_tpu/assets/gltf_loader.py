@@ -1086,10 +1086,30 @@ def load_gltf(
 
     # -- images / textures --------------------------------------------------
     kinds = _texture_kinds(gltf)
+    # Sampler wrap modes — BEYOND the reference: it parses glTF `samplers`
+    # but never uses them (one repeat sampler for everything,
+    # descriptors.rs:90-105; gltf crate's samplers field explicitly unused).
+    # Our registry Texture is per-IMAGE, so each image takes the wrap mode
+    # of the first glTF texture referencing it (conflicting samplers on a
+    # shared image would need per-use sampler state; no reference asset
+    # does this). Unknown enums fall back to REPEAT — the reference's
+    # behavior for every sampler.
+    _gl_wrap = {10497: 0, 33071: 1, 33648: 2}  # REPEAT / CLAMP / MIRROR
+    samplers = gltf.get("samplers", [])
+    image_wrap: dict[int, tuple[int, int]] = {}
+    for t in gltf.get("textures", []):
+        src = t.get("source")
+        if src is None or src in image_wrap:
+            continue
+        s = samplers[t["sampler"]] if "sampler" in t else {}
+        image_wrap[src] = (_gl_wrap.get(s.get("wrapS", 10497), 0),
+                           _gl_wrap.get(s.get("wrapT", 10497), 0))
+
     images: list[Texture] = []
     for i, image in enumerate(gltf.get("images", [])):
         uri = image.get("uri")
         kind = kinds.get(i, TextureKind.LINEAR_COLOR)
+        wrap_s, wrap_t = image_wrap.get(i, (0, 0))
         if uri is not None:
             # LAZY: header-only now (reference measure phase), full decode
             # only if the atlas bundle cache misses (materials/atlas.py).
@@ -1100,6 +1120,7 @@ def load_gltf(
                 loader=lambda p=ntex_path: ntex.decode_file(p)[1],
                 shape=(header.height, header.width),
                 fingerprint=ntex.file_fingerprint(ntex_path),
+                wrap_s=wrap_s, wrap_t=wrap_t,
             )
             registry.register_texture(tex)
             images.append(tex)
@@ -1121,7 +1142,7 @@ def load_gltf(
             name = image.get("name", f"embedded-{i}")
         else:
             raise GltfLoadingError("image missing an uri")
-        tex = Texture(mips, kind, name=name)
+        tex = Texture(mips, kind, name=name, wrap_s=wrap_s, wrap_t=wrap_t)
         registry.register_texture(tex)
         images.append(tex)
     out.textures = images

@@ -439,6 +439,11 @@ class Renderer:
             "atlas_table": jnp.asarray(at.table),
             "atlas_srgb": jnp.asarray(at.srgb),
         }
+        if at.wrap.any():
+            # per-texture sampler address modes (TextureWrap) — attached
+            # only when some texture is non-repeat, so the common all-repeat
+            # registry compiles the exact pre-wrap sampler (zero-cost)
+            dev["atlas_wrap"] = jnp.asarray(at.wrap)
         self._mat_cache = (reg.version, dev)
         return dev
 

@@ -7,10 +7,13 @@ texture mips are packed into ONE [H, W] uint32 (RGBA8-packed) atlas so every
 texture fetch in a frame becomes a gather into a single array — the
 "descriptor table" is a per-(slot, mip) rectangle table.
 
-Layout: shelf packing, one texel of wrapped border around every rectangle so
-REPEAT-wrap bilinear taps can sample across the edge without bleeding into a
-neighbor (the reference sampler is repeat-mode anisotropic trilinear,
-descriptors.rs:90-105; we provide repeat bilinear + per-pixel mip selection).
+Layout: shelf packing, one texel of border around every rectangle so
+bilinear taps can sample across the edge without bleeding into a neighbor.
+The border content follows the texture's own wrap mode (TextureWrap):
+wrapped for REPEAT (the reference sampler is repeat-mode anisotropic
+trilinear, descriptors.rs:90-105 — and the only mode it ever uses), edge /
+mirror texels for CLAMP_TO_EDGE / MIRRORED_REPEAT (BEYOND the reference:
+glTF sampler wrap modes honored per texture axis, raster/shade.apply_wrap).
 
 Texels are stored sRGB-encoded (as decoded-from-BC7); the sampler decodes the
 FILTERED value rather than each tap (a deliberate, tested deviation from
@@ -37,6 +40,7 @@ class Atlas:
     table: np.ndarray  # [MAX_TEXTURES, MAX_MIPS, 4] i32: x, y, w, h per mip
     srgb: np.ndarray  # [MAX_TEXTURES] i32: 1 if color channels are sRGB-encoded
     flat: np.ndarray  # [MAX_TEXTURES, 4] f32: mean linear color (cheap fallback)
+    wrap: np.ndarray  # [MAX_TEXTURES, 2] i32: TextureWrap per axis (s, t)
 
 
 def _pack_rgba(rgba: np.ndarray) -> np.ndarray:
@@ -50,14 +54,30 @@ def _with_wrap_border(img: np.ndarray) -> np.ndarray:
     return np.pad(img, ((1, 1), (1, 1), (0, 0)), mode="wrap")
 
 
+# numpy pad mode matching each TextureWrap's border texel: REPEAT wraps to
+# the opposite edge; CLAMP_TO_EDGE replicates the edge texel; for a 1-texel
+# border, MIRRORED_REPEAT's reflection about the edge is the edge texel too
+# (np.pad "symmetric" ≡ "edge" at depth 1, kept distinct for clarity)
+_PAD_MODES = {0: "wrap", 1: "edge", 2: "symmetric"}
+
+
+def _with_mode_border(img: np.ndarray, wrap_s: int, wrap_t: int) -> np.ndarray:
+    """Pad 1 texel per side: rows (v/t axis) per wrap_t, columns (u/s axis)
+    per wrap_s. Two passes so the corners compose the two modes exactly as a
+    hardware sampler's tap at (-1, -1) would resolve them."""
+    img = np.pad(img, ((1, 1), (0, 0), (0, 0)), mode=_PAD_MODES[wrap_t])
+    return np.pad(img, ((0, 0), (1, 1), (0, 0)), mode=_PAD_MODES[wrap_s])
+
+
 def _atlas_cache_file(registry: MaterialRegistry):
     import hashlib
     import os
     from pathlib import Path
 
-    h = hashlib.sha1(f"atlas-v1|{ATLAS_WIDTH}|{MAX_MIPS}".encode())
+    h = hashlib.sha1(f"atlas-v2|{ATLAS_WIDTH}|{MAX_MIPS}".encode())
     for slot, tex in sorted(registry.textures.items()):
-        h.update(f"|{slot}|{tex.kind}|{tex.fingerprint}".encode())
+        h.update(f"|{slot}|{tex.kind}|{tex.wrap_s}{tex.wrap_t}"
+                 f"|{tex.fingerprint}".encode())
     root = os.environ.get("RENDERER_TPU_CACHE")
     cdir = (Path(root) if root
             else Path(__file__).resolve().parents[2] / ".cache") / "atlas"
@@ -83,6 +103,7 @@ def build_atlas(registry: MaterialRegistry) -> Atlas:
                 table=np.load(cdir / "table.npy", allow_pickle=False),
                 srgb=np.load(cdir / "srgb.npy", allow_pickle=False),
                 flat=np.load(cdir / "flat.npy", allow_pickle=False),
+                wrap=np.load(cdir / "wrap.npy", allow_pickle=False),
             )
         except Exception:
             pass  # corrupt/stale bundle → rebuild
@@ -98,7 +119,8 @@ def build_atlas(registry: MaterialRegistry) -> Atlas:
         tmp = cdir.with_name(f"{cdir.name}.tmp{os.getpid()}")
         tmp.mkdir(exist_ok=True)
         for name, arr in (("data", atlas.data), ("table", atlas.table),
-                          ("srgb", atlas.srgb), ("flat", atlas.flat)):
+                          ("srgb", atlas.srgb), ("flat", atlas.flat),
+                          ("wrap", atlas.wrap)):
             np.save(tmp / f"{name}.npy", arr, allow_pickle=False)
         try:
             os.replace(tmp, cdir)
@@ -145,11 +167,13 @@ def _build_atlas_uncached(registry: MaterialRegistry) -> Atlas:
     table = np.zeros((constants.MAX_TEXTURES, MAX_MIPS, 4), np.int32)
     srgb = np.zeros(constants.MAX_TEXTURES, np.int32)
     flat = np.zeros((constants.MAX_TEXTURES, 4), np.float32)
+    wrap = np.zeros((constants.MAX_TEXTURES, 2), np.int32)
 
     from renderer_tpu.tools import native
 
     for slot, tex in sorted(registry.textures.items()):
         srgb[slot] = 1 if tex.kind == TextureKind.SRGB_COLOR else 0
+        wrap[slot] = (tex.wrap_s, tex.wrap_t)
         # average color from a small mip (box-filtered ≈ the full-res mean)
         small = tex.mips[min(len(tex.mips) - 1, max(len(tex.mips) - 5, 0))]
         mean = small.reshape(-1, 4).mean(axis=0) / 255.0
@@ -163,6 +187,13 @@ def _build_atlas_uncached(registry: MaterialRegistry) -> Atlas:
             h, w = img.shape[:2]
             table[slot, mip] = (x + 1, y + 1, w, h)
             if mip == src_mip:
-                native.atlas_blit_wrap(img, data, x + 1, y + 1)
+                if tex.wrap_s == 0 and tex.wrap_t == 0:
+                    native.atlas_blit_wrap(img, data, x + 1, y + 1)
+                else:
+                    # non-repeat border texels (clamp/mirror); startup-only
+                    # numpy path — non-repeat textures are the rare case
+                    data[y : y + h + 2, x : x + w + 2] = _pack_rgba(
+                        _with_mode_border(img, tex.wrap_s, tex.wrap_t)
+                    )
 
-    return Atlas(data=data, table=table, srgb=srgb, flat=flat)
+    return Atlas(data=data, table=table, srgb=srgb, flat=flat, wrap=wrap)

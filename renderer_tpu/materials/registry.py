@@ -60,6 +60,20 @@ class TextureKind:
     NORMAL_MAP = "normal"
 
 
+class TextureWrap:
+    """Per-axis sampler address modes (glTF sampler.wrapS/wrapT; GL enums
+    10497/33071/33648). BEYOND the reference: it parses glTF samplers but
+    never uses them — every texture goes through one repeat-mode sampler
+    (descriptors.rs:90-105, gltf crate's `samplers` field unused). Here the
+    wrap mode is honored per texture axis in the atlas sampler
+    (raster/shade.py) with matching atlas border texels
+    (materials/atlas.py)."""
+
+    REPEAT = 0
+    CLAMP_TO_EDGE = 1
+    MIRRORED_REPEAT = 2
+
+
 class Texture:
     """A decoded RGBA8 texture with a full mip chain. `mips[i]` is a
     [h, w, 4] u8 array; mips[0] is the base level.
@@ -72,7 +86,9 @@ class Texture:
 
     def __init__(self, mips: list[np.ndarray] | None, kind: str,
                  name: str = "", *, loader=None, shape=None,
-                 fingerprint: str | None = None) -> None:
+                 fingerprint: str | None = None,
+                 wrap_s: int = TextureWrap.REPEAT,
+                 wrap_t: int = TextureWrap.REPEAT) -> None:
         if mips is None:
             assert loader is not None and shape is not None
             assert fingerprint is not None, "lazy textures need a fingerprint"
@@ -89,6 +105,9 @@ class Texture:
         self._fingerprint = fingerprint
         self.kind = kind
         self.name = name
+        assert wrap_s in (0, 1, 2) and wrap_t in (0, 1, 2)
+        self.wrap_s = wrap_s
+        self.wrap_t = wrap_t
         self.slot = -1  # assigned by MaterialRegistry
 
     @property

@@ -17,10 +17,13 @@ Parity notes:
   brightness = 0.3·occlusion + 2.0·max(0, n·normalize(-1,1,1)).
 - Debug modes 1-6 (main.frag:89-107); draw-id color hash
   fract(sin(d·k)·43758.5453123) evaluated per draw (main.vert:67-77).
-- Texture sampling: repeat-wrap bilinear from the packed RGBA8 atlas
-  (materials/atlas.py) with per-pixel per-axis texel-space mip selection from
-  analytic UV screen derivatives (the reference sampler is repeat anisotropic
-  trilinear, descriptors.rs:90-105). DELIBERATE DEVIATION: sRGB decode is
+- Texture sampling: bilinear from the packed RGBA8 atlas (materials/atlas.py)
+  with per-pixel per-axis texel-space mip selection from analytic UV screen
+  derivatives (the reference sampler is repeat anisotropic trilinear,
+  descriptors.rs:90-105). Address mode defaults to REPEAT (the reference's
+  only mode); per-texture glTF wrap modes are honored when the materials
+  dict carries atlas_wrap (BEYOND parity — the reference parses glTF
+  samplers and ignores them). DELIBERATE DEVIATION: sRGB decode is
   applied to the FILTERED value, not per tap (hardware decodes before
   filtering) — 4-8x fewer pow() evaluations; worst-case error is bounded and
   pinned by tests/test_srgb_filter_order.py (see PARITY.md known gaps).
@@ -65,12 +68,29 @@ def make_sampler(materials: dict, uv, lod_base, trilinear: bool = True,
     atlas = materials["atlas"]  # [AH,AW] u32
     table = materials["atlas_table"]  # [T,M,4] i32
     srgb = materials["atlas_srgb"]  # [T] i32
+    # per-texture per-axis address mode ([T,2] i32, TextureWrap values) —
+    # BEYOND the reference, which parses glTF samplers but routes every
+    # texture through one repeat sampler (descriptors.rs:90-105); absent
+    # from hand-built materials dicts → pure repeat (the reference default)
+    wrap_table = materials.get("atlas_wrap")
     aw = atlas.shape[1]
     atlas_flat = atlas.reshape(-1)
     table_flat = table.reshape(-1, 4)
 
-    def sample_mip(slot, lod, uvq):  # slot,lod [H,W] i32; uvq [H,W,2]
-        uvf = uvq - jnp.floor(uvq)  # REPEAT wrap
+    def apply_wrap(uvq, wm):  # uvq [H,W,2] f32; wm [H,W,2] i32 or None
+        rep = uvq - jnp.floor(uvq)  # REPEAT
+        if wm is None:
+            return rep
+        half = uvq * 0.5  # MIRRORED_REPEAT: period-2 triangle wave
+        mir = 1.0 - jnp.abs(2.0 * (half - jnp.floor(half)) - 1.0)
+        return jnp.where(wm == 1, jnp.clip(uvq, 0.0, 1.0),  # CLAMP_TO_EDGE
+                         jnp.where(wm == 2, mir, rep))
+
+    def sample_mip(slot, lod, uvq, wm):  # slot,lod [H,W] i32; uvq [H,W,2]
+        # address-mode transform maps into [0,1]; the bilinear taps then
+        # reach at most 1 texel outside the rect, where the atlas border
+        # texel was written for this texture's own mode (materials/atlas.py)
+        uvf = apply_wrap(uvq, wm)
         rect = table_flat[slot * MAX_MIPS + lod]  # [H,W,4]
         x0, y0 = rect[..., 0], rect[..., 1]
         w = rect[..., 2].astype(jnp.float32)
@@ -115,24 +135,26 @@ def make_sampler(materials: dict, uv, lod_base, trilinear: bool = True,
         # tests/test_srgb_filter_order.py) and 4x fewer pow() evaluations.
         return decode(c)
 
-    def sample_filtered(slot, lodf, uvq):
+    def sample_filtered(slot, lodf, uvq, wm):
         lodf = jnp.clip(lodf, 0.0, MAX_MIPS - 1.0)
         if not trilinear:
-            return sample_mip(slot, jnp.round(lodf).astype(jnp.int32), uvq)
+            return sample_mip(slot, jnp.round(lodf).astype(jnp.int32), uvq, wm)
         l0 = jnp.floor(lodf)
         frac = (lodf - l0)[..., None]
         l0 = l0.astype(jnp.int32)
         l1 = jnp.minimum(l0 + 1, MAX_MIPS - 1)
         frac = frac.astype(compute_dtype)
-        return (sample_mip(slot, l0, uvq) * (1.0 - frac)
-                + sample_mip(slot, l1, uvq) * frac)
+        return (sample_mip(slot, l0, uvq, wm) * (1.0 - frac)
+                + sample_mip(slot, l1, uvq, wm) * frac)
 
     def sample(slot):  # slot [H,W] i32
+        wm = None if wrap_table is None else wrap_table[slot]  # [H,W,2]
         if duv_dx is None:
             # no analytic derivatives available: approximate texel-space
             # footprint with the max-dimension size (flat-shade paths only)
             size0 = jnp.maximum(table[slot, 0, 2], table[slot, 0, 3]).astype(jnp.float32)
-            return sample_filtered(slot, lod_base + jnp.log2(jnp.maximum(size0, 1.0)), uv)
+            return sample_filtered(
+                slot, lod_base + jnp.log2(jnp.maximum(size0, 1.0)), uv, wm)
         # Per-axis texel-space derivatives: scale the UV derivative by the
         # texture's (w, h) BEFORE the length reduction, so non-square
         # textures get the correct LOD on both axes (the reference sampler's
@@ -145,7 +167,7 @@ def make_sampler(materials: dict, uv, lod_base, trilinear: bool = True,
         ly = jnp.sqrt(jnp.sum((duv_dy * wh) ** 2, axis=-1))
         rho_max = jnp.maximum(jnp.maximum(lx, ly), 1e-8)
         if aniso <= 1:
-            return sample_filtered(slot, jnp.log2(rho_max), uv)
+            return sample_filtered(slot, jnp.log2(rho_max), uv, wm)
         # anisotropy: lod from the MINOR footprint axis (clamped so the
         # major/minor ratio never exceeds the tap count), N trilinear taps
         # spread along the major axis.
@@ -158,7 +180,7 @@ def make_sampler(materials: dict, uv, lod_base, trilinear: bool = True,
             acc = jnp.asarray(0.0, compute_dtype)
             for i in range(aniso):
                 t = (i + 0.5) / aniso - 0.5
-                acc = acc + sample_filtered(slot, lodf, uv + major * t)
+                acc = acc + sample_filtered(slot, lodf, uv + major * t, wm)
             return acc * compute_dtype(1.0 / aniso)
 
         # high tap counts (the exact-sampler aniso16 mode) loop in HLO:
@@ -168,7 +190,7 @@ def make_sampler(materials: dict, uv, lod_base, trilinear: bool = True,
         # in f32 for pow-2 tap counts, so results are bit-identical.
         def tap_body(i, acc):
             t = (i.astype(jnp.float32) + 0.5) / aniso - 0.5
-            return acc + sample_filtered(slot, lodf, uv + major * t)
+            return acc + sample_filtered(slot, lodf, uv + major * t, wm)
 
         acc = jax.lax.fori_loop(
             0, aniso, tap_body,
