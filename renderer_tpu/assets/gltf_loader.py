@@ -1010,6 +1010,44 @@ def _texture_kinds(gltf: dict) -> dict[int, str]:
     return kinds
 
 
+def _image_wrap_modes(gltf: dict) -> dict[int, tuple[int, int]]:
+    """Image index → (wrap_s, wrap_t) TextureWrap pair, from glTF samplers.
+
+    BEYOND the reference: it parses glTF `samplers` but never uses them (one
+    repeat sampler for everything, descriptors.rs:90-105; the gltf crate's
+    samplers field is explicitly unused). Our registry Texture is per-IMAGE,
+    so an image shared by several glTF textures takes the first *explicit*
+    sampler's modes — samplerless textures (spec default: REPEAT) never claim
+    an entry, and a conflicting second explicit sampler warns loudly (per-use
+    sampler state would need duplicate atlas entries; no reference asset
+    shares an image across differing samplers). Unknown enums fall back to
+    REPEAT — the reference's behavior for every sampler.
+    """
+    _gl_wrap = {10497: 0, 33071: 1, 33648: 2}  # REPEAT / CLAMP / MIRROR
+    samplers = gltf.get("samplers", [])
+    image_wrap: dict[int, tuple[int, int]] = {}
+    for t in gltf.get("textures", []):
+        src = t.get("source")
+        if src is None or "sampler" not in t:
+            continue  # default REPEAT == the caller's .get() fallback
+        s = samplers[t["sampler"]]
+        wrap = (_gl_wrap.get(s.get("wrapS", 10497), 0),
+                _gl_wrap.get(s.get("wrapT", 10497), 0))
+        if src in image_wrap:
+            if wrap != image_wrap[src]:
+                import warnings
+
+                warnings.warn(
+                    f"glTF image {src} is referenced by textures with "
+                    f"conflicting sampler wrap modes {image_wrap[src]} vs "
+                    f"{wrap}; keeping the first (per-image sampler state)",
+                    stacklevel=2,
+                )
+            continue
+        image_wrap[src] = wrap
+    return image_wrap
+
+
 def load_gltf(
     path: str | Path,
     builder: VertexLibraryBuilder,
@@ -1086,24 +1124,7 @@ def load_gltf(
 
     # -- images / textures --------------------------------------------------
     kinds = _texture_kinds(gltf)
-    # Sampler wrap modes — BEYOND the reference: it parses glTF `samplers`
-    # but never uses them (one repeat sampler for everything,
-    # descriptors.rs:90-105; gltf crate's samplers field explicitly unused).
-    # Our registry Texture is per-IMAGE, so each image takes the wrap mode
-    # of the first glTF texture referencing it (conflicting samplers on a
-    # shared image would need per-use sampler state; no reference asset
-    # does this). Unknown enums fall back to REPEAT — the reference's
-    # behavior for every sampler.
-    _gl_wrap = {10497: 0, 33071: 1, 33648: 2}  # REPEAT / CLAMP / MIRROR
-    samplers = gltf.get("samplers", [])
-    image_wrap: dict[int, tuple[int, int]] = {}
-    for t in gltf.get("textures", []):
-        src = t.get("source")
-        if src is None or src in image_wrap:
-            continue
-        s = samplers[t["sampler"]] if "sampler" in t else {}
-        image_wrap[src] = (_gl_wrap.get(s.get("wrapS", 10497), 0),
-                           _gl_wrap.get(s.get("wrapT", 10497), 0))
+    image_wrap = _image_wrap_modes(gltf)
 
     images: list[Texture] = []
     for i, image in enumerate(gltf.get("images", [])):

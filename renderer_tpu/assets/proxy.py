@@ -142,18 +142,21 @@ def load_gltf_proxy(
             out.nodes[c].transform = out.nodes[p].transform @ out.nodes[c].transform
             parents.append(c)
 
-    # real textures
+    # real textures (sampler wrap modes parsed like the real loader's)
     kinds = gltf_loader._texture_kinds(gltf)
+    image_wrap = gltf_loader._image_wrap_modes(gltf)
     images: list[Texture] = []
     for i, image in enumerate(gltf.get("images", [])):
         uri = image["uri"]
         ntex_path = (resource_dir / uri).with_suffix(".ntex")
         header = ntex.decode_header_file(ntex_path)
+        wrap_s, wrap_t = image_wrap.get(i, (0, 0))
         tex = Texture(
             None, kinds.get(i, TextureKind.LINEAR_COLOR), name=uri,
             loader=lambda p=ntex_path: ntex.decode_file(p)[1],
             shape=(header.height, header.width),
             fingerprint=ntex.file_fingerprint(ntex_path),
+            wrap_s=wrap_s, wrap_t=wrap_t,
         )
         registry.register_texture(tex)
         images.append(tex)

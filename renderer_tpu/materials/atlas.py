@@ -49,11 +49,6 @@ def _pack_rgba(rgba: np.ndarray) -> np.ndarray:
     return rgba.view("<u4")[..., 0]
 
 
-def _with_wrap_border(img: np.ndarray) -> np.ndarray:
-    """Pad 1 texel on each side with REPEAT-wrapped content."""
-    return np.pad(img, ((1, 1), (1, 1), (0, 0)), mode="wrap")
-
-
 # numpy pad mode matching each TextureWrap's border texel: REPEAT wraps to
 # the opposite edge; CLAMP_TO_EDGE replicates the edge texel; for a 1-texel
 # border, MIRRORED_REPEAT's reflection about the edge is the edge texel too

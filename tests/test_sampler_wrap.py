@@ -221,3 +221,74 @@ class TestGltfSamplerParse:
         tex = gltf.textures[0]
         assert (tex.wrap_s, tex.wrap_t) == (TextureWrap.REPEAT,
                                             TextureWrap.REPEAT)
+
+    def test_explicit_sampler_beats_samplerless_claim(self):
+        """A samplerless texture referencing an image must not pin the image
+        to default REPEAT when another texture samples it with an explicit
+        non-repeat sampler (per-image wrap state picks the explicit one)."""
+        from renderer_tpu.assets.gltf_loader import _image_wrap_modes
+
+        g = {
+            "samplers": [{"wrapS": GL_CLAMP, "wrapT": GL_CLAMP}],
+            "textures": [{"source": 0},                  # samplerless first
+                         {"source": 0, "sampler": 0}],   # explicit second
+        }
+        assert _image_wrap_modes(g) == {
+            0: (TextureWrap.CLAMP_TO_EDGE, TextureWrap.CLAMP_TO_EDGE)}
+
+    def test_conflicting_explicit_samplers_keep_first_and_warn(self):
+        from renderer_tpu.assets.gltf_loader import _image_wrap_modes
+
+        g = {
+            "samplers": [{"wrapS": GL_CLAMP, "wrapT": GL_CLAMP},
+                         {"wrapS": GL_MIRROR, "wrapT": GL_MIRROR}],
+            "textures": [{"source": 0, "sampler": 0},
+                         {"source": 0, "sampler": 1}],
+        }
+        with pytest.warns(UserWarning, match="conflicting sampler"):
+            wrap = _image_wrap_modes(g)
+        assert wrap == {
+            0: (TextureWrap.CLAMP_TO_EDGE, TextureWrap.CLAMP_TO_EDGE)}
+
+    def test_proxy_loader_parses_wrap_modes(self, tmp_path):
+        """load_gltf_proxy registers the same wrap modes as load_gltf would
+        for the same asset (the sandbox's missing-buffers fallback path must
+        not diverge from the real loader)."""
+        from PIL import Image
+
+        from tools.make_ntex import main as make_ntex
+
+        img = np.zeros((16, 16, 4), np.uint8)
+        img[..., 3] = 255
+        Image.fromarray(img).save(tmp_path / "checker.png")
+        assert make_ntex(["--silent", "--assume-color",
+                          str(tmp_path / "checker.png")]) == 0
+
+        g = {
+            "asset": {"version": "2.0"},
+            "scene": 0,
+            "scenes": [{"nodes": [0]}],
+            "nodes": [{"mesh": 0}],
+            "samplers": [{"wrapS": GL_MIRROR, "wrapT": GL_CLAMP}],
+            "images": [{"uri": "checker.png"}],
+            "textures": [{"source": 0, "sampler": 0}],
+            "materials": [{"pbrMetallicRoughness":
+                           {"baseColorTexture": {"index": 0}}}],
+            "meshes": [{"primitives": [
+                {"attributes": {"POSITION": 0}, "indices": 1, "material": 0}
+            ]}],
+            "accessors": [
+                {"count": 3, "min": [-1, -1, -1], "max": [1, 1, 1]},
+                {"count": 3},
+            ],
+        }
+        (tmp_path / "proxy.gltf").write_text(json.dumps(g))
+
+        from renderer_tpu.assets.proxy import load_gltf_proxy
+
+        registry = rt.MaterialRegistry()
+        builder = rt.VertexLibraryBuilder()
+        gltf = load_gltf_proxy(tmp_path / "proxy.gltf", builder, registry)
+        tex = gltf.textures[0]
+        assert (tex.wrap_s, tex.wrap_t) == (TextureWrap.MIRRORED_REPEAT,
+                                            TextureWrap.CLAMP_TO_EDGE)

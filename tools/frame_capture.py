@@ -89,7 +89,6 @@ def capture(out_dir, scene_name: str = "triangle", game_time: float = 1.0,
         raise SystemExit(f"unknown scene {scene_name!r} (triangle|sandbox)")
 
     renderer = rt.Renderer(registry, config, overflow_policy="sync")
-    cfg = renderer.config
 
     # final image first ("sync" leaves cfg right-sized, so the stage re-run
     # below bins at the same capacities the composed frame used)
