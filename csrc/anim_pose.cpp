@@ -197,9 +197,108 @@ void compose_trs(const float* s, const float* q, const float* t, float* m) {
   m[15] = 1.0f;
 }
 
+// Body of anim_pose_multi (shared with anim_prologue): layered evaluation
+// of N playing animations into global node poses. Returns 0 on success,
+// 1 + anim index on a past-the-end timestamp.
+int eval_multi_mats(
+    int64_t n_anims, const int64_t* chan_off, const int64_t* offsets,
+    const double* times, const float* values, const float* in_tan,
+    const float* out_tan, const int64_t* slot_of_chan, const int32_t* path_id,
+    const uint8_t* step, const uint8_t* cubic, const double* query_times,
+    const int64_t* touch_off, const float* s0, const float* q0,
+    const float* t0, const int64_t* touched_idx, int64_t n_nodes,
+    const float* static_locals, int64_t n_order, const int64_t* order,
+    const int64_t* parents, float* mats) {
+  std::vector<float> locals(static_locals,
+                            static_locals + size_t(n_nodes) * 16);
+  std::vector<uint8_t> touched(size_t(n_nodes), 0);
+  std::vector<float> s, q, t;
+  for (int64_t a = 0; a < n_anims; a++) {
+    const int64_t tb = touch_off[a], te = touch_off[a + 1];
+    const int64_t m = te - tb;
+    if (m == 0) continue;
+    s.assign(s0 + tb * 3, s0 + te * 3);
+    q.assign(q0 + tb * 4, q0 + te * 4);
+    t.assign(t0 + tb * 3, t0 + te * 3);
+    for (int64_t i = 0; i < m; i++) {  // re-touched: base = decompose(now)
+      const int64_t node = touched_idx[tb + i];
+      if (touched[node])
+        decompose_trs(&locals[size_t(node) * 16], &s[i * 3], &q[i * 4],
+                      &t[i * 3]);
+    }
+    const double time = query_times[a];
+    for (int64_t c = chan_off[a]; c < chan_off[a + 1]; c++) {
+      float v[4];
+      if (!sample_channel(times + offsets[c], values + offsets[c] * 4,
+                          in_tan + offsets[c] * 4, out_tan + offsets[c] * 4,
+                          offsets[c + 1] - offsets[c], step[c], cubic[c],
+                          path_id[c] == 1, time, v))
+        return 1 + int(a);
+      const int64_t slot = slot_of_chan[c];
+      switch (path_id[c]) {
+        case 0: std::memcpy(&t[slot * 3], v, 3 * sizeof(float)); break;
+        case 1: std::memcpy(&q[slot * 4], v, 4 * sizeof(float)); break;
+        case 2: std::memcpy(&s[slot * 3], v, 3 * sizeof(float)); break;
+        default: break;  // weights: callers fall back before reaching here
+      }
+    }
+    for (int64_t i = 0; i < m; i++) {
+      const int64_t node = touched_idx[tb + i];
+      compose_trs(&s[i * 3], &q[i * 4], &t[i * 3],
+                  &locals[size_t(node) * 16]);
+      touched[node] = 1;
+    }
+  }
+  for (int64_t r = 0; r < n_order; r++) {
+    const int64_t ni = order[r], p = parents[r];
+    if (p < 0)
+      std::memcpy(mats + ni * 16, &locals[ni * 16], 16 * sizeof(float));
+    else
+      mat4_mul(mats + p * 16, &locals[ni * 16], mats + ni * 16);
+  }
+  return 0;
+}
+
 }  // namespace
 
 extern "C" {
+
+// Everything the per-frame animated-queue prologue needs, marshalled ONCE on
+// the Python side into one struct (a 25-argument ctypes call costs more in
+// argument conversion than the native work itself — tools/native.py
+// make_anim_prologue). Every member is 8 bytes (int64_t or pointer), so the
+// layout has no padding and the ctypes.Structure mirror matches exactly.
+typedef struct {
+  // pose evaluation (the anim_pose_multi argument set)
+  int64_t n_anims;
+  const int64_t* chan_off;       // [n_anims+1]
+  const int64_t* offsets;        // [total_chans+1] global keyframe rows
+  const double* times;
+  const float* values;           // [total,4]
+  const float* in_tan;           // [total,4]
+  const float* out_tan;          // [total,4]
+  const int64_t* slot_of_chan;   // anim-local touched slots
+  const int32_t* path_id;        // 0=T 1=R 2=S
+  const uint8_t* step;
+  const uint8_t* cubic;
+  const int64_t* touch_off;      // [n_anims+1]
+  const float* s0;               // [total_touched,3]
+  const float* q0;               // [total_touched,4]
+  const float* t0;               // [total_touched,3]
+  const int64_t* touched_idx;    // [total_touched]
+  int64_t n_nodes;
+  const float* static_locals;    // [n_nodes,16]
+  int64_t n_order;
+  const int64_t* order;          // [n_order]
+  const int64_t* parents;        // [n_order]
+  // frame products (scene_queueing.rs:17-57)
+  int64_t n_joints;              // total joints across skins, alloc order
+  const int64_t* joint_nodes;    // [n_joints] node index per joint
+  const float* ibms;             // [n_joints,16] inverse bind matrices
+  int64_t n_skinned;             // skinned draw rows (transform = root)
+  int64_t n_static;              // static draw rows
+  const int64_t* static_idx;     // [n_static] node index per static row
+} AnimProloguePack;
 
 // Evaluate one animation at `time` and return every node's GLOBAL pose.
 // Channel arrays are the _CompiledAnimation layout (channel c owns
@@ -288,53 +387,41 @@ int anim_pose_multi(
     const float* t0 /*[·,3]*/, const int64_t* touched_idx /*[·]*/,
     int n_nodes, const float* static_locals /*[n,16]*/, int n_order,
     const int64_t* order, const int64_t* parents, float* mats /*[n,16]*/) {
-  std::vector<float> locals(static_locals,
-                            static_locals + size_t(n_nodes) * 16);
-  std::vector<uint8_t> touched(size_t(n_nodes), 0);
-  std::vector<float> s, q, t;
-  for (int a = 0; a < n_anims; a++) {
-    const int64_t tb = touch_off[a], te = touch_off[a + 1];
-    const int64_t m = te - tb;
-    if (m == 0) continue;
-    s.assign(s0 + tb * 3, s0 + te * 3);
-    q.assign(q0 + tb * 4, q0 + te * 4);
-    t.assign(t0 + tb * 3, t0 + te * 3);
-    for (int64_t i = 0; i < m; i++) {  // re-touched: base = decompose(now)
-      const int64_t node = touched_idx[tb + i];
-      if (touched[node])
-        decompose_trs(&locals[size_t(node) * 16], &s[i * 3], &q[i * 4],
-                      &t[i * 3]);
-    }
-    const double time = query_times[a];
-    for (int64_t c = chan_off[a]; c < chan_off[a + 1]; c++) {
-      float v[4];
-      if (!sample_channel(times + offsets[c], values + offsets[c] * 4,
-                          in_tan + offsets[c] * 4, out_tan + offsets[c] * 4,
-                          offsets[c + 1] - offsets[c], step[c], cubic[c],
-                          path_id[c] == 1, time, v))
-        return 1 + a;
-      const int64_t slot = slot_of_chan[c];
-      switch (path_id[c]) {
-        case 0: std::memcpy(&t[slot * 3], v, 3 * sizeof(float)); break;
-        case 1: std::memcpy(&q[slot * 4], v, 4 * sizeof(float)); break;
-        case 2: std::memcpy(&s[slot * 3], v, 3 * sizeof(float)); break;
-        default: break;  // weights: callers fall back before reaching here
-      }
-    }
-    for (int64_t i = 0; i < m; i++) {
-      const int64_t node = touched_idx[tb + i];
-      compose_trs(&s[i * 3], &q[i * 4], &t[i * 3],
-                  &locals[size_t(node) * 16]);
-      touched[node] = 1;
-    }
-  }
-  for (int r = 0; r < n_order; r++) {
-    const int64_t ni = order[r], p = parents[r];
-    if (p < 0)
-      std::memcpy(mats + ni * 16, &locals[ni * 16], 16 * sizeof(float));
-    else
-      mat4_mul(mats + p * 16, &locals[ni * 16], mats + ni * 16);
-  }
+  return eval_multi_mats(n_anims, chan_off, offsets, times, values, in_tan,
+                         out_tan, slot_of_chan, path_id, step, cubic,
+                         query_times, touch_off, s0, q0, t0, touched_idx,
+                         n_nodes, static_locals, n_order, order, parents,
+                         mats);
+}
+
+// The whole animated-queue frame prologue in ONE call (the fast analog of
+// gltf_loader.queue_animated's per-frame work, scene_queueing.rs:17-57):
+// layered pose evaluation, then joint palettes (palette[j] =
+// mats[joint_node[j]] @ ibm[j]) written straight into the scene's palette
+// storage, and the per-draw transform array in DrawBlock row order —
+// skinned rows get the UN-multiplied root transform, static rows get
+// root @ node pose. Returns 0 on success, 1 + anim index on a past-the-end
+// timestamp (products are not written on failure).
+int anim_prologue(const AnimProloguePack* p,
+                  const double* query_times /*[n_anims]*/,
+                  const float* root /*16 row-major*/,
+                  float* mats /*[n_nodes,16] scratch + output*/,
+                  float* palettes /*[n_joints,16] destination*/,
+                  float* block_transforms /*[n_skinned+n_static,16]*/) {
+  const int rc = eval_multi_mats(
+      p->n_anims, p->chan_off, p->offsets, p->times, p->values, p->in_tan,
+      p->out_tan, p->slot_of_chan, p->path_id, p->step, p->cubic, query_times,
+      p->touch_off, p->s0, p->q0, p->t0, p->touched_idx, p->n_nodes,
+      p->static_locals, p->n_order, p->order, p->parents, mats);
+  if (rc != 0) return rc;
+  for (int64_t j = 0; j < p->n_joints; j++)
+    mat4_mul(mats + p->joint_nodes[j] * 16, p->ibms + j * 16,
+             palettes + j * 16);
+  for (int64_t i = 0; i < p->n_skinned; i++)
+    std::memcpy(block_transforms + i * 16, root, 16 * sizeof(float));
+  float* statics = block_transforms + p->n_skinned * 16;
+  for (int64_t i = 0; i < p->n_static; i++)
+    mat4_mul(root, mats + p->static_idx[i] * 16, statics + i * 16);
   return 0;
 }
 

@@ -19,6 +19,39 @@ _LIB_PATH = _CSRC / "librenderer_native.so"
 _lib = None
 _load_failed = False
 
+_i64p = ctypes.POINTER(ctypes.c_int64)
+_i32p = ctypes.POINTER(ctypes.c_int32)
+_u8p = ctypes.POINTER(ctypes.c_uint8)
+_f32p = ctypes.POINTER(ctypes.c_float)
+_f64p = ctypes.POINTER(ctypes.c_double)
+
+
+class _AnimProloguePack(ctypes.Structure):
+    """Mirror of csrc/anim_pose.cpp AnimProloguePack: every member is 8
+    bytes (int64 or pointer), so both sides agree on the layout with no
+    padding. Filled once per compiled prologue; the per-frame call passes
+    only (pack*, query_times*, root*, mats*, palettes*, block_transforms*)
+    — six arguments instead of the ~25 a flat signature would need (ctypes
+    argument conversion costs more than the native work itself)."""
+
+    _fields_ = [
+        ("n_anims", ctypes.c_int64),
+        ("chan_off", _i64p), ("offsets", _i64p),
+        ("times", _f64p), ("values", _f32p),
+        ("in_tan", _f32p), ("out_tan", _f32p),
+        ("slot_of_chan", _i64p), ("path_id", _i32p),
+        ("step", _u8p), ("cubic", _u8p),
+        ("touch_off", _i64p),
+        ("s0", _f32p), ("q0", _f32p), ("t0", _f32p),
+        ("touched_idx", _i64p),
+        ("n_nodes", ctypes.c_int64), ("static_locals", _f32p),
+        ("n_order", ctypes.c_int64), ("order", _i64p), ("parents", _i64p),
+        ("n_joints", ctypes.c_int64), ("joint_nodes", _i64p),
+        ("ibms", _f32p),
+        ("n_skinned", ctypes.c_int64), ("n_static", ctypes.c_int64),
+        ("static_idx", _i64p),
+    ]
+
 
 def load() -> ctypes.CDLL | None:
     global _lib, _load_failed
@@ -81,6 +114,13 @@ def load() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_float),
         ]
         lib.anim_pose_multi.restype = ctypes.c_int
+        lib.anim_prologue.argtypes = [
+            ctypes.POINTER(_AnimProloguePack),
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.anim_prologue.restype = ctypes.c_int
         _lib = lib
     except Exception:
         _load_failed = True
@@ -189,26 +229,10 @@ def make_anim_pose(comp, static_locals, order, parents):
     return sample
 
 
-def make_anim_pose_multi(comps, static_locals, order, parents):
-    """Build the native LAYERED pose evaluator for N ≥ 2 playing animations
-    (csrc/anim_pose.cpp anim_pose_multi): concatenates the per-animation
-    _CompiledAnimation arrays in play order ONCE, returns
-    `sample(times: list[float]) -> mats f32 [n, 4, 4]` of GLOBAL node poses,
-    or None when the native library is unavailable. `sample` raises
-    ValueError(anim_index) on a past-the-end timestamp."""
-    lib = load()
-    if lib is None:
-        return None
-    n_anims = len(comps)
-    n_nodes = static_locals.shape[0]
-
-    keep: list = []
-
-    def ptr(a, ct):
-        a = np.ascontiguousarray(a)
-        keep.append(a)
-        return a.ctypes.data_as(ctypes.POINTER(ct))
-
+def _concat_comp_arrays(comps):
+    """Concatenate the per-animation _CompiledAnimation arrays in play order
+    into the layered-evaluation layout shared by anim_pose_multi and
+    anim_prologue. Returns a dict of contiguous numpy arrays."""
     chan_off = np.concatenate(
         [[0], np.cumsum([c.n_channels for c in comps])]
     ).astype(np.int64)
@@ -242,29 +266,57 @@ def make_anim_pose_multi(comps, static_locals, order, parents):
             else np.zeros(shape, dtype)
         )
 
-    slot_of_chan = cat([c.slot_of_chan for c in comps], np.int64)
-    path_id = cat([c.path_id32 for c in comps], np.int32)
-    step = cat([c.step_u8 for c in comps], np.uint8)
-    cubic = cat([c.cubic_u8 for c in comps], np.uint8)
-    touch_off = np.concatenate(
-        [[0], np.cumsum([len(c.touched) for c in comps])]
-    ).astype(np.int64)
-    s0 = cat([c.s0 for c in comps], np.float32, 3)
-    q0 = cat([c.q0 for c in comps], np.float32, 4)
-    t0 = cat([c.t0 for c in comps], np.float32, 3)
-    touched_idx = cat([c.touched_arr for c in comps], np.int64)
+    return {
+        "chan_off": chan_off, "offsets": offsets, "times": times,
+        "values": values, "in_tan": in_tan, "out_tan": out_tan,
+        "slot_of_chan": cat([c.slot_of_chan for c in comps], np.int64),
+        "path_id": cat([c.path_id32 for c in comps], np.int32),
+        "step": cat([c.step_u8 for c in comps], np.uint8),
+        "cubic": cat([c.cubic_u8 for c in comps], np.uint8),
+        "touch_off": np.concatenate(
+            [[0], np.cumsum([len(c.touched) for c in comps])]
+        ).astype(np.int64),
+        "s0": cat([c.s0 for c in comps], np.float32, 3),
+        "q0": cat([c.q0 for c in comps], np.float32, 4),
+        "t0": cat([c.t0 for c in comps], np.float32, 3),
+        "touched_idx": cat([c.touched_arr for c in comps], np.int64),
+    }
 
+
+def make_anim_pose_multi(comps, static_locals, order, parents):
+    """Build the native LAYERED pose evaluator for N ≥ 2 playing animations
+    (csrc/anim_pose.cpp anim_pose_multi): concatenates the per-animation
+    _CompiledAnimation arrays in play order ONCE, returns
+    `sample(times: list[float]) -> mats f32 [n, 4, 4]` of GLOBAL node poses,
+    or None when the native library is unavailable. `sample` raises
+    ValueError(anim_index) on a past-the-end timestamp."""
+    lib = load()
+    if lib is None:
+        return None
+    n_anims = len(comps)
+    n_nodes = static_locals.shape[0]
+
+    keep: list = []
+
+    def ptr(a, ct):
+        a = np.ascontiguousarray(a)
+        keep.append(a)
+        return a.ctypes.data_as(ctypes.POINTER(ct))
+
+    cc = _concat_comp_arrays(comps)
     fixed = (
-        n_anims, ptr(chan_off, ctypes.c_int64), ptr(offsets, ctypes.c_int64),
-        ptr(times, ctypes.c_double), ptr(values, ctypes.c_float),
-        ptr(in_tan, ctypes.c_float), ptr(out_tan, ctypes.c_float),
-        ptr(slot_of_chan, ctypes.c_int64), ptr(path_id, ctypes.c_int32),
-        ptr(step, ctypes.c_uint8), ptr(cubic, ctypes.c_uint8),
+        n_anims, ptr(cc["chan_off"], ctypes.c_int64),
+        ptr(cc["offsets"], ctypes.c_int64),
+        ptr(cc["times"], ctypes.c_double), ptr(cc["values"], ctypes.c_float),
+        ptr(cc["in_tan"], ctypes.c_float), ptr(cc["out_tan"], ctypes.c_float),
+        ptr(cc["slot_of_chan"], ctypes.c_int64),
+        ptr(cc["path_id"], ctypes.c_int32),
+        ptr(cc["step"], ctypes.c_uint8), ptr(cc["cubic"], ctypes.c_uint8),
     )
     fixed2 = (
-        ptr(touch_off, ctypes.c_int64), ptr(s0, ctypes.c_float),
-        ptr(q0, ctypes.c_float), ptr(t0, ctypes.c_float),
-        ptr(touched_idx, ctypes.c_int64),
+        ptr(cc["touch_off"], ctypes.c_int64), ptr(cc["s0"], ctypes.c_float),
+        ptr(cc["q0"], ctypes.c_float), ptr(cc["t0"], ctypes.c_float),
+        ptr(cc["touched_idx"], ctypes.c_int64),
         n_nodes, ptr(static_locals, ctypes.c_float),
         len(order), ptr(order, ctypes.c_int64), ptr(parents, ctypes.c_int64),
     )
@@ -283,6 +335,103 @@ def make_anim_pose_multi(comps, static_locals, order, parents):
         return mats
 
     sample._keepalive = keep  # the arrays behind the raw pointers
+    return sample
+
+
+def make_anim_prologue(comps, static_locals, order, parents,
+                       joint_nodes, ibms, n_skinned, static_idx):
+    """Build the ONE-CALL animated-queue frame prologue
+    (csrc/anim_pose.cpp anim_prologue): layered pose evaluation for the
+    compiled animations, joint palettes written straight into the caller's
+    palette storage, and the per-draw transform array in DrawBlock row order
+    (n_skinned rows of the un-multiplied root, then root @ static node
+    poses — scene_queueing.rs:17-57). Returns
+    `sample(times, root, palettes_out) -> transforms f32 [n_skinned +
+    n_static, 4, 4]` or None when the native library is unavailable.
+    `palettes_out` must be a C-contiguous f32 [n_joints, 4, 4] view (e.g. a
+    Scene.joint_palette slice); the returned transforms array is a REUSED
+    buffer — valid until the next call (Scene.queue_block copies). Raises
+    ValueError(anim_index) on a past-the-end timestamp."""
+    lib = load()
+    if lib is None:
+        return None
+    n_anims = len(comps)
+    n_nodes = static_locals.shape[0]
+
+    keep: list = []
+
+    def arr(a, dtype):
+        a = np.ascontiguousarray(a, dtype)
+        keep.append(a)
+        return a
+
+    def ptr(a, ct):
+        return a.ctypes.data_as(ctypes.POINTER(ct))
+
+    cc = {k: arr(v, v.dtype) for k, v in _concat_comp_arrays(comps).items()}
+    joint_nodes = arr(joint_nodes, np.int64)
+    ibms = arr(ibms, np.float32)
+    static_idx = arr(static_idx, np.int64)
+    static_locals = arr(static_locals, np.float32)
+    order = arr(order, np.int64)
+    parents = arr(parents, np.int64)
+
+    pack = _AnimProloguePack(
+        n_anims=n_anims,
+        chan_off=ptr(cc["chan_off"], ctypes.c_int64),
+        offsets=ptr(cc["offsets"], ctypes.c_int64),
+        times=ptr(cc["times"], ctypes.c_double),
+        values=ptr(cc["values"], ctypes.c_float),
+        in_tan=ptr(cc["in_tan"], ctypes.c_float),
+        out_tan=ptr(cc["out_tan"], ctypes.c_float),
+        slot_of_chan=ptr(cc["slot_of_chan"], ctypes.c_int64),
+        path_id=ptr(cc["path_id"], ctypes.c_int32),
+        step=ptr(cc["step"], ctypes.c_uint8),
+        cubic=ptr(cc["cubic"], ctypes.c_uint8),
+        touch_off=ptr(cc["touch_off"], ctypes.c_int64),
+        s0=ptr(cc["s0"], ctypes.c_float),
+        q0=ptr(cc["q0"], ctypes.c_float),
+        t0=ptr(cc["t0"], ctypes.c_float),
+        touched_idx=ptr(cc["touched_idx"], ctypes.c_int64),
+        n_nodes=n_nodes,
+        static_locals=ptr(static_locals, ctypes.c_float),
+        n_order=len(order),
+        order=ptr(order, ctypes.c_int64),
+        parents=ptr(parents, ctypes.c_int64),
+        n_joints=len(joint_nodes),
+        joint_nodes=ptr(joint_nodes, ctypes.c_int64),
+        ibms=ptr(ibms, ctypes.c_float),
+        n_skinned=int(n_skinned),
+        n_static=len(static_idx),
+        static_idx=ptr(static_idx, ctypes.c_int64),
+    )
+    pack_ptr = ctypes.byref(pack)
+    qt = np.zeros(n_anims, np.float64)
+    root = np.zeros((4, 4), np.float32)
+    mats = np.empty((n_nodes, 4, 4), np.float32)
+    transforms = np.empty((int(n_skinned) + len(static_idx), 4, 4),
+                          np.float32)
+    qt_ptr = qt.ctypes.data_as(_f64p)
+    root_ptr = root.ctypes.data_as(_f32p)
+    mats_ptr = mats.ctypes.data_as(_f32p)
+    bt_ptr = transforms.ctypes.data_as(_f32p)
+    n_joints = len(joint_nodes)
+    fn = lib.anim_prologue
+
+    def sample(query_times, root_transform, palettes_out) -> np.ndarray:
+        qt[:] = query_times
+        root[:] = root_transform
+        assert palettes_out.flags.c_contiguous and \
+            palettes_out.dtype == np.float32 and \
+            palettes_out.shape == (n_joints, 4, 4)
+        rc = fn(pack_ptr, qt_ptr, root_ptr, mats_ptr,
+                palettes_out.ctypes.data_as(_f32p), bt_ptr)
+        if rc != 0:
+            raise ValueError(rc - 1)
+        return transforms
+
+    sample._keepalive = (keep, pack)  # the arrays behind the raw pointers
+    sample.node_mats = mats  # last call's global node poses (reused buffer)
     return sample
 
 

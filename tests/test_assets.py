@@ -555,3 +555,132 @@ class TestAtlas:
         assert (w, h) == (1, 1)
         assert at.data[y, x] == 0xFFFFFFFF
         assert at.srgb[0] == 1 and at.srgb[1] == 0
+
+
+class TestNativeQueuePrologue:
+    """The one-call native queue_animated prologue (csrc anim_prologue:
+    pose sampling + joint palettes + the per-draw transform block) must be
+    BIT-compatible with the numpy fast path it replaces — same scene SoA,
+    same palette, same refusal/raise semantics."""
+
+    @staticmethod
+    def _snapshot(scene):
+        n = scene._n
+        return (scene._keys[:n].copy(), scene._transforms[:n].copy(),
+                scene._material_id[:n].copy(),
+                scene._joints_offset[:n].copy(), scene._skinned[:n].copy(),
+                scene._morph_weights[:n].copy(), scene.joint_palette.copy(),
+                scene._joint_cursor)
+
+    def _both_paths(self, gltf, playing, transform):
+        from renderer_tpu.tools import native
+
+        gltf.invalidate_caches()
+        sc_native = rt.Scene(world_space=rt.GLTF)
+        ok_native = gltf.queue_animated(sc_native, transform, playing)
+        cache = getattr(gltf, "_prologue_cache", None)
+        assert cache and all(v is not None for v in cache.values()), (
+            "native prologue path must engage (not fall back)"
+        )
+        a = self._snapshot(sc_native)
+
+        gltf.invalidate_caches()
+        orig = native.make_anim_prologue
+        native.make_anim_prologue = lambda *args, **kw: None
+        try:
+            sc_numpy = rt.Scene(world_space=rt.GLTF)
+            ok_numpy = gltf.queue_animated(sc_numpy, transform, playing)
+        finally:
+            native.make_anim_prologue = orig
+            gltf.invalidate_caches()
+        b = self._snapshot(sc_numpy)
+
+        assert ok_native == ok_numpy
+        for name, x, y in zip(
+            ("keys", "transforms", "material_id", "joints_offset", "skinned",
+             "morph_weights", "palette", "joint_cursor"), a, b,
+        ):
+            if isinstance(x, np.ndarray):
+                np.testing.assert_array_equal(x, y, err_msg=name)
+            else:
+                assert x == y, name
+
+    def test_proxy_character_bit_equal(self):
+        from renderer_tpu.assets import proxy
+
+        registry = rt.MaterialRegistry()
+        builder = rt.VertexLibraryBuilder()
+        gltf = proxy.make_skinned_character(builder, registry, n_joints=5,
+                                            segments=8, radial=6)
+        tr = math3d.trs(np.array([0.3, 0.0, -0.2], np.float32),
+                        np.array([0, 0, 0, 1], np.float32),
+                        np.array([1.1, 1.0, 0.9], np.float32))
+        for times in [(0.0, 0.0), (0.7, 1.3), (1.9, 0.4)]:
+            playing = [(t % a.end_time, a)
+                       for t, a in zip(times, gltf.animations)]
+            self._both_paths(gltf, playing, tr)
+
+    def test_loader_fixture_skins_and_morphs_bit_equal(self):
+        """Real-byte fixture: 2 skins + weights channels — palettes for
+        several skins and per-draw morph weights must match through the
+        native block path."""
+        from tests.make_loader_fixture import GLTF_PATH
+
+        registry = rt.MaterialRegistry()
+        builder = rt.VertexLibraryBuilder()
+        gltf = gltf_loader.load_gltf(GLTF_PATH, builder, registry)
+        assert len(gltf.skins) >= 2 and gltf.has_morph
+        for times in [(0.0, 0.0), (0.5, 0.25)]:
+            playing = [(t % a.end_time, a)
+                       for t, a in zip(times, gltf.animations)]
+            self._both_paths(gltf, playing, math3d.IDENTITY)
+
+    def test_single_animation_bit_equal(self):
+        """N=1 goes through the same layered prologue (the multi semantics
+        reduce to the single-animation path for one animation)."""
+        from renderer_tpu.assets import proxy
+
+        registry = rt.MaterialRegistry()
+        builder = rt.VertexLibraryBuilder()
+        gltf = proxy.make_skinned_character(builder, registry, n_joints=4,
+                                            segments=6, radial=5)
+        self._both_paths(gltf, [(0.6, gltf.animations[0])], math3d.IDENTITY)
+
+    def test_past_end_raises_with_anim_name(self):
+        from renderer_tpu.assets import proxy
+
+        registry = rt.MaterialRegistry()
+        builder = rt.VertexLibraryBuilder()
+        gltf = proxy.make_skinned_character(builder, registry, n_joints=4,
+                                            segments=6, radial=5)
+        bad = float(gltf.animations[1].end_time) + 1.0
+        scene = rt.Scene(world_space=rt.GLTF)
+        with pytest.raises(gltf_loader.AnimationError, match="bob"):
+            gltf.queue_animated(scene, math3d.IDENTITY,
+                                [(0.1, gltf.animations[0]),
+                                 (bad, gltf.animations[1])])
+
+    def test_pooled_scene_requeue_reuses_block(self):
+        """clear() + re-queue (the interactive loop) must hit the cached
+        combined DrawBlock (same joint offsets every frame) and produce the
+        identical draw stream."""
+        from renderer_tpu.assets import proxy
+
+        registry = rt.MaterialRegistry()
+        builder = rt.VertexLibraryBuilder()
+        gltf = proxy.make_skinned_character(builder, registry, n_joints=5,
+                                            segments=8, radial=6)
+        playing = [(0.2, a) for a in gltf.animations]
+        scene = rt.Scene(world_space=rt.GLTF)
+        gltf.queue_animated(scene, math3d.IDENTITY, playing)
+        first = self._snapshot(scene)
+        entry = next(iter(gltf._prologue_cache.values()))
+        assert len(entry["blocks"]) == 1
+        scene.clear()
+        gltf.queue_animated(scene, math3d.IDENTITY, playing)
+        assert len(entry["blocks"]) == 1  # cache hit, no rebuild
+        for x, y in zip(first, self._snapshot(scene)):
+            if isinstance(x, np.ndarray):
+                np.testing.assert_array_equal(x, y)
+            else:
+                assert x == y
