@@ -154,14 +154,20 @@ def verify_main(frames: int, pair_capacity: int | None) -> None:
             bounds.append(frame["n_opaque"] + frame["n_masked"])
         if gs.num_tris > gs.num_opaque_tris + gs.num_masked_tris:
             bounds.append(frame["num_tris"])
-        _b, _s, counts, ov = binning.bin_triangle_classes(
+        _b, _s, _counts, ov = binning.bin_triangle_classes(
             td, tuple(bounds),
             tiles_x=cfg.tiles_x, tiles_y=cfg.tiles_y,
             tile_w=cfg.tile_w, tile_h=cfg.tile_h,
             pair_capacity=cfg.pair_capacity,
         )
         ov_sum = int(np.asarray(ov).sum())
-        total = int(np.asarray(counts).sum()) + ov_sum
+        # brim guard sizing signal = bbox-expansion demand (counts are the
+        # post-trivial-reject survivors, smaller than what capacity must hold)
+        total = int(np.asarray(binning.pair_demand(
+            td, tuple(bounds),
+            tiles_x=cfg.tiles_x, tiles_y=cfg.tiles_y,
+            tile_w=cfg.tile_w, tile_h=cfg.tile_h,
+        )))
         dropped = max(dropped, ov_sum)
         max_pairs = max(max_pairs, total)
     print(json.dumps({

@@ -8,7 +8,11 @@ overlap it (SURVEY.md §5.7 — the "scale axis" of this engine).
 TPU-native formulation: everything is dense XLA ops —
 1. per-triangle tile span from the setup bbox (pixel-center semantics),
 2. expansion to (tile, triangle) pairs with `jnp.repeat(total_repeat_length)`
-   (static capacity, overflow-safe),
+   (static capacity, overflow-safe), then a tight edge-plane trivial-reject
+   per pair (bbox spans overbin heavily — w-crossing triangles get a
+   full-screen bbox from the clipless setup; the reject prunes ~90% of the
+   bench scene's expanded pairs before they cost sort-payload scatter or
+   kernel DMA),
 3. one stable sort by tile id,
 4. scatter of the kernel-consumed triangle setup rows into bin order → a
    [B_ROWS, P] SoA array
@@ -53,6 +57,50 @@ def padded_capacity_classes(pair_capacity: int, n_tiles: int, n_classes: int) ->
     from renderer_tpu.raster.raster_kernel import CHUNK
 
     return pair_capacity + ALIGN * n_tiles * n_classes + CHUNK
+
+
+def _tile_spans(tri_data, bounds, n_classes, *, tiles_x, tiles_y,
+                tile_w, tile_h):
+    """Shared bbox→tile-span math: per-triangle first tile (tx0, ty0), span
+    (span_w, span_h), expanded pair count (0 for invalid / out-of-bounds
+    triangles), and alpha-class id. Used by bin_triangle_classes and
+    pair_demand — ONE definition so the capacity-sizing signal can never
+    drift from what the expansion actually allocates."""
+    tc = tri_data.shape[1]
+    xmin, ymin, xmax, ymax = (tri_data[k] for k in BBOX_ROWS)
+    tri_idx = jnp.arange(tc, dtype=jnp.int32)
+    valid = (tri_data[VALID_ROW] > 0.0) & (tri_idx >= bounds[0]) & (tri_idx < bounds[-1])
+    cls = jnp.zeros(tc, jnp.int32)
+    for c in range(1, n_classes):
+        cls = cls + (tri_idx >= bounds[c]).astype(jnp.int32)
+
+    # tile index ranges covering any pixel CENTER in [min, max]
+    tx0 = jnp.clip(jnp.ceil((xmin + 0.5) / tile_w - 1.0), 0, tiles_x - 1).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.floor((xmax - 0.5) / tile_w), 0, tiles_x - 1).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.ceil((ymin + 0.5) / tile_h - 1.0), 0, tiles_y - 1).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor((ymax - 0.5) / tile_h), 0, tiles_y - 1).astype(jnp.int32)
+
+    span_w = jnp.maximum(tx1 - tx0 + 1, 0)
+    span_h = jnp.maximum(ty1 - ty0 + 1, 0)
+    n_pairs = jnp.where(valid, span_w * span_h, 0)
+    return tx0, ty0, span_w, span_h, n_pairs, cls
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tiles_x", "tiles_y", "tile_w", "tile_h")
+)
+def pair_demand(tri_data, bounds, *, tiles_x, tiles_y, tile_w, tile_h):
+    """Total (tile, triangle) pairs the bbox expansion must hold — the
+    pair_capacity sizing signal (the `total_pairs` frame stat feeding the
+    Renderer's grow/shrink feedback). This is the PRE-reject demand: the
+    tight trivial-reject inside bin_triangle_classes only prunes pairs that
+    were already expanded, so capacity must be sized for the expansion, not
+    for the survivors."""
+    n_pairs = _tile_spans(
+        tri_data, bounds, len(bounds) - 1,
+        tiles_x=tiles_x, tiles_y=tiles_y, tile_w=tile_w, tile_h=tile_h,
+    )[4]
+    return jnp.sum(n_pairs)
 
 
 @functools.partial(
@@ -112,22 +160,10 @@ def bin_triangle_classes(
     tc = tri_data.shape[1]
     n_classes = len(bounds) - 1
     assert n_classes >= 1
-    xmin, ymin, xmax, ymax = (tri_data[k] for k in BBOX_ROWS)
-    tri_idx = jnp.arange(tc, dtype=jnp.int32)
-    valid = (tri_data[VALID_ROW] > 0.0) & (tri_idx >= bounds[0]) & (tri_idx < bounds[-1])
-    cls = jnp.zeros(tc, jnp.int32)
-    for c in range(1, n_classes):
-        cls = cls + (tri_idx >= bounds[c]).astype(jnp.int32)
-
-    # tile index ranges covering any pixel CENTER in [min, max]
-    tx0 = jnp.clip(jnp.ceil((xmin + 0.5) / tile_w - 1.0), 0, tiles_x - 1).astype(jnp.int32)
-    tx1 = jnp.clip(jnp.floor((xmax - 0.5) / tile_w), 0, tiles_x - 1).astype(jnp.int32)
-    ty0 = jnp.clip(jnp.ceil((ymin + 0.5) / tile_h - 1.0), 0, tiles_y - 1).astype(jnp.int32)
-    ty1 = jnp.clip(jnp.floor((ymax - 0.5) / tile_h), 0, tiles_y - 1).astype(jnp.int32)
-
-    span_w = jnp.maximum(tx1 - tx0 + 1, 0)
-    span_h = jnp.maximum(ty1 - ty0 + 1, 0)
-    n_pairs = jnp.where(valid, span_w * span_h, 0)
+    tx0, ty0, span_w, span_h, n_pairs, cls = _tile_spans(
+        tri_data, bounds, n_classes,
+        tiles_x=tiles_x, tiles_y=tiles_y, tile_w=tile_w, tile_h=tile_h,
+    )
 
     cum_end = jnp.cumsum(n_pairs)
     total = cum_end[-1]
@@ -143,11 +179,42 @@ def bin_triangle_classes(
     w_t = jnp.maximum(span_w[tri_of_pair], 1)
     dy = k // w_t
     dx = k - dy * w_t
-    tile = (ty0[tri_of_pair] + dy) * tiles_x + (tx0[tri_of_pair] + dx)
+    tile_x = tx0[tri_of_pair] + dx
+    tile_y = ty0[tri_of_pair] + dy
+    tile = tile_y * tiles_x + tile_x
     n_tiles = tiles_x * tiles_y
     n_keys = n_classes * n_tiles
     key = cls[tri_of_pair] * n_tiles + tile
     key = jnp.where(pair_live, key, n_keys)  # dead pairs → overflow bucket
+
+    # Tight trivial-reject on top of the bbox spans: a pair survives only if
+    # EVERY edge's most-inside corner of the tile's sample extent is inside
+    # (max over the extent of the linear e(x,y) = a·x + b·y + c ≥ 0 — the
+    # standard conservative triangle/box test). The bbox alone overbins
+    # heavily on thin, diagonal, and partially-offscreen triangles
+    # (measured ~89% of the bench scene's bbox pairs cover nothing in their
+    # tile), and every rejected pair is bin-scatter + raster-kernel DMA +
+    # per-chunk coverage work saved. The extent is padded a FULL pixel past
+    # the tile's pixel centers: 0.5 px bounds every MSAA sample position,
+    # and the other 0.5 px drowns f32 rounding of e_max in slack worth
+    # |a| + |b| — orders beyond the folded watertightness eps — so a pair
+    # whose true coverage is exactly on a tile boundary can never be lost
+    # to evaluation-point rounding. Rejection only ever removes work the
+    # kernels would discard sample-by-sample; image equality vs the
+    # unfiltered binning is pinned by tests/test_binning_and_skinning.py.
+    ext_x0 = tile_x.astype(jnp.float32) * tile_w - 0.5
+    ext_x1 = ext_x0 + (tile_w + 1.0)
+    ext_y0 = tile_y.astype(jnp.float32) * tile_h - 0.5
+    ext_y1 = ext_y0 + (tile_h + 1.0)
+    covers = pair_live
+    for e in range(3):
+        a = tri_data[3 * e][tri_of_pair]
+        b = tri_data[3 * e + 1][tri_of_pair]
+        c = tri_data[3 * e + 2][tri_of_pair]
+        e_max = (a * jnp.where(a > 0, ext_x1, ext_x0)
+                 + b * jnp.where(b > 0, ext_y1, ext_y0) + c)
+        covers &= e_max >= 0.0
+    key = jnp.where(covers, key, n_keys)
 
     order = jnp.argsort(key, stable=True)
     key_sorted = key[order]

@@ -408,7 +408,14 @@ def render_shard(
 
     img = post.tonemap(jnp.stack(hdr) if msaa > 1 else hdr[0])
     clamped = jnp.sum(clamp_mask[:out_rows, : cfg.width].astype(jnp.int32))
-    total_pairs = jnp.sum(c_all) + jnp.sum(ov_all)
+    # the bbox-expansion demand, NOT the post-reject survivor count: this
+    # stat sizes pair_capacity, and the expansion happens before the tight
+    # trivial-reject can prune anything (binning.pair_demand)
+    total_pairs = binning.pair_demand(
+        tri_data, tuple(bounds),
+        tiles_x=cfg.tiles_x, tiles_y=cfg.tiles_y,
+        tile_w=cfg.tile_w, tile_h=cfg.tile_h,
+    )
     stats = jnp.stack(
         [ov_opaque, ov_masked, ov_blended, ov_ui, mask_sat, blend_sat, ui_sat,
          clamped, total_pairs, mask_demand, blend_demand, ui_demand,

@@ -30,6 +30,81 @@ def _fake_tri_data(rng, n, tc, tiles_x, tiles_y, tile_w, tile_h):
 
 
 class TestBinning:
+    def test_trivial_reject_vs_coverage(self):
+        """The tight edge-plane trivial-reject must be CONSERVATIVE: on real
+        setup-produced triangles, every (tile, triangle) pair whose edge
+        test passes anywhere inside the tile's pixel squares (a superset of
+        every possible sample position) must survive binning — while thin
+        diagonal triangles must actually shed a large share of their bbox
+        pairs (the point of the reject)."""
+        tiles_x, tiles_y, tile_w, tile_h = 4, 4, 128, 32
+        W, H = tiles_x * tile_w, tiles_y * tile_h
+        rng = np.random.default_rng(7)
+        n = 80
+        # random CCW-ish triangles in clip space (w = 1), plus a thin
+        # diagonal sliver spanning the whole screen
+        pts = rng.uniform(-1.2, 1.2, (n, 3, 2)).astype(np.float32)
+        pts[0] = [[-1.1, -1.1], [1.1, 1.05], [1.1, 1.1]]  # the sliver
+        clip = np.zeros((3 * n, 4), np.float32)
+        clip[:, :2] = pts.reshape(-1, 2)
+        clip[:, 2] = 0.5
+        clip[:, 3] = 1.0
+        tri_v = np.arange(3 * n, dtype=np.int32).reshape(n, 3)
+        td = np.asarray(setup.triangle_setup(
+            jnp.asarray(clip), jnp.asarray(tri_v), n, W, H, bbox_pad=0.5,
+        ))
+        binned, starts, counts, overflow = binning.bin_triangles(
+            jnp.asarray(td), 0, n,
+            tiles_x=tiles_x, tiles_y=tiles_y, tile_w=tile_w, tile_h=tile_h,
+            pair_capacity=1 << 14,
+        )
+        binned = np.asarray(binned)
+        starts, counts = np.asarray(starts), np.asarray(counts)
+        assert int(np.asarray(overflow)) == 0
+
+        # pixel-square subgrid oracle: positions cover every point a sample
+        # could take (offsets within ±0.5 of the pixel center)
+        sub = np.linspace(-0.5, 0.5, 5)
+        live = 0
+        for ty in range(tiles_y):
+            for tx in range(tiles_x):
+                tile = ty * tiles_x + tx
+                got = set(
+                    binned[B_TID, starts[tile]: starts[tile] + counts[tile]]
+                    .astype(int)
+                )
+                live += len(got)
+                xs = (np.arange(tx * tile_w, tx * tile_w + tile_w) + 0.5)
+                ys = (np.arange(ty * tile_h, ty * tile_h + tile_h) + 0.5)
+                px = (xs[:, None] + sub[None, :]).reshape(-1)
+                py = (ys[:, None] + sub[None, :]).reshape(-1)
+                for t in range(n):
+                    if td[VALID_ROW, t] <= 0 or t in got:
+                        continue
+                    # culled pair: NO point in any pixel square may pass
+                    e = np.ones((len(py), len(px)), bool)
+                    for k in range(3):
+                        a, b, c = td[3 * k, t], td[3 * k + 1, t], td[3 * k + 2, t]
+                        e &= (a * px[None, :] + b * py[:, None] + c) >= 0
+                    assert not e.any(), (
+                        f"tile {tile} wrongly culled triangle {t}"
+                    )
+
+        # effectiveness: the sliver's bbox spans every tile, its coverage
+        # only the diagonal band — well under half its bbox pairs may survive
+        demand = int(np.asarray(binning.pair_demand(
+            jnp.asarray(td), (0, n),
+            tiles_x=tiles_x, tiles_y=tiles_y, tile_w=tile_w, tile_h=tile_h,
+        )))
+        assert live < demand, (live, demand)
+        sliver_tiles = sum(
+            1 for tile in range(tiles_x * tiles_y)
+            if 0 in set(binned[B_TID,
+                               starts[tile]: starts[tile] + counts[tile]]
+                        .astype(int))
+        )
+        assert sliver_tiles < tiles_x * tiles_y / 2
+
     def test_matches_bruteforce(self):
         rng = np.random.default_rng(3)
         tiles_x, tiles_y, tile_w, tile_h = 3, 4, 128, 32
@@ -129,9 +204,17 @@ class TestBinning:
             tc = n + int(rng.integers(0, 60))
             td = _fake_tri_data(rng, n, tc, tiles_x, tiles_y, tile_w, tile_h)
             # populate every kernel-consumed row with recognizable values so
-            # the payload check is meaningful
+            # the payload check is meaningful; edge planes (rows 0-8) must
+            # ACCEPT everywhere (a = b = 0, c > 0 → e ≡ c > 0) so the tight
+            # trivial-reject keeps every bbox pair and this test stays a
+            # pure bin-mechanics oracle (the reject itself is validated
+            # against real coverage in test_trivial_reject_vs_coverage)
             for r in range(15):
                 td[r, :n] = rng.normal(size=n).astype(np.float32)
+            for e in range(3):
+                td[3 * e, :n] = 0.0
+                td[3 * e + 1, :n] = 0.0
+                td[3 * e + 2, :n] = rng.uniform(0.1, 1.0, n).astype(np.float32)
             from renderer_tpu.raster.setup import EPS_ROW
 
             td[EPS_ROW, :n] = rng.uniform(1e-6, 1e-3, n).astype(np.float32)
