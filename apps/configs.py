@@ -105,12 +105,11 @@ def run_all(outdir: str = "configs_out", frames: int = 10) -> list[dict]:
     # 6. device-resident flythrough: 16 frames (camera orbit + animation)
     # per dispatch via lax.scan — the offline-throughput mode that amortizes
     # the per-dispatch host/tunnel overhead bounding config 5. Its own
-    # renderer: the orbit's worst frame needs ~776k binning pairs
-    # (sandbox.build_bench), far beyond config 5's fixed-camera default.
+    # renderer: the orbit's worst frame needs ~173k ragged binning pairs /
+    # ~188k tile-rows (sandbox.build_bench) — the 1<<18 defaults hold.
     renderer = rt.Renderer(
         full.registry,
-        rt.RenderConfig(width=1920, height=1080, msaa_samples=4,
-                        pair_capacity=1 << 20),
+        rt.RenderConfig(width=1920, height=1080, msaa_samples=4),
         overflow_policy="off",
     )
     k = 16
@@ -140,9 +139,11 @@ def run_all(outdir: str = "configs_out", frames: int = 10) -> list[dict]:
     sbuilder.build()
     stress_renderer = rt.Renderer(
         sreg,
-        # 607k pairs measured for this camera; 1<<20 keeps 1.7x headroom
+        # 607k pairs / 604k tile-rows measured for this camera (tiny
+        # triangles: the ragged expansion equals the bbox one here);
+        # 1<<20 keeps 1.7x headroom on both axes
         rt.RenderConfig(width=1920, height=1080, max_triangles=1 << 21,
-                        pair_capacity=1 << 20),
+                        pair_capacity=1 << 20, row_capacity=1 << 20),
         overflow_policy="off",
     )
     scene = rt.Scene(world_space=rt.GLTF)
@@ -170,9 +171,12 @@ def run_all(outdir: str = "configs_out", frames: int = 10) -> list[dict]:
     sbuilder2.build()
     stress4m_renderer = rt.Renderer(
         sreg2,
-        # ~4.3M pairs measured for this camera; 1<<23 keeps ~2x headroom
+        # the scene's bbox expansion is ~4.3M pairs; the ragged expansion
+        # needs 1.75M pairs / 759k tile-rows for this camera (the overdraw
+        # quads' row windows shed the outside-the-stack tiles) — 1<<21 /
+        # 1<<20 keep ~20%/38% headroom
         rt.RenderConfig(width=1920, height=1080, max_triangles=1 << 21,
-                        pair_capacity=1 << 23),
+                        pair_capacity=1 << 21, row_capacity=1 << 20),
         overflow_policy="off",
     )
     scene = rt.Scene(world_space=rt.GLTF)

@@ -122,14 +122,13 @@ def build_bench(for_bench: bool = False):
     timed loop serializes the dispatch pipeline on tunneled TPU runtimes, so
     the bench verifies the collected stats AFTER timing instead (bench.py)."""
     sandbox = Sandbox()
-    # 1<<20 covers the orbit's measured worst frame (776k (tile, triangle)
-    # pairs at the widest atrium angle) with 29% headroom; the binning sort
-    # and scatter are dense over the static capacity, so the bucket is
-    # sized to the scene (measure-then-allocate) rather than to the max.
-    config = rt.RenderConfig(
-        width=1920, height=1080, msaa_samples=4,
-        pair_capacity=(1 << 20) if for_bench else (1 << 18),
-    )
+    # The ragged expansion (per-tile-row edge windows, raster/binning.py)
+    # cut the orbit's measured worst frame from 776k bbox pairs to 173k
+    # near-exact pairs / 188k tile-rows — both fit the 1<<18 default with
+    # ~35% headroom; the binning sort and scatter are dense over the static
+    # capacity, so the bucket is sized to the scene (measure-then-allocate)
+    # rather than to the max.
+    config = rt.RenderConfig(width=1920, height=1080, msaa_samples=4)
     renderer = rt.Renderer(sandbox.registry, config,
                            overflow_policy="off" if for_bench else "auto")
     name = "sponza+ame-1080p-msaa4"

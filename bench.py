@@ -38,16 +38,27 @@ import numpy as np
 WARMUP = 3
 
 
-def build_triangle_bench(pair_capacity: int | None = None):
+def _capacity_overrides(pair_capacity, row_capacity):
+    out = {}
+    if pair_capacity:
+        out["pair_capacity"] = pair_capacity
+    if row_capacity:
+        out["row_capacity"] = row_capacity
+    return out
+
+
+def build_triangle_bench(pair_capacity: int | None = None,
+                         row_capacity: int | None = None):
     import renderer_tpu as rt
     from apps.triangle import build_scene, build_triangle_assets
 
     registry, meshes, material = build_triangle_assets()
     config = rt.RenderConfig(width=1920, height=1080)
-    if pair_capacity:
+    overrides = _capacity_overrides(pair_capacity, row_capacity)
+    if overrides:
         from dataclasses import replace
 
-        config = replace(config, pair_capacity=pair_capacity)
+        config = replace(config, **overrides)
     # "off" like the sponza path: any per-frame device→host stats read would
     # serialize the dispatch pipeline on tunneled runtimes
     renderer = rt.Renderer(registry, config, overflow_policy="off")
@@ -58,17 +69,17 @@ def build_triangle_bench(pair_capacity: int | None = None):
     return "triangle-1080p", renderer, make_scene
 
 
-def build_sponza_bench(pair_capacity: int | None = None):
+def build_sponza_bench(pair_capacity: int | None = None,
+                       row_capacity: int | None = None):
     from apps import sandbox
     from renderer_tpu.core import math3d
 
     sb, renderer, name = sandbox.build_bench(for_bench=True)
-    if pair_capacity:
+    overrides = _capacity_overrides(pair_capacity, row_capacity)
+    if overrides:
         from dataclasses import replace
 
-        renderer.config = replace(
-            renderer.config, pair_capacity=pair_capacity
-        ).validate()
+        renderer.config = replace(renderer.config, **overrides).validate()
 
     pooled: list = [None]
 
@@ -85,13 +96,14 @@ def build_sponza_bench(pair_capacity: int | None = None):
     return name, renderer, make_scene
 
 
-def build_bench(pair_capacity: int | None = None):
+def build_bench(pair_capacity: int | None = None,
+                row_capacity: int | None = None):
     try:
-        return build_sponza_bench(pair_capacity)
+        return build_sponza_bench(pair_capacity, row_capacity)
     except Exception as e:  # noqa: BLE001 — assets/loader not ready yet
         print(f"# sponza bench unavailable ({type(e).__name__}: {e}); "
               "falling back to triangle", file=sys.stderr)
-        return build_triangle_bench(pair_capacity)
+        return build_triangle_bench(pair_capacity, row_capacity)
 
 
 def frame_times(frames: int):
@@ -102,7 +114,8 @@ def frame_times(frames: int):
     ]
 
 
-def verify_main(frames: int, pair_capacity: int | None) -> None:
+def verify_main(frames: int, pair_capacity: int | None,
+                row_capacity: int | None = None) -> None:
     """--verify mode (run in a FRESH process, forced onto the CPU backend):
     replay the exact frame timeline through the SAME jitted
     vertex→setup→binning stages the frame function runs, and count each
@@ -129,10 +142,12 @@ def verify_main(frames: int, pair_capacity: int | None) -> None:
     from renderer_tpu.raster import binning, setup, vertex_stage
     from renderer_tpu.scene import draw_stream
 
-    name, renderer, make_scene = build_bench(pair_capacity)
+    name, renderer, make_scene = build_bench(pair_capacity, row_capacity)
     cfg = renderer.config
     dropped = 0
+    dropped_rows = 0
     max_pairs = 0
+    max_rows = 0
     for t in frame_times(frames):
         scene = make_scene(t)
         fv = draw_stream.frame_view(scene)
@@ -154,32 +169,34 @@ def verify_main(frames: int, pair_capacity: int | None) -> None:
             bounds.append(frame["n_opaque"] + frame["n_masked"])
         if gs.num_tris > gs.num_opaque_tris + gs.num_masked_tris:
             bounds.append(frame["num_tris"])
-        _b, _s, _counts, ov = binning.bin_triangle_classes(
-            td, tuple(bounds),
-            tiles_x=cfg.tiles_x, tiles_y=cfg.tiles_y,
-            tile_w=cfg.tile_w, tile_h=cfg.tile_h,
-            pair_capacity=cfg.pair_capacity,
-        )
-        ov_sum = int(np.asarray(ov).sum())
-        # brim guard sizing signal = bbox-expansion demand (counts are the
-        # post-trivial-reject survivors, smaller than what capacity must hold)
-        total = int(np.asarray(binning.pair_demand(
-            td, tuple(bounds),
-            tiles_x=cfg.tiles_x, tiles_y=cfg.tiles_y,
-            tile_w=cfg.tile_w, tile_h=cfg.tile_h,
-        )))
-        dropped = max(dropped, ov_sum)
-        max_pairs = max(max_pairs, total)
+        _b, _s, _counts, ov, row_ov, pair_dem, row_dem = \
+            binning.bin_triangle_classes(
+                td, tuple(bounds),
+                tiles_x=cfg.tiles_x, tiles_y=cfg.tiles_y,
+                tile_w=cfg.tile_w, tile_h=cfg.tile_h,
+                pair_capacity=cfg.pair_capacity,
+                row_capacity=cfg.row_capacity,
+            )
+        # brim guard sizing signals = the ragged expansion demands (counts
+        # are the post-reject survivors, smaller than what capacity holds)
+        dropped = max(dropped, int(np.asarray(ov).sum()))
+        dropped_rows = max(dropped_rows, int(np.asarray(row_ov)))
+        max_pairs = max(max_pairs, int(np.asarray(pair_dem)))
+        max_rows = max(max_rows, int(np.asarray(row_dem)))
     print(json.dumps({
         "metric": name,
         "dropped_pairs": dropped,
+        "dropped_rows": dropped_rows,
         "max_total_pairs": max_pairs,
+        "max_total_rows": max_rows,
         "pair_capacity": cfg.pair_capacity,
+        "row_capacity": cfg.row_capacity,
     }), flush=True)
     os._exit(0)
 
 
 def run_verifier(frames: int, pair_capacity: int | None,
+                 row_capacity: int | None = None,
                  timeout_s: float = 1800.0):
     """Run the verification pass in a fresh subprocess (sequential with this
     process — the chip is never shared). Returns the parsed JSON dict or
@@ -187,6 +204,8 @@ def run_verifier(frames: int, pair_capacity: int | None,
     cmd = [sys.executable, os.path.abspath(__file__), str(frames), "--verify"]
     if pair_capacity:
         cmd += ["--pair-capacity", str(pair_capacity)]
+    if row_capacity:
+        cmd += ["--row-capacity", str(row_capacity)]
     try:
         proc = subprocess.run(
             cmd, capture_output=True, text=True, timeout=timeout_s,
@@ -251,9 +270,14 @@ def _start_stall_watchdog(limit_s: float) -> None:
 def main():
     args = [a for a in sys.argv[1:]]
     pair_capacity = None
+    row_capacity = None
     if "--pair-capacity" in args:
         i = args.index("--pair-capacity")
         pair_capacity = int(args[i + 1])
+        del args[i : i + 2]
+    if "--row-capacity" in args:
+        i = args.index("--row-capacity")
+        row_capacity = int(args[i + 1])
         del args[i : i + 2]
     verify = "--verify" in args
     if verify:
@@ -261,7 +285,7 @@ def main():
     frames = int(args[0]) if args else 60
 
     if verify:
-        verify_main(frames, pair_capacity)
+        verify_main(frames, pair_capacity, row_capacity)
         return
 
     _start_stall_watchdog(float(os.environ.get("BENCH_STALL_LIMIT", "2700")))
@@ -270,16 +294,18 @@ def main():
     overflow = -1
     result = None
     for _attempt in range(3):
-        result = run_verifier(frames, pair_capacity)
+        result = run_verifier(frames, pair_capacity, row_capacity)
         _mark(f"verifier attempt {_attempt + 1}")
         if result is None:
             break
-        overflow = int(result["dropped_pairs"])
+        ov_pairs = int(result["dropped_pairs"])
+        ov_rows = int(result.get("dropped_rows", 0))
+        overflow = ov_pairs + ov_rows
         if overflow == 0:
             # brim guard: the CPU replay and the TPU run share program
             # semantics at pinned-precision contractions (vertex_stage._HI),
             # but elementwise FP could still diverge by ULPs between
-            # backends. If the measured peak sits within a sliver of the
+            # backends. If a measured peak sits within a sliver of its
             # bucket, size the TIMED run one bucket up so a one-tile bbox
             # shift can never drop work that the replay proved fits.
             margin = int(result["pair_capacity"]) - int(result["max_total_pairs"])
@@ -288,23 +314,40 @@ def main():
                 print(f"# verified clean but only {margin} pairs of headroom;"
                       f" timed run uses pair_capacity={pair_capacity}",
                       file=sys.stderr)
+            rmargin = int(result["row_capacity"]) - int(result["max_total_rows"])
+            if rmargin < 4096:
+                row_capacity = int(result["row_capacity"]) * 2
+                print(f"# verified clean but only {rmargin} rows of headroom;"
+                      f" timed run uses row_capacity={row_capacity}",
+                      file=sys.stderr)
             break
-        # a frame dropped (tile, triangle) pairs: grow the bin bucket to the
+        # a frame dropped binning work: grow the overflowed bucket(s) to the
         # measured demand and re-verify, so the reported number never hides
         # dropped triangles (the loud-overflow discipline)
-        need = max(int(result["max_total_pairs"]),
-                   int(result["pair_capacity"]) + overflow)
-        cap = int(result["pair_capacity"])
-        while cap < need:
-            cap *= 2
-        print(f"# verifier found {overflow} dropped pairs; re-verifying at "
-              f"pair_capacity={cap}", file=sys.stderr)
-        pair_capacity = cap
+        if ov_pairs > 0:
+            need = max(int(result["max_total_pairs"]),
+                       int(result["pair_capacity"]) + ov_pairs)
+            cap = int(result["pair_capacity"])
+            while cap < need:
+                cap *= 2
+            print(f"# verifier found {ov_pairs} dropped pairs; re-verifying "
+                  f"at pair_capacity={cap}", file=sys.stderr)
+            pair_capacity = cap
+        if ov_rows > 0:
+            need = max(int(result["max_total_rows"]),
+                       int(result["row_capacity"]) + ov_rows)
+            cap = int(result["row_capacity"])
+            while cap < need:
+                cap *= 2
+            print(f"# verifier found {ov_rows} dropped tile-rows; "
+                  f"re-verifying at row_capacity={cap}", file=sys.stderr)
+            row_capacity = cap
     if result is not None and overflow > 0:
-        # retries exhausted while still overflowing: time at the capacity
+        # retries exhausted while still overflowing: time at the capacities
         # the reported overflow was actually measured at, not the once-more
-        # -grown (unverified) bucket — the JSON must describe the timed run
+        # -grown (unverified) buckets — the JSON must describe the timed run
         pair_capacity = int(result["pair_capacity"])
+        row_capacity = int(result["row_capacity"])
     _mark("verifier done")
     checked = overflow >= 0
     _progress["dropped_pairs"] = overflow
@@ -314,7 +357,7 @@ def main():
               "dropped_pairs=-1", file=sys.stderr)
 
     # -- phase 2: timed run (ZERO device→host copies, this process) ----------
-    name, renderer, make_scene = build_bench(pair_capacity)
+    name, renderer, make_scene = build_bench(pair_capacity, row_capacity)
     _mark("bench built")
 
     def run_pass(label: str):

@@ -39,8 +39,14 @@ class RenderConfig:
 
     # Capacity of the (tile, triangle) pair list produced by tile binning;
     # 0 disables binning (every tile scans the whole stream — debug only,
-    # opaque geometry only).
+    # opaque geometry only). Pairs are the RAGGED expansion (per-tile-row
+    # edge-plane windows, binning.bin_triangle_classes), so this tracks
+    # actual coverage, not the bbox.
     pair_capacity: int = 1 << 18
+    # Capacity of the intermediate (triangle, tile-row) expansion feeding
+    # the ragged pair expansion. Demand-fed like pair_capacity (stat
+    # total_rows, overflow stat row_overflow → Renderer grow/shrink).
+    row_capacity: int = 1 << 18
 
     # Fragment layers captured per pixel for alpha-cutoff (masked) and
     # blended geometry (raster/layers.py). The reference blends unbounded

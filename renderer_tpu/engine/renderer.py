@@ -172,6 +172,7 @@ class Renderer:
         self._shade_floor = self.config.msaa_shade_candidates
         self._streaks = {field: (0, 0) for _, field in _LAYER_KNOBS}
         self._streaks["pair_capacity"] = (0, 0)
+        self._streaks["row_capacity"] = (0, 0)
         self._streaks["msaa_shade_candidates"] = (0, 0)
         self._geom_cache: dict = {}
         self._mat_cache: tuple[int, dict] | None = None
@@ -197,9 +198,14 @@ class Renderer:
         return dict(zip(pipeline.STAT_NAMES, (int(v) for v in vals)))
 
     def _total_overflow(self, stats_host) -> int:
-        """Dropped pairs across BOTH bucket kinds (geometry [0:3] + UI [3])
-        — anything nonzero means the last checked frame lost work."""
-        return int(np.sum(stats_host[:4]))
+        """Dropped work across every binning bucket: geometry pairs [0:3],
+        UI pairs [3], and the ragged row axis (row_overflow) — anything
+        nonzero means the last checked frame lost work."""
+        total = int(np.sum(stats_host[:4]))
+        idx = pipeline.STAT_NAMES.index("row_overflow")
+        if len(stats_host) > idx:
+            total += int(stats_host[idx])
+        return total
 
     def _grow_pair_capacity(self, stats_host) -> bool:
         """Regrow whichever binning bucket overflowed — the geometry
@@ -208,22 +214,22 @@ class Renderer:
         Recompiles the frame. Returns True if any bucket grew."""
         from dataclasses import replace
 
-        def grown(name, current, overflow, max_cap):
+        def grown(name, current, overflow, max_cap,
+                  unit="(tile, triangle) pairs"):
             needed = current + overflow
             new = current
             while new < needed and new < max_cap:
                 new *= 2
             if new == current:
                 print(
-                    f"[renderer] bin overflow of {overflow} pairs but "
+                    f"[renderer] bin overflow of {overflow} {unit} but "
                     f"{name} is already at the {max_cap} max; work WILL be "
                     "dropped",
                 )
                 return None
             print(
-                f"[renderer] bin overflow: {overflow} (tile, triangle) "
-                f"pairs dropped; regrowing {name} {current} -> {new} "
-                "(recompiles)",
+                f"[renderer] bin overflow: {overflow} {unit} dropped; "
+                f"regrowing {name} {current} -> {new} (recompiles)",
             )
             return new
 
@@ -244,8 +250,17 @@ class Renderer:
                     self.config, ui_pair_capacity=new
                 ).validate()
                 changed = True
+        ridx = pipeline.STAT_NAMES.index("row_overflow")
+        rows = int(stats_host[ridx]) if len(stats_host) > ridx else 0
+        if rows > 0:
+            new = grown("row_capacity", self.config.row_capacity, rows,
+                        MAX_PAIR_CAPACITY, unit="(triangle, tile-row) rows")
+            if new is not None:
+                self.config = replace(self.config, row_capacity=new).validate()
+                changed = True
         if changed:
             self._streaks["pair_capacity"] = (0, 0)
+            self._streaks["row_capacity"] = (0, 0)
         return changed
 
     def _streak_shrink(self, field: str, demand: int, bucket, floor: int,
@@ -396,17 +411,21 @@ class Renderer:
         self._maybe_shrink_shade_candidates(stats_host)
 
     def _maybe_shrink_pair_capacity(self, stats_host) -> None:
-        """Shrink the binning bucket when the scene has sustainedly needed
-        ≤ half of it (with 2× headroom) — see `shrink_after` and
-        _streak_shrink (sized from the streak's peak total_pairs)."""
-        idx = pipeline.STAT_NAMES.index("total_pairs")
-        if len(stats_host) <= idx:
-            return
-        self._streak_shrink(
-            "pair_capacity", int(stats_host[idx]),
-            lambda d: 1 << max(14, (max(d, 1) * 2 - 1).bit_length()),
-            0, "total_pairs",
-        )
+        """Shrink the binning buckets when the scene has sustainedly needed
+        ≤ half of them (with 2× headroom) — see `shrink_after` and
+        _streak_shrink (sized from the streak's peak demand). Covers both
+        ragged-binning axes: pair_capacity ← total_pairs and
+        row_capacity ← total_rows."""
+        for field, stat in (("pair_capacity", "total_pairs"),
+                            ("row_capacity", "total_rows")):
+            idx = pipeline.STAT_NAMES.index(stat)
+            if len(stats_host) <= idx:
+                return
+            self._streak_shrink(
+                field, int(stats_host[idx]),
+                lambda d: 1 << max(14, (max(d, 1) * 2 - 1).bit_length()),
+                0, stat,
+            )
 
     # -- device array preparation -------------------------------------------
 

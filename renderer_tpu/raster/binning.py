@@ -87,24 +87,9 @@ def _tile_spans(tri_data, bounds, n_classes, *, tiles_x, tiles_y,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tiles_x", "tiles_y", "tile_w", "tile_h")
-)
-def pair_demand(tri_data, bounds, *, tiles_x, tiles_y, tile_w, tile_h):
-    """Total (tile, triangle) pairs the bbox expansion must hold — the
-    pair_capacity sizing signal (the `total_pairs` frame stat feeding the
-    Renderer's grow/shrink feedback). This is the PRE-reject demand: the
-    tight trivial-reject inside bin_triangle_classes only prunes pairs that
-    were already expanded, so capacity must be sized for the expansion, not
-    for the survivors."""
-    n_pairs = _tile_spans(
-        tri_data, bounds, len(bounds) - 1,
-        tiles_x=tiles_x, tiles_y=tiles_y, tile_w=tile_w, tile_h=tile_h,
-    )[4]
-    return jnp.sum(n_pairs)
-
-
-@functools.partial(
-    jax.jit, static_argnames=("tiles_x", "tiles_y", "tile_w", "tile_h", "pair_capacity")
+    jax.jit,
+    static_argnames=("tiles_x", "tiles_y", "tile_w", "tile_h",
+                     "pair_capacity", "row_capacity"),
 )
 def bin_triangles(
     tri_data: jnp.ndarray,  # [ROWS, Tc] from triangle_setup
@@ -116,25 +101,32 @@ def bin_triangles(
     tile_w: int,
     tile_h: int,
     pair_capacity: int,
+    row_capacity: int | None = None,
 ):
     """Single-class binning (kept for per-stage profiling + tests; the
     production frame uses `bin_triangle_classes` — one sort for all alpha
-    classes). Returns (binned [B_ROWS, Pp] f32 SoA — slim layout, see
-    KEEP_ROWS —, starts [tiles] i32 (128-aligned), counts [tiles] i32,
-    overflow_pairs i32 scalar)."""
+    classes). `row_capacity` defaults to `pair_capacity` (tile rows per
+    triangle never exceed its bbox pairs). Returns (binned [B_ROWS, Pp] f32
+    SoA — slim layout, see KEEP_ROWS —, starts [tiles] i32 (128-aligned),
+    counts [tiles] i32, overflow_pairs i32 scalar)."""
     tc = tri_data.shape[1]
     if hi is None:
         hi = tc
-    binned, starts, counts, overflow = bin_triangle_classes(
+    binned, starts, counts, overflow, row_ov, _pd, _rd = bin_triangle_classes(
         tri_data, (lo, hi),
         tiles_x=tiles_x, tiles_y=tiles_y, tile_w=tile_w, tile_h=tile_h,
         pair_capacity=pair_capacity,
+        row_capacity=pair_capacity if row_capacity is None else row_capacity,
     )
-    return binned, starts[0], counts[0], overflow[0]
+    # fold row truncation into the loud scalar (each dropped row hides ≥ 0
+    # pairs; callers only test > 0 and grow their one capacity knob)
+    return binned, starts[0], counts[0], overflow[0] + row_ov
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tiles_x", "tiles_y", "tile_w", "tile_h", "pair_capacity")
+    jax.jit,
+    static_argnames=("tiles_x", "tiles_y", "tile_w", "tile_h",
+                     "pair_capacity", "row_capacity"),
 )
 def bin_triangle_classes(
     tri_data: jnp.ndarray,  # [ROWS, Tc] from triangle_setup
@@ -145,74 +137,131 @@ def bin_triangle_classes(
     tile_w: int,
     tile_h: int,
     pair_capacity: int,
+    row_capacity: int | None = None,
 ):
     """Bin all alpha classes with ONE stable sort: pairs are keyed by
     class * n_tiles + tile, so each (class, tile) segment lands contiguous and
     128-aligned in one shared buffer — the raster kernels for each class index
     the same binned array through their own starts/counts rows. The stream is
     ordered [opaque | masked | blended] (scene sort key), so classes are
-    contiguous triangle-index ranges and pair truncation at `pair_capacity`
-    drops from the blended tail first.
+    contiguous triangle-index ranges and pair/row truncation drops from the
+    blended tail first.
+
+    The expansion is RAGGED two-level so the sort width tracks actual
+    coverage, not the bbox (the clipless setup gives w-crossing triangles a
+    full-screen bbox — rectangular expansion made the bench scene demand
+    814k pairs for 26k of real coverage):
+      1. triangles expand to (triangle, tile-row) pairs (`row_capacity`),
+      2. each row gets a tight x-window from the edge planes — for each
+         edge, max of b·y + c over the row's padded y-extent turns e ≥ 0
+         into a half-line in x; the window is the intersection, ±1 px of
+         slack so f32 division rounding can never cull true coverage,
+      3. rows expand to (triangle, tile) pairs over their windows only
+         (`pair_capacity`), and the per-pair extent reject prunes the rest.
 
     Returns (binned [B_ROWS, Pp] f32 SoA — slim layout, see KEEP_ROWS —,
     starts [C, tiles] i32 (128-aligned), counts [C, tiles] i32,
-    overflow_pairs [C] i32)."""
+    overflow_pairs [C] i32, row_overflow i32 scalar, pair_demand i32 scalar,
+    row_demand i32 scalar). The demands are the UNtruncated expansion
+    totals — the sizing signals for pair_capacity / row_capacity (the
+    `total_pairs` / `total_rows` frame stats); when rows overflow,
+    pair_demand only covers the rows that fit (grow row_capacity first)."""
     tc = tri_data.shape[1]
+    if row_capacity is None:
+        row_capacity = pair_capacity  # tools/tests with ample single buckets
     n_classes = len(bounds) - 1
     assert n_classes >= 1
     tx0, ty0, span_w, span_h, n_pairs, cls = _tile_spans(
         tri_data, bounds, n_classes,
         tiles_x=tiles_x, tiles_y=tiles_y, tile_w=tile_w, tile_h=tile_h,
     )
+    xmin, _ymin, xmax, _ymax = (tri_data[k] for k in BBOX_ROWS)
 
-    cum_end = jnp.cumsum(n_pairs)
-    total = cum_end[-1]
-    cum_start = cum_end - n_pairs
+    # -- stage 1: (triangle, tile-row) expansion ------------------------------
+    n_rows = jnp.where(n_pairs > 0, span_h, 0)
+    cum_end_r = jnp.cumsum(n_rows)
+    row_demand = cum_end_r[-1]
+    cum_start_r = cum_end_r - n_rows
+    tri_of_row = jnp.repeat(
+        jnp.arange(tc, dtype=jnp.int32), n_rows, total_repeat_length=row_capacity
+    )
+    row_idx = jnp.arange(row_capacity, dtype=jnp.int32)
+    row_live = row_idx < jnp.minimum(row_demand, row_capacity)
+    row_ty = ty0[tri_of_row] + (row_idx - cum_start_r[tri_of_row])
 
-    tri_of_pair = jnp.repeat(
-        jnp.arange(tc, dtype=jnp.int32), n_pairs, total_repeat_length=pair_capacity
+    # tight per-row x-window: for each edge, coverage anywhere in the row's
+    # padded y-extent needs a·x + max_y(b·y) + c ≥ 0 — a half-line in x
+    ext_y0 = row_ty.astype(jnp.float32) * tile_h - 0.5
+    ext_y1 = ext_y0 + (tile_h + 1.0)
+    xlo = xmin[tri_of_row]
+    xhi = xmax[tri_of_row]
+    alive = row_live
+    for e in range(3):
+        a = tri_data[3 * e][tri_of_row]
+        b = tri_data[3 * e + 1][tri_of_row]
+        c = tri_data[3 * e + 2][tri_of_row]
+        bb = b * jnp.where(b > 0, ext_y1, ext_y0) + c
+        t = -bb / jnp.where(a == 0.0, 1.0, a)
+        xlo = jnp.where(a > 0, jnp.maximum(xlo, t), xlo)
+        xhi = jnp.where(a < 0, jnp.minimum(xhi, t), xhi)
+        alive &= (a != 0.0) | (bb >= 0.0)
+    xlo = xlo - 1.0  # one pixel of slack each side: f32 division rounding
+    xhi = xhi + 1.0  # can never cull a pair the extent reject would keep
+    # tile columns whose padded extent [tx·tw − 0.5, tx·tw + tw + 0.5]
+    # intersects the window, clipped to the triangle's bbox span
+    rx_lo = jnp.maximum(
+        tx0[tri_of_row],
+        jnp.ceil((xlo - 0.5) / tile_w - 1.0).astype(jnp.int32),
+    )
+    rx_hi = jnp.minimum(
+        tx0[tri_of_row] + span_w[tri_of_row] - 1,
+        jnp.floor((xhi + 0.5) / tile_w).astype(jnp.int32),
+    )
+    row_span = jnp.where(alive, jnp.maximum(rx_hi - rx_lo + 1, 0), 0)
+
+    # -- stage 2: (triangle, tile) expansion over the row windows -------------
+    cum_end_p = jnp.cumsum(row_span)
+    total = cum_end_p[-1]  # the ragged pair demand
+    cum_start_p = cum_end_p - row_span
+    row_of_pair = jnp.repeat(
+        row_idx, row_span, total_repeat_length=pair_capacity
     )
     pair_idx = jnp.arange(pair_capacity, dtype=jnp.int32)
     pair_live = pair_idx < jnp.minimum(total, pair_capacity)
 
-    k = pair_idx - cum_start[tri_of_pair]
-    w_t = jnp.maximum(span_w[tri_of_pair], 1)
-    dy = k // w_t
-    dx = k - dy * w_t
-    tile_x = tx0[tri_of_pair] + dx
-    tile_y = ty0[tri_of_pair] + dy
+    tri_of_pair = tri_of_row[row_of_pair]
+    tile_x = rx_lo[row_of_pair] + (pair_idx - cum_start_p[row_of_pair])
+    tile_y = row_ty[row_of_pair]
     tile = tile_y * tiles_x + tile_x
     n_tiles = tiles_x * tiles_y
     n_keys = n_classes * n_tiles
     key = cls[tri_of_pair] * n_tiles + tile
     key = jnp.where(pair_live, key, n_keys)  # dead pairs → overflow bucket
 
-    # Tight trivial-reject on top of the bbox spans: a pair survives only if
+    # Tight trivial-reject on the surviving pairs: a pair is kept only if
     # EVERY edge's most-inside corner of the tile's sample extent is inside
     # (max over the extent of the linear e(x,y) = a·x + b·y + c ≥ 0 — the
-    # standard conservative triangle/box test). The bbox alone overbins
-    # heavily on thin, diagonal, and partially-offscreen triangles
-    # (measured ~89% of the bench scene's bbox pairs cover nothing in their
-    # tile), and every rejected pair is bin-scatter + raster-kernel DMA +
-    # per-chunk coverage work saved. The extent is padded a FULL pixel past
-    # the tile's pixel centers: 0.5 px bounds every MSAA sample position,
-    # and the other 0.5 px drowns f32 rounding of e_max in slack worth
-    # |a| + |b| — orders beyond the folded watertightness eps — so a pair
-    # whose true coverage is exactly on a tile boundary can never be lost
-    # to evaluation-point rounding. Rejection only ever removes work the
-    # kernels would discard sample-by-sample; image equality vs the
-    # unfiltered binning is pinned by tests/test_binning_and_skinning.py.
+    # standard conservative triangle/box test). The row windows above are
+    # conservative in x only; this is the exact 2D corner test. The extent
+    # is padded a FULL pixel past the tile's pixel centers: 0.5 px bounds
+    # every MSAA sample position, and the other 0.5 px drowns f32 rounding
+    # of e_max in slack worth |a| + |b| — orders beyond the folded
+    # watertightness eps — so a pair whose true coverage is exactly on a
+    # tile boundary can never be lost to evaluation-point rounding.
+    # Rejection only ever removes work the kernels would discard
+    # sample-by-sample; conservativeness is pinned against a pixel-square
+    # subgrid oracle in tests/test_binning_and_skinning.py.
     ext_x0 = tile_x.astype(jnp.float32) * tile_w - 0.5
     ext_x1 = ext_x0 + (tile_w + 1.0)
-    ext_y0 = tile_y.astype(jnp.float32) * tile_h - 0.5
-    ext_y1 = ext_y0 + (tile_h + 1.0)
+    ext_y0p = tile_y.astype(jnp.float32) * tile_h - 0.5
+    ext_y1p = ext_y0p + (tile_h + 1.0)
     covers = pair_live
     for e in range(3):
         a = tri_data[3 * e][tri_of_pair]
         b = tri_data[3 * e + 1][tri_of_pair]
         c = tri_data[3 * e + 2][tri_of_pair]
         e_max = (a * jnp.where(a > 0, ext_x1, ext_x0)
-                 + b * jnp.where(b > 0, ext_y1, ext_y0) + c)
+                 + b * jnp.where(b > 0, ext_y1p, ext_y0p) + c)
         covers &= e_max >= 0.0
     key = jnp.where(covers, key, n_keys)
 
@@ -250,12 +299,17 @@ def bin_triangle_classes(
     # Per-class overflow: pair truncation keeps the first `pair_capacity`
     # pairs in triangle-stream order, so class c (pair-space range
     # [S_c, E_c)) loses max(0, E_c − cap) − max(0, S_c − cap) pairs.
-    class_pairs = jnp.zeros(n_classes, jnp.int32).at[cls].add(
-        n_pairs.astype(jnp.int32), mode="drop"
+    # Pair space is the RAGGED expansion (row windows), scattered per class
+    # through each row's triangle.
+    class_pairs = jnp.zeros(n_classes, jnp.int32).at[cls[tri_of_row]].add(
+        row_span.astype(jnp.int32), mode="drop"
     )
     e_c = jnp.cumsum(class_pairs)
     s_c = e_c - class_pairs
     cap = jnp.int32(pair_capacity)
     overflow = jnp.maximum(e_c - cap, 0) - jnp.maximum(s_c - cap, 0)
-    return binned, padded_starts.reshape(n_classes, n_tiles), \
-        counts.reshape(n_classes, n_tiles), overflow.astype(jnp.int32)
+    row_overflow = jnp.maximum(row_demand - jnp.int32(row_capacity), 0)
+    return (binned, padded_starts.reshape(n_classes, n_tiles),
+            counts.reshape(n_classes, n_tiles), overflow.astype(jnp.int32),
+            row_overflow.astype(jnp.int32), total.astype(jnp.int32),
+            row_demand.astype(jnp.int32))

@@ -66,11 +66,13 @@ STAT_NAMES = (
     "blended_saturated_px",
     "ui_saturated_px",
     "shade_clamped_px",
-    # total (tile, triangle) pairs the scene requested this frame (binned +
-    # overflowed) — the feedback signal for right-sizing pair_capacity: the
-    # binning sort costs O(capacity log capacity) REGARDLESS of scene size,
-    # so the Renderer shrinks oversized buckets from this (like the
-    # reference's exact measure-then-allocate arenas, arena/buffers.rs).
+    # total (tile, triangle) pairs the scene's RAGGED expansion requested
+    # this frame (the per-tile-row edge-window expansion, binning stage 2 —
+    # near-exact coverage, not the bbox) — the feedback signal for
+    # right-sizing pair_capacity: the binning sort costs
+    # O(capacity log capacity) REGARDLESS of scene size, so the Renderer
+    # shrinks oversized buckets from this (like the reference's exact
+    # measure-then-allocate arenas, arena/buffers.rs).
     "total_pairs",
     # Peak per-pixel layered-capture demand (max over samples and image-area
     # pixels of the aux fragment counts) for each layered class — the
@@ -88,6 +90,14 @@ STAT_NAMES = (
     # exact when the candidate set is at least this deep; the Renderer grows
     # the knob toward it, bounded by msaa_samples).
     "shade_demand_max",
+    # Ragged-binning row axis (binning.bin_triangle_classes stage 1):
+    # (triangle, tile-row) expansion demand and its truncation — the
+    # feedback pair for row_capacity, exactly like total_pairs /
+    # overflow_* for pair_capacity. Appended last so older stats vectors
+    # (multi-frame scans recorded before this stat existed) keep their
+    # indices.
+    "total_rows",
+    "row_overflow",
 )
 N_STATS = len(STAT_NAMES)
 
@@ -178,11 +188,12 @@ def render_shard(
         bounds.append(n_opaque + n_masked)
     if has_blended:
         bounds.append(frame["num_tris"])
-    b_all, s_all, c_all, ov_all = binning.bin_triangle_classes(
+    (b_all, s_all, c_all, ov_all, row_overflow, pair_demand,
+     row_demand) = binning.bin_triangle_classes(
         tri_data, tuple(bounds),
         tiles_x=cfg.tiles_x, tiles_y=cfg.tiles_y,
         tile_w=cfg.tile_w, tile_h=cfg.tile_h,
-        pair_capacity=cfg.pair_capacity,
+        pair_capacity=cfg.pair_capacity, row_capacity=cfg.row_capacity,
     )
     bins_opaque = (b_all, s_all[0], c_all[0])
     ov_opaque = ov_all[0]
@@ -408,18 +419,13 @@ def render_shard(
 
     img = post.tonemap(jnp.stack(hdr) if msaa > 1 else hdr[0])
     clamped = jnp.sum(clamp_mask[:out_rows, : cfg.width].astype(jnp.int32))
-    # the bbox-expansion demand, NOT the post-reject survivor count: this
-    # stat sizes pair_capacity, and the expansion happens before the tight
-    # trivial-reject can prune anything (binning.pair_demand)
-    total_pairs = binning.pair_demand(
-        tri_data, tuple(bounds),
-        tiles_x=cfg.tiles_x, tiles_y=cfg.tiles_y,
-        tile_w=cfg.tile_w, tile_h=cfg.tile_h,
-    )
+    # the ragged expansion demands from binning itself — capacity must hold
+    # the expansion, which the demands report UNtruncated
+    total_pairs = pair_demand
     stats = jnp.stack(
         [ov_opaque, ov_masked, ov_blended, ov_ui, mask_sat, blend_sat, ui_sat,
          clamped, total_pairs, mask_demand, blend_demand, ui_demand,
-         shade_demand]
+         shade_demand, row_demand, row_overflow]
     ).astype(jnp.int32)
     return img[:out_rows, : cfg.width], stats
 

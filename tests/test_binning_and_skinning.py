@@ -92,11 +92,19 @@ class TestBinning:
 
         # effectiveness: the sliver's bbox spans every tile, its coverage
         # only the diagonal band — well under half its bbox pairs may survive
-        demand = int(np.asarray(binning.pair_demand(
-            jnp.asarray(td), (0, n),
-            tiles_x=tiles_x, tiles_y=tiles_y, tile_w=tile_w, tile_h=tile_h,
-        )))
-        assert live < demand, (live, demand)
+        tx0 = np.clip(np.ceil((td[BBOX_ROWS[0]] + 0.5) / tile_w - 1.0),
+                      0, tiles_x - 1)
+        tx1 = np.clip(np.floor((td[BBOX_ROWS[2]] - 0.5) / tile_w),
+                      0, tiles_x - 1)
+        ty0 = np.clip(np.ceil((td[BBOX_ROWS[1]] + 0.5) / tile_h - 1.0),
+                      0, tiles_y - 1)
+        ty1 = np.clip(np.floor((td[BBOX_ROWS[3]] - 0.5) / tile_h),
+                      0, tiles_y - 1)
+        bbox_pairs = int(np.where(
+            td[VALID_ROW] > 0,
+            np.maximum(tx1 - tx0 + 1, 0) * np.maximum(ty1 - ty0 + 1, 0), 0,
+        ).sum())
+        assert live < bbox_pairs, (live, bbox_pairs)
         sliver_tiles = sum(
             1 for tile in range(tiles_x * tiles_y)
             if 0 in set(binned[B_TID,
@@ -171,7 +179,9 @@ class TestBinning:
         kw = dict(tiles_x=tiles_x, tiles_y=tiles_y, tile_w=tile_w,
                   tile_h=tile_h, pair_capacity=4096)
         bounds = (0, 200, 250, 300)
-        bc, sc, cc, oc = binning.bin_triangle_classes(jnp.asarray(td), bounds, **kw)
+        bc, sc, cc, oc = binning.bin_triangle_classes(
+            jnp.asarray(td), bounds, **kw
+        )[:4]
         bc, sc, cc = (np.asarray(a) for a in (bc, sc, cc))
         assert sc.shape == (3, n_tiles) and cc.shape == (3, n_tiles)
         assert np.asarray(oc).sum() == 0
@@ -228,7 +238,7 @@ class TestBinning:
                 jnp.asarray(td), bounds,
                 tiles_x=tiles_x, tiles_y=tiles_y, tile_w=tile_w,
                 tile_h=tile_h, pair_capacity=1 << 14,
-            )
+            )[:4]
             binned, starts, counts = (
                 np.asarray(a) for a in (binned, starts, counts)
             )
@@ -268,11 +278,13 @@ class TestBinning:
         tiles_x, tiles_y, tile_w, tile_h = 5, 4, 128, 96
         td = _fake_tri_data(rng, 280, 300, tiles_x, tiles_y, tile_w, tile_h)
         cap = 64
+        # ample row bucket: this test pins PAIR-truncation accounting; row
+        # truncation has its own loud scalar (row_overflow)
         _, _, cc, oc = binning.bin_triangle_classes(
             jnp.asarray(td), (0, 200, 250, 300),
             tiles_x=tiles_x, tiles_y=tiles_y, tile_w=tile_w, tile_h=tile_h,
-            pair_capacity=cap,
-        )
+            pair_capacity=cap, row_capacity=1 << 14,
+        )[:4]
         cc, oc = np.asarray(cc), np.asarray(oc)
         # oracle pair totals per class
         xmin, ymin, xmax, ymax = (td[k] for k in BBOX_ROWS)

@@ -22,7 +22,8 @@ from renderer_tpu.raster import pipeline
 
 
 def make_stats(total_pairs=0, masked=0, blended=0, ui=0, shade=0,
-               overflow=(0, 0, 0, 0), clamped=0):
+               overflow=(0, 0, 0, 0), clamped=0, total_rows=0,
+               row_overflow=0):
     v = np.zeros(len(pipeline.STAT_NAMES), np.int64)
     v[0:4] = overflow
     v[7] = clamped
@@ -31,6 +32,8 @@ def make_stats(total_pairs=0, masked=0, blended=0, ui=0, shade=0,
     v[pipeline.STAT_NAMES.index("blended_demand_max")] = blended
     v[pipeline.STAT_NAMES.index("ui_demand_max")] = ui
     v[pipeline.STAT_NAMES.index("shade_demand_max")] = shade
+    v[pipeline.STAT_NAMES.index("total_rows")] = total_rows
+    v[pipeline.STAT_NAMES.index("row_overflow")] = row_overflow
     return v
 
 
@@ -138,3 +141,30 @@ def test_random_walk_invariants(renderer):
         assert c.msaa_shade_candidates >= shade_floor
         assert c.pair_capacity & (c.pair_capacity - 1) == 0  # pow-2
         assert c.msaa_shade_candidates <= c.msaa_samples
+
+
+def test_row_overflow_grows_row_capacity(renderer):
+    """G1 for the ragged-binning row axis: row_overflow grows row_capacity
+    (and only it), like pair overflow grows pair_capacity."""
+    cap0 = renderer.config.row_capacity
+    pair0 = renderer.config.pair_capacity
+    assert renderer._grow_capacities(make_stats(row_overflow=1000))
+    assert renderer.config.row_capacity > cap0
+    assert renderer.config.pair_capacity == pair0
+
+
+def test_row_capacity_shrinks_on_streak(renderer):
+    """S1-S3 for row_capacity: sustained small total_rows shrinks toward the
+    demand's bucket; one heavy frame resets the streak."""
+    from dataclasses import replace
+
+    renderer.config = replace(renderer.config, row_capacity=1 << 20)
+    for _ in range(renderer.shrink_after - 1):
+        renderer._maybe_shrink_capacities(make_stats(total_rows=1000))
+    heavy = make_stats(total_rows=1 << 19)
+    renderer._maybe_shrink_capacities(heavy)  # S3: resets the streak
+    assert renderer.config.row_capacity == 1 << 20
+    for _ in range(renderer.shrink_after):
+        renderer._maybe_shrink_capacities(make_stats(total_rows=1000))
+    assert renderer.config.row_capacity < (1 << 20)
+    assert renderer.config.row_capacity >= 1 << 14  # bucket floor

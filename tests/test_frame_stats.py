@@ -154,14 +154,21 @@ class TestTotalPairsAndShrink:
         vs = vertex_stage.run_vertex_stage(geom, frame, skin_start=gs.skin_start)
         td = setup.triangle_setup(vs["clip"], geom["tri_v"], frame["num_tris"],
                                   cfg.width, cfg.height)
-        _, _, counts, overflow = binning.bin_triangle_classes(
-            td, (0, frame["num_tris"]),
-            tiles_x=cfg.tiles_x, tiles_y=cfg.tiles_y,
-            tile_w=cfg.tile_w, tile_h=cfg.tile_h,
-            pair_capacity=cfg.pair_capacity,
-        )
-        expect = int(np.asarray(counts).sum() + np.asarray(overflow).sum())
+        _, _, counts, _ov, _rov, pair_dem, row_dem = \
+            binning.bin_triangle_classes(
+                td, (0, frame["num_tris"]),
+                tiles_x=cfg.tiles_x, tiles_y=cfg.tiles_y,
+                tile_w=cfg.tile_w, tile_h=cfg.tile_h,
+                pair_capacity=cfg.pair_capacity,
+                row_capacity=cfg.row_capacity,
+            )
+        expect = int(np.asarray(pair_dem))
         assert stats["total_pairs"] == expect > 0, stats
+        # the kept pairs can only be ≤ the expansion demand (the tight
+        # reject prunes, never adds), and the row stat mirrors stage 1
+        assert int(np.asarray(counts).sum()) <= expect
+        assert stats["total_rows"] == int(np.asarray(row_dem)) > 0
+        assert stats["row_overflow"] == 0
 
     def test_auto_policy_shrinks_oversized_bucket(self):
         registry, scene, _mat = _many_quads_scene(n=2)

@@ -85,13 +85,14 @@ def main():
                 td_, (0, n_tris),
                 tiles_x=tiles_x, tiles_y=tiles_y,
                 tile_w=tile_w, tile_h=tile_h, pair_capacity=cap,
+                row_capacity=cap,
             )
 
-        # actual pair count for the honesty column (tiny readback; done
-        # before any timing in this process would matter — binning_scaling
-        # is a measurement tool, not a bench)
-        _b, _s, counts, ov = bin_fn(td)
-        actual = int(np.asarray(counts).sum() + np.asarray(ov).sum())
+        # actual expansion demand for the honesty column (tiny readback;
+        # done before any timing in this process would matter —
+        # binning_scaling is a measurement tool, not a bench)
+        _b, _s, counts, ov, _rov, pair_dem, _rd = bin_fn(td)
+        actual = int(np.asarray(pair_dem))
 
         ms_total = _time_call(bin_fn, td, iters=reps)
 

@@ -119,10 +119,12 @@ def capture(out_dir, scene_name: str = "triangle", game_time: float = 1.0,
         bounds.append(frame["n_opaque"] + frame["n_masked"])
     if has_blended:
         bounds.append(frame["num_tris"])
-    b_all, s_all, c_all, ov_all = binning.bin_triangle_classes(
-        tri_data, tuple(bounds), tiles_x=cfg.tiles_x, tiles_y=cfg.tiles_y,
-        tile_w=cfg.tile_w, tile_h=cfg.tile_h, pair_capacity=cfg.pair_capacity,
-    )
+    b_all, s_all, c_all, ov_all, _row_ov, _pd, _rd = \
+        binning.bin_triangle_classes(
+            tri_data, tuple(bounds), tiles_x=cfg.tiles_x, tiles_y=cfg.tiles_y,
+            tile_w=cfg.tile_w, tile_h=cfg.tile_h,
+            pair_capacity=cfg.pair_capacity, row_capacity=cfg.row_capacity,
+        )
     counts = np.asarray(c_all)  # [C, tiles]
     per_tile = counts.sum(axis=0).reshape(cfg.tiles_y, cfg.tiles_x)
     heat = np.kron(_gray(per_tile, lo=0.0), np.ones((8, 8), np.uint8))
