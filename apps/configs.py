@@ -105,8 +105,8 @@ def run_all(outdir: str = "configs_out", frames: int = 10) -> list[dict]:
     # 6. device-resident flythrough: 16 frames (camera orbit + animation)
     # per dispatch via lax.scan — the offline-throughput mode that amortizes
     # the per-dispatch host/tunnel overhead bounding config 5. Its own
-    # renderer: the orbit's worst frame needs ~173k ragged binning pairs /
-    # ~188k tile-rows (sandbox.build_bench) — the 1<<18 defaults hold.
+    # renderer: the orbit's worst frame needs 176,269 ragged binning pairs
+    # / 194,597 tile-rows (sandbox.build_bench) — the 1<<18 defaults hold.
     renderer = rt.Renderer(
         full.registry,
         rt.RenderConfig(width=1920, height=1080, msaa_samples=4),

@@ -123,11 +123,12 @@ def build_bench(for_bench: bool = False):
     the bench verifies the collected stats AFTER timing instead (bench.py)."""
     sandbox = Sandbox()
     # The ragged expansion (per-tile-row edge windows, raster/binning.py)
-    # cut the orbit's measured worst frame from 776k bbox pairs to 173k
-    # near-exact pairs / 188k tile-rows — both fit the 1<<18 default with
-    # ~35% headroom; the binning sort and scatter are dense over the static
-    # capacity, so the bucket is sized to the scene (measure-then-allocate)
-    # rather than to the max.
+    # cut the orbit's measured worst frame from 776k bbox pairs to 176,269
+    # near-exact pairs / 194,597 tile-rows (bench.py --verify over the
+    # canonical timeline) — both fit the 1<<18 = 262,144 default with ~33%
+    # / ~26% headroom; the binning sort and scatter are dense over the
+    # static capacity, so the bucket is sized to the scene
+    # (measure-then-allocate) rather than to the max.
     config = rt.RenderConfig(width=1920, height=1080, msaa_samples=4)
     renderer = rt.Renderer(sandbox.registry, config,
                            overflow_policy="off" if for_bench else "auto")

@@ -2,8 +2,10 @@
 1920×1080 Sponza+skinned on one TPU chip; BASELINE.json).
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": "fps",
-"vs_baseline": N, "dropped_pairs": int, "overflow_checked": bool} where
-vs_baseline is value / 60.
+"vs_baseline": N, "dropped_pairs": int, "dropped_rows": int,
+"overflow_checked": bool} where vs_baseline is value / 60 and the two
+dropped_* integers are the verifier's per-axis binning-truncation counts
+(-1 only when verification was unavailable, flagged by overflow_checked).
 
 Renders the heaviest scene available: Sponza + Smol Ame when the glTF assets
 and loader are available, otherwise the triangle demo scene. Every frame does
@@ -228,7 +230,8 @@ def run_verifier(frames: int, pair_capacity: int | None,
 
 
 _progress = {"t": time.time(), "label": "start",
-             "dropped_pairs": -1, "overflow_checked": False}
+             "dropped_pairs": -1, "dropped_rows": -1,
+             "overflow_checked": False}
 
 
 def _mark(label: str) -> None:
@@ -258,6 +261,7 @@ def _start_stall_watchdog(limit_s: float) -> None:
                     "unit": "fps",
                     "vs_baseline": 0.0,
                     "dropped_pairs": _progress["dropped_pairs"],
+                    "dropped_rows": _progress["dropped_rows"],
                     "overflow_checked": _progress["overflow_checked"],
                     "error": f"no progress for {int(idle)}s after "
                              f"'{_progress['label']}' — device/tunnel stall",
@@ -292,6 +296,7 @@ def main():
 
     # -- phase 1: completeness verification (fresh process, sequential) ------
     overflow = -1
+    ov_pairs = ov_rows = -1
     result = None
     for _attempt in range(3):
         result = run_verifier(frames, pair_capacity, row_capacity)
@@ -350,7 +355,10 @@ def main():
         row_capacity = int(result["row_capacity"])
     _mark("verifier done")
     checked = overflow >= 0
-    _progress["dropped_pairs"] = overflow
+    # keep the two binning axes separate in every JSON (a row-only drop
+    # reported under "dropped_pairs" would steer readers at the wrong knob)
+    _progress["dropped_pairs"] = ov_pairs
+    _progress["dropped_rows"] = ov_rows
     _progress["overflow_checked"] = checked
     if not checked:
         print("# completeness verification unavailable; reporting "
@@ -391,7 +399,8 @@ def main():
                 "value": round(fps, 2),
                 "unit": "fps",
                 "vs_baseline": round(fps / 60.0, 3),
-                "dropped_pairs": overflow,
+                "dropped_pairs": ov_pairs,
+                "dropped_rows": ov_rows,
                 "overflow_checked": checked,
             }
         ),

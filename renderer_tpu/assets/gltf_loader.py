@@ -941,7 +941,12 @@ class Gltf:
             return None
 
         # joint palette ranges: bump-allocated back-to-back, so the skins'
-        # palettes form ONE contiguous scene slice the native call fills
+        # palettes form ONE contiguous scene slice the native call fills.
+        # Remember the cursor so a failed pose sample can roll the
+        # allocation back — the numpy paths raise BEFORE allocating, and a
+        # caller that catches AnimationError and requeues must not leak
+        # palette slots.
+        cursor_before = scene._joint_cursor
         offsets = []
         for si, count in zip(entry["skins_in_order"], entry["skin_counts"]):
             alloc = scene.allocate_joint_offset(count)
@@ -973,6 +978,7 @@ class Gltf:
         try:
             transforms = entry["sample"](times, transform, palettes_out)
         except ValueError as e:
+            scene._joint_cursor = cursor_before  # nothing was drawn
             k = int(e.args[0]) if e.args and isinstance(e.args[0], int) else 0
             raise AnimationError(
                 f"animation {playing[k][1].name}: invalid timestamp "

@@ -415,7 +415,16 @@ class Renderer:
         ≤ half of them (with 2× headroom) — see `shrink_after` and
         _streak_shrink (sized from the streak's peak demand). Covers both
         ragged-binning axes: pair_capacity ← total_pairs and
-        row_capacity ← total_rows."""
+        row_capacity ← total_rows. Guarded on row_overflow == 0: while
+        rows are truncating (e.g. row_capacity pegged at its ceiling),
+        total_pairs only covers the rows that fit — shrinking from that
+        understated demand would drop pairs that previously fit and
+        oscillate with regrowth."""
+        ridx = pipeline.STAT_NAMES.index("row_overflow")
+        if len(stats_host) > ridx and int(stats_host[ridx]) > 0:
+            self._streaks["pair_capacity"] = (0, 0)
+            self._streaks["row_capacity"] = (0, 0)
+            return
         for field, stat in (("pair_capacity", "total_pairs"),
                             ("row_capacity", "total_rows")):
             idx = pipeline.STAT_NAMES.index(stat)

@@ -61,11 +61,10 @@ def padded_capacity_classes(pair_capacity: int, n_tiles: int, n_classes: int) ->
 
 def _tile_spans(tri_data, bounds, n_classes, *, tiles_x, tiles_y,
                 tile_w, tile_h):
-    """Shared bbox→tile-span math: per-triangle first tile (tx0, ty0), span
-    (span_w, span_h), expanded pair count (0 for invalid / out-of-bounds
-    triangles), and alpha-class id. Used by bin_triangle_classes and
-    pair_demand — ONE definition so the capacity-sizing signal can never
-    drift from what the expansion actually allocates."""
+    """Bbox→tile-span math for bin_triangle_classes' stage-1 expansion:
+    per-triangle first tile (tx0, ty0), span (span_w, span_h), bbox pair
+    count (0 for invalid / out-of-bounds triangles), and alpha-class id.
+    Factored out to keep the two-stage expansion body readable."""
     tc = tri_data.shape[1]
     xmin, ymin, xmax, ymax = (tri_data[k] for k in BBOX_ROWS)
     tri_idx = jnp.arange(tc, dtype=jnp.int32)

@@ -659,6 +659,11 @@ class TestNativeQueuePrologue:
             gltf.queue_animated(scene, math3d.IDENTITY,
                                 [(0.1, gltf.animations[0]),
                                  (bad, gltf.animations[1])])
+        # nothing was drawn, so nothing may leak: a caller that catches the
+        # error and requeues must see the same scene the numpy paths leave
+        # (they raise BEFORE allocating; the native path rolls back)
+        assert scene._joint_cursor == 0
+        assert scene.draw_count == 0
 
     def test_pooled_scene_requeue_reuses_block(self):
         """clear() + re-queue (the interactive loop) must hit the cached

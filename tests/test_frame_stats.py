@@ -170,6 +170,25 @@ class TestTotalPairsAndShrink:
         assert stats["total_rows"] == int(np.asarray(row_dem)) > 0
         assert stats["row_overflow"] == 0
 
+    def test_sync_policy_regrows_row_capacity(self):
+        """End-to-end row-axis feedback: a row_capacity too small for the
+        scene's (triangle, tile-row) expansion must regrow under "sync"
+        until the frame reports no dropped work, and the converged image
+        must equal an ample-capacity render exactly."""
+        registry, scene, _mat = _many_quads_scene(n=32)
+        small = rt.Renderer(
+            registry, rt.RenderConfig(row_capacity=16, **self.CFG),
+            overflow_policy="sync",
+        )
+        img = small.render_frame(scene, debug_mode=1)
+        stats = small.frame_stats()
+        assert stats["row_overflow"] == 0 and stats["overflow_opaque"] == 0
+        assert small.config.row_capacity > 16
+        ample = rt.Renderer(registry, rt.RenderConfig(**self.CFG))
+        np.testing.assert_array_equal(
+            img, ample.render_frame(scene, debug_mode=1)
+        )
+
     def test_auto_policy_shrinks_oversized_bucket(self):
         registry, scene, _mat = _many_quads_scene(n=2)
         r = rt.Renderer(
