@@ -36,37 +36,58 @@ import jax.numpy as jnp
 
 from renderer_tpu.engine.stats import _time_call
 from renderer_tpu.raster import binning
-from renderer_tpu.raster.setup import BBOX_ROWS, EPS_ROW, ROWS, VALID_ROW
+from renderer_tpu.raster.setup import triangle_setup
+
+
+def _make_tri_data(n: int, w: int, h: int, rng) -> tuple:
+    """n random triangles through the REAL `triangle_setup` (screen-space,
+    w = 1): a mix of small (sub-tile) and medium (several-tile) right
+    triangles, each covering ~half its bbox — so the ragged expansion's
+    per-row edge windows and the trivial reject see authentic planes."""
+    x0 = rng.uniform(0, w - 2, n)
+    y0 = rng.uniform(0, h - 2, n)
+    medium = rng.random(n) < 0.2
+    bw = np.where(medium, rng.uniform(128, 3 * 128, n), rng.uniform(2, 64, n))
+    bh = np.where(medium, rng.uniform(32, 4 * 32, n), rng.uniform(2, 32, n))
+    bw = np.minimum(bw, w - x0)
+    bh = np.minimum(bh, h - y0)
+    # right triangle on the bbox: (x0,y0) (x0+bw,y0) (x0,y0+bh); the vertex
+    # order that survives setup's front-face test was checked empirically
+    px = np.stack([x0, x0, x0 + bw], axis=1).ravel()
+    py = np.stack([y0, y0 + bh, y0], axis=1).ravel()
+    clip = np.zeros((3 * n, 4), np.float32)
+    clip[:, 0] = 2.0 * px / w - 1.0  # setup: xs = (X/W·0.5+0.5)·width, W=1
+    clip[:, 1] = 2.0 * py / h - 1.0
+    clip[:, 2] = rng.uniform(0.05, 0.95, 3 * n)
+    clip[:, 3] = 1.0
+    tri_v = np.arange(3 * n, dtype=np.int32).reshape(n, 3)
+    return jnp.asarray(clip), jnp.asarray(tri_v)
 
 
 def synthetic_tri_data(n_pairs_target: int, tiles_x: int, tiles_y: int,
                        tile_w: int, tile_h: int, seed: int = 11):
-    """Random triangle bboxes whose expected total (tile, triangle) pair
-    count is ~n_pairs_target, with a mix of small (1-2 tiles) and medium
-    (4-12 tiles) footprints like a real scene."""
+    """Triangle-setup output whose RAGGED expansion demand (the quantity
+    pair_capacity holds) is ~n_pairs_target. Demand per triangle depends on
+    the edge-plane row windows, so it is calibrated empirically: generate a
+    probe batch, measure its demand with a tiny `bin_triangle_classes`
+    readback, then scale the triangle count."""
     rng = np.random.default_rng(seed)
     w, h = tiles_x * tile_w, tiles_y * tile_h
-    # small triangles ~1.5 tiles, 20% mediums ~8 tiles → ~2.8 avg
-    avg_pairs = 2.8
-    n = int(n_pairs_target / avg_pairs)
-    tc = 1 << max(14, int(np.ceil(np.log2(max(n, 1)))))
-    td = np.zeros((ROWS, tc), np.float32)
-    x0 = rng.uniform(0, w - 2, n)
-    y0 = rng.uniform(0, h - 2, n)
-    medium = rng.random(n) < 0.2
-    bw = np.where(medium, rng.uniform(tile_w, 3 * tile_w, n),
-                  rng.uniform(2, tile_w / 2, n))
-    bh = np.where(medium, rng.uniform(tile_h, 4 * tile_h, n),
-                  rng.uniform(2, tile_h, n))
-    td[BBOX_ROWS[0], :n] = x0
-    td[BBOX_ROWS[1], :n] = y0
-    td[BBOX_ROWS[2], :n] = np.minimum(x0 + bw, w)
-    td[BBOX_ROWS[3], :n] = np.minimum(y0 + bh, h)
-    td[VALID_ROW, :n] = 1.0
-    td[EPS_ROW, :n] = 1e-4
-    for r in range(15):
-        td[r, :n] = rng.normal(size=n).astype(np.float32)
-    return jnp.asarray(td), n
+
+    def setup(n):
+        clip, tri_v = _make_tri_data(n, w, h, rng)
+        return triangle_setup(clip, tri_v, n, w, h)
+
+    probe_n = 4096
+    td = setup(probe_n)
+    cap = 1 << 20
+    out = binning.bin_triangle_classes(
+        td, (0, probe_n), tiles_x=tiles_x, tiles_y=tiles_y,
+        tile_w=tile_w, tile_h=tile_h, pair_capacity=cap, row_capacity=cap)
+    probe_demand = int(np.asarray(out[5]))
+    assert probe_demand > 0, "synthetic workload produced no coverage"
+    n = int(round(n_pairs_target * probe_n / probe_demand))
+    return setup(n), n
 
 
 def main():
