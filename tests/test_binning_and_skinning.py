@@ -304,6 +304,31 @@ class TestBinning:
         # earlier classes only overflow once later ones are fully dropped
         assert oc[0] == max(0, totals[0] - cap)
 
+    def test_scaling_tool_workload_is_real(self):
+        """tools/binning_scaling.py's synthetic workload must consist of
+        triangles that SURVIVE triangle_setup (winding/front-face — a
+        regression here silently measures an empty stream) and calibrate
+        the ragged pair demand to its target within tolerance."""
+        from tools.binning_scaling import _make_tri_data, synthetic_tri_data
+
+        tiles_x, tiles_y, tile_w, tile_h = 15, 34, 128, 32
+        W, H = tiles_x * tile_w, tiles_y * tile_h
+        rng = np.random.default_rng(3)
+        clip, tri_v = _make_tri_data(64, W, H, rng)
+        td = np.asarray(setup.triangle_setup(clip, tri_v, 64, W, H))
+        assert td[VALID_ROW].sum() == 64  # every synthetic triangle is live
+
+        target = 50_000
+        td2, _n = synthetic_tri_data(target, tiles_x, tiles_y, tile_w, tile_h)
+        cap = 1 << 17
+        out = binning.bin_triangle_classes(
+            td2, (0, td2.shape[1]),
+            tiles_x=tiles_x, tiles_y=tiles_y, tile_w=tile_w, tile_h=tile_h,
+            pair_capacity=cap, row_capacity=cap,
+        )
+        demand = int(np.asarray(out[5]))
+        assert 0.5 * target <= demand <= 1.5 * target, demand
+
 
 class TestSkinning:
     def _geom_frame(self, rng, skinned_flag):
