@@ -22,7 +22,10 @@ def _round_up(x: int, m: int) -> int:
 class RenderConfig:
     width: int = 1280
     height: int = 720
-    msaa_samples: int = 1  # 1 or 4 (reference picks 4 when supported)
+    # 1/2/4/8 at the Vulkan standard sample locations. The reference library
+    # accepts any device-supported attachment_sample_count
+    # (pipelines.rs:20-27); its sandbox picks 4 (main.rs:114-115).
+    msaa_samples: int = 1
 
     # Raster kernel tiling. A tile is the pixel block one Pallas grid step
     # owns; (sublane, lane)-aligned so every edge-function evaluation is a
@@ -126,7 +129,7 @@ class RenderConfig:
         return self.padded_height // self.tile_h
 
     def validate(self) -> "RenderConfig":
-        assert self.msaa_samples in (1, 4), "MSAA must be 1 or 4"
+        assert self.msaa_samples in (1, 2, 4, 8), "MSAA must be 1, 2, 4 or 8"
         assert self.msaa_shade_candidates >= 1
         assert self.tile_w % 128 == 0, "tile_w must be lane-aligned (128)"
         assert self.tile_h % 8 == 0, "tile_h must be sublane-aligned (8)"

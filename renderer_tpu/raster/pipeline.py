@@ -48,8 +48,21 @@ from renderer_tpu.raster import (
     vertex_stage,
 )
 
-# Vulkan standard 4xMSAA sample positions (spec table 24.1), pixel-relative.
-MSAA4_POSITIONS = ((0.375, 0.125), (0.875, 0.375), (0.125, 0.625), (0.625, 0.875))
+# Vulkan standard sample locations (spec "Multisampling" standard sample
+# locations table), pixel-relative. The reference library is parameterized
+# over any supported attachment_sample_count (pipelines.rs:20-27 takes it as
+# a constructor argument; the sandbox picks TYPE_4 at main.rs:114-115) — the
+# same counts are accepted here, with the visibility kernels evaluating the
+# edge/depth planes at these positions per sample.
+STANDARD_SAMPLE_POSITIONS = {
+    1: ((0.5, 0.5),),
+    2: ((0.75, 0.75), (0.25, 0.25)),
+    4: ((0.375, 0.125), (0.875, 0.375), (0.125, 0.625), (0.625, 0.875)),
+    8: ((0.5625, 0.3125), (0.4375, 0.6875), (0.8125, 0.5625),
+        (0.3125, 0.1875), (0.1875, 0.8125), (0.0625, 0.4375),
+        (0.6875, 0.9375), (0.9375, 0.0625)),
+}
+MSAA4_POSITIONS = STANDARD_SAMPLE_POSITIONS[4]
 
 # Per-frame device stats vector (i32[8]) returned next to the image — the
 # TPU analog of the reference's loud resource-exhaustion errors
@@ -246,7 +259,7 @@ def render_shard(
     # constants — ONE kernel launch and one shared binned-buffer DMA stream
     # evaluates every sample (no per-sample re-streaming of the bins, no
     # per-sample 200 MB plane-shift copies at large pair capacities).
-    spos = tuple(MSAA4_POSITIONS[:msaa]) if msaa > 1 else ((0.5, 0.5),)
+    spos = STANDARD_SAMPLE_POSITIONS[msaa]
 
     def raster_opaque_all():
         return raster_kernel.rasterize_binned(

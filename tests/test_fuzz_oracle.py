@@ -116,35 +116,40 @@ def test_random_triangle_soup_matches_oracle(soup):
     assert len(np.unique(tid_ref[covered])) > 5
 
 
-def test_random_triangle_soup_matches_oracle_msaa4(soup):
-    """MSAA4: per-sample winner at the standard sample positions, ACES per
-    sample, AVERAGE resolve, then sRGB encode (post.tonemap order).
-    msaa_shade_candidates=4 makes the shade-once dedup exact for every
+@pytest.mark.parametrize("msaa", [2, 4, 8])
+def test_random_triangle_soup_matches_oracle_msaa(soup, msaa):
+    """MSAA 2/4/8: per-sample winner at the Vulkan standard sample locations
+    for that count, ACES per sample, AVERAGE resolve, then sRGB encode
+    (post.tonemap order). The reference library is parameterized over any
+    supported attachment_sample_count (pipelines.rs:20-27).
+    msaa_shade_candidates=msaa makes the shade-once dedup exact for every
     pixel, so only the fill-rule boundary band may disagree."""
-    from renderer_tpu.raster.pipeline import MSAA4_POSITIONS
+    from renderer_tpu.raster.pipeline import STANDARD_SAMPLE_POSITIONS
 
     registry, make_scene, clip = soup
     renderer = rt.Renderer(
         registry,
-        rt.RenderConfig(width=W, height=H, msaa_samples=4,
-                        msaa_shade_candidates=4),
+        rt.RenderConfig(width=W, height=H, msaa_samples=msaa,
+                        msaa_shade_candidates=msaa),
     )
     img = np.asarray(renderer.render_frame(make_scene(), debug_mode=2))
 
     palette = _debug_palette()
     mapped_sum = np.zeros((H, W, 3))
-    for off in MSAA4_POSITIONS:
+    for off in STANDARD_SAMPLE_POSITIONS[msaa]:
         tid_s, _, _ = np_reference.rasterize(clip, W, H, sample_offset=off)
         m = np.zeros((H, W, 3))
         cov = tid_s >= 0
         m[cov] = _aces(palette[tid_s[cov]] * 0.8)
         mapped_sum += m
-    expected = _srgb_u8(mapped_sum / 4.0)
+    expected = _srgb_u8(mapped_sum / msaa)
 
-    # sRGB-encoding a 4-sample average amplifies small per-sample
+    # sRGB-encoding a multi-sample average amplifies small per-sample
     # differences near black — allow 2 u8 steps.
     match = (np.abs(img.astype(int) - expected.astype(int)) <= 2).all(axis=-1)
-    assert match.mean() > 0.98, f"msaa4 resolve agreement {match.mean():.4f}"
+    assert match.mean() > 0.98, (
+        f"msaa{msaa} resolve agreement {match.mean():.4f}"
+    )
 
 
 def test_random_blended_stack_matches_compositing_oracle():
