@@ -104,6 +104,16 @@ class RenderConfig:
     # addressing, depth, edges and compositing stay f32 — raster/shade.py).
     # Goldens within tolerance: tests/test_bf16_shading.py.
     bf16_shading: bool = False
+    # HBM ceiling for the stacked deferred-shading calls: the [C, H, W]
+    # candidate stacks gather [C, H, W, 3, 4] vertex attributes and dozens
+    # of [C, H, W, 4] texture taps — at 1080p x several candidates the live
+    # set exceeds a v5e's 16 GB. Stacks whose C*H*W exceeds this element
+    # budget are shaded in equal tile-row strips via lax.map (one traced
+    # body — the HLO stays one shading subgraph), bounding live shading
+    # memory to ~budget*48B regardless of resolution/candidate count.
+    # 0 disables stripping. Bit-identical to the unstripped path
+    # (tests/test_engine.py::test_shade_strips_bit_equal).
+    shade_strip_elems: int = 1 << 21
 
     def exact_sampler(self) -> "RenderConfig":
         """The reference device's exact sampler configuration: per-tap sRGB

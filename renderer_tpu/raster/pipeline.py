@@ -136,6 +136,58 @@ def _extract_candidates(tids: list, n: int) -> list:
     return cands
 
 
+def _pick_strips(c: int, hp: int, wp: int, tile_h: int, budget: int) -> int:
+    """Smallest equal tile-row split of a [c, hp, wp] candidate stack whose
+    per-strip element count fits `budget` (RenderConfig.shade_strip_elems;
+    0 = never split). Strips are whole tile rows and divide the stack
+    evenly, so lax.map traces ONE body at a static shape. Falls back to
+    per-tile-row strips when no smaller divisor fits."""
+    if budget <= 0 or c * hp * wp <= budget:
+        return 1
+    tiles = max(hp // tile_h, 1)
+    n = 1
+    for d in range(1, tiles + 1):
+        if tiles % d:
+            continue
+        n = d
+        if c * (hp // d) * wp <= budget:
+            break
+    return n
+
+
+def _shade_striped(stack, row0, n_strips: int, fn):
+    """Run fn(tid [c, h, w] i32, row0 scalar) -> pytree of [c, h, w, ...]
+    over n_strips equal tile-row strips with lax.map, concatenating the
+    results back to full height. The stacked deferred-shading calls gather
+    [c, h, w, 3, 4] vertex attributes plus dozens of [c, h, w, 4] texture
+    taps per strip — mapping over strips bounds that live set to one
+    strip's worth (the fix for the 1080p x many-candidate frame exceeding
+    a v5e's 16 GB HBM at XLA buffer assignment) while keeping a single
+    shading subgraph in the HLO. Bit-identical to fn(stack, row0): shading
+    is a pure per-pixel function of the candidate map and its global row."""
+    if n_strips <= 1:
+        return fn(stack, row0)
+    c, hp, wp = stack.shape
+    sh = hp // n_strips
+    if not isinstance(stack, jax.core.Tracer):
+        # eager frame composition (interpret-mode tests): a concrete Python
+        # loop strips the live set the same way without tracing the body
+        # (the closed-over numpy frame/material tables stay host arrays;
+        # lax.map tracing would index them with tracers and fail)
+        outs = [fn(stack[:, i * sh:(i + 1) * sh], row0 + i * sh)
+                for i in range(n_strips)]
+        return jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=1), *outs)
+    per = stack.reshape(c, n_strips, sh, wp).transpose(1, 0, 2, 3)
+    r0s = (jnp.asarray(row0, jnp.int32)
+           + jnp.arange(n_strips, dtype=jnp.int32) * sh)
+    out = jax.lax.map(lambda args: fn(args[0], args[1]), (per, r0s))
+    return jax.tree_util.tree_map(
+        lambda a: jnp.moveaxis(a, 0, 1).reshape((c, hp, wp) + a.shape[4:]),
+        out,
+    )
+
+
 def _select(tid, cands: list, values: list):
     """values: list (per candidate) of arrays whose leading dims are [H, W]
     (optionally trailing channel dim). Returns (selected, unmatched mask)."""
@@ -237,9 +289,10 @@ def render_shard(
         grow/shrink)."""
         return jnp.max(aux[:, :out_rows, : cfg.width])
 
-    def interpolants_of(tid):
+    def interpolants_of(tid, r0=None):
         return shade.interpolants(
-            tid, geom, vs, width=cfg.width, height=cfg.height, row0=row0
+            tid, geom, vs, width=cfg.width, height=cfg.height,
+            row0=(row0 if r0 is None else r0),
         )
 
     # Visibility (raster) runs PER SAMPLE at the shifted sample positions;
@@ -290,10 +343,19 @@ def render_shard(
         math to shading each candidate separately — interpolants/shade are
         leading-dim polymorphic — but the frame module contains a single
         shading subgraph instead of one per candidate: ~5x smaller HLO and
-        proportionally faster XLA compiles, on TPU and CPU alike)."""
-        out = shade.shade_interpolated(
-            interpolants_of(clampc(jnp.stack(cands))), vs, frame, materials,
-            cfg.trilinear, cfg.aniso_samples, cfg.srgb_per_tap, shade_dt)
+        proportionally faster XLA compiles, on TPU and CPU alike). Stacks
+        past cfg.shade_strip_elems shade in tile-row strips (_shade_striped)
+        so the [C,H,W,3,4] gathers never exceed the HBM budget."""
+        stack = clampc(jnp.stack(cands))
+        n = _pick_strips(stack.shape[0], stack.shape[1], stack.shape[2],
+                         cfg.tile_h, cfg.shade_strip_elems)
+        out = _shade_striped(
+            stack, row0, n,
+            lambda tid, r0: shade.shade_interpolated(
+                interpolants_of(tid, r0), vs, frame, materials,
+                cfg.trilinear, cfg.aniso_samples, cfg.srgb_per_tap,
+                shade_dt),
+        )
         return [out[i] for i in range(len(cands))]
 
     # -- phase 1: opaque + masked visibility (all samples per kernel pass) ---
@@ -319,9 +381,17 @@ def render_shard(
     if has_masked:
         slots = [lt_m[s][k] for s in range(msaa) for k in range(cfg.mask_layers)]
         cands = _extract_candidates(slots, min(len(slots), cfg.mask_layers + extra))
-        a_all, co_all = shade.base_alpha(
-            interpolants_of(clampc(jnp.stack(cands))), frame, materials,
-            cfg.trilinear, cfg.aniso_samples, cfg.srgb_per_tap, shade_dt)
+        stack_m = clampc(jnp.stack(cands))
+        n_m = _pick_strips(stack_m.shape[0], stack_m.shape[1],
+                           stack_m.shape[2], cfg.tile_h,
+                           cfg.shade_strip_elems)
+        a_all, co_all = _shade_striped(
+            stack_m, row0, n_m,
+            lambda tid, r0: shade.base_alpha(
+                interpolants_of(tid, r0), frame, materials,
+                cfg.trilinear, cfg.aniso_samples, cfg.srgb_per_tap,
+                shade_dt),
+        )
         alphas = [a_all[i] for i in range(len(cands))]
         cutoffs = [co_all[i] for i in range(len(cands))]
         for s in range(msaa):

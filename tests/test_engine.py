@@ -165,3 +165,78 @@ def test_profiler_chrome_trace_export(tmp_path):
         with p2.span(f"s{k}"):
             pass
     assert p2.export_chrome_trace(str(tmp_path / "t2.json")) == 4
+
+
+def test_shade_strips_bit_equal():
+    """Strip-mapped stacked shading (RenderConfig.shade_strip_elems) is
+    bit-identical to the unstripped path across all three stacked shade
+    call sites — solid candidates, the masked alpha test, and blended
+    layers (pipeline._shade_striped). Shading is a pure per-pixel function
+    of the candidate map + global row, so forcing per-tile-row strips with
+    a tiny element budget must reproduce the unstripped bytes exactly."""
+    from dataclasses import replace
+
+    from renderer_tpu.core import math3d
+    from tests.test_alpha_modes import quad
+
+    registry = rt.MaterialRegistry()
+    builder = rt.VertexLibraryBuilder()
+    back = quad(builder, 2.0, half=2.0)
+    masked = quad(builder, 1.5, half=0.5)
+    blended = quad(builder, 1.0, half=0.4)
+    builder.build()
+
+    m_back = registry.create_material(
+        "bg", rt.PbrMaterialParameters(base_color_factor=(0.8, 0.2, 0.1, 1)))
+    m_mask = registry.create_material(
+        "mask",
+        rt.PbrMaterialParameters(base_color_factor=(0.2, 0.9, 0.3, 0.6),
+                                 alpha_cutoff=0.5,
+                                 alpha_mode=rt.AlphaMode.ALPHA_TO_COVERAGE))
+    m_blend = registry.create_material(
+        "blend",
+        rt.PbrMaterialParameters(base_color_factor=(0.1, 0.4, 0.9, 0.5),
+                                 alpha_mode=rt.AlphaMode.BLENDED))
+
+    def make_scene():
+        scene = rt.Scene()
+        assert scene.queue_mesh(back, m_back, None, math3d.IDENTITY)
+        assert scene.queue_mesh(masked, m_mask, None, math3d.IDENTITY)
+        assert scene.queue_mesh(blended, m_blend, None, math3d.IDENTITY)
+        return scene
+
+    base = rt.RenderConfig(width=128, height=96, tile_h=16, msaa_samples=4,
+                           shade_strip_elems=0).validate()
+    plain = np.asarray(
+        rt.Renderer(registry, base).render_frame(make_scene(), debug_mode=0))
+    # budget of 1 element -> every stack splits into per-tile-row strips
+    striped_cfg = replace(base, shade_strip_elems=1).validate()
+    striped = np.asarray(
+        rt.Renderer(registry, striped_cfg).render_frame(make_scene(),
+                                                        debug_mode=0))
+    assert (plain == striped).all(), (
+        f"stripped shading diverged on {(plain != striped).any(-1).sum()} px"
+    )
+
+
+def test_shade_strips_jitted_lax_map_matches():
+    """The jitted strip path (tracer stacks -> lax.map over tile-row strips,
+    pipeline._shade_striped) must reproduce the unstripped jitted render.
+    render_frames_device always runs under jax.jit even in interpret mode,
+    so it exercises the lax.map branch the TPU frame uses; stripping only
+    changes fusion boundaries, so like the scan-vs-single pin this demands
+    near-total pixel agreement (ULP-level XLA:CPU contraction differences
+    across fusion structures)."""
+    from dataclasses import replace
+
+    registry, meshes, material = build_triangle_assets()
+    cfg_p = rt.RenderConfig(width=160, height=96, msaa_samples=4,
+                            shade_strip_elems=0).validate()
+    cfg_s = replace(cfg_p, shade_strip_elems=1).validate()
+    img_p, _ = rt.Renderer(registry, cfg_p).render_frames_device(
+        [build_scene(meshes, material)], debug_mode=0)
+    img_s, _ = rt.Renderer(registry, cfg_s).render_frames_device(
+        [build_scene(meshes, material)], debug_mode=0)
+    img_p, img_s = np.asarray(img_p)[0], np.asarray(img_s)[0]
+    agreement = (img_p == img_s).all(axis=-1).mean()
+    assert agreement > 0.999, f"lax.map strip agreement {agreement}"
