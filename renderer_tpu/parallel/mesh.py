@@ -7,9 +7,15 @@ TPU-native addition. The natural decomposition for a tile rasterizer:
   devices; each device transforms VE/n vertices, then the (small) clip/attr
   arrays are `all_gather`ed over ICI so every device holds the full
   post-transform vertex set.
-- **sp (screen parallel)**: the framebuffer is sharded by tile rows; raster,
-  deferred shading and tonemap run entirely on the local shard — no
+- **sp (screen parallel)**: the framebuffer is sharded by tile rows; binning
+  (the stage-1 row expansion is clipped to the shard's tile rows, so the
+  O(P log P) pair sort and the bin scatter run at shard width), raster,
+  deferred shading and tonemap all run entirely on the local shard — no
   communication. The final image is already sharded correctly for output.
+  Triangle setup stays replicated DELIBERATELY: it is dense O(T) VPU math
+  (~40 flops/triangle), cheaper recomputed everywhere than all_gathering
+  its 96 B/triangle output over ICI (compute-over-communication, the
+  standard mesh-parallel tradeoff).
 
 Both ride one mesh axis ("sp"); a leading batch axis ("dp", multiple
 cameras/frames) composes on top via vmap + an extra mesh dimension.
@@ -27,6 +33,27 @@ from jax.sharding import Mesh, PartitionSpec as P
 from renderer_tpu.core import constants
 from renderer_tpu.core.config import RenderConfig
 from renderer_tpu.raster import pipeline, vertex_stage
+
+
+def _combine_shard_stats(stats, axis):
+    """Reduce one shard's stats vector over the sp axis. Binning runs
+    per-shard (stage-1 row expansion clipped to the shard's tile rows,
+    binning.bin_triangle_classes tile_row_lo), so every COUNT stat —
+    overflow [0:4], saturation pixels [4:8], total_pairs [8], and the row
+    axis total_rows/row_overflow — is a partition of the single-chip value:
+    psum reproduces it exactly (each (triangle, tile-row) belongs to exactly
+    one shard and its x-window is shard-independent). The per-pixel demand
+    PEAKS ([9:13]) are per-shard maxima and pmax. Capacity knobs
+    (pair_capacity/row_capacity) are PER-DEVICE buffers under sharding, so a
+    sizing loop should divide the psum'd demand by the shard count — or
+    grow on any nonzero overflow, which is what the Renderer does."""
+    i_demand = pipeline.STAT_NAMES.index("masked_demand_max")  # 9
+    i_rows = pipeline.STAT_NAMES.index("total_rows")  # 13
+    return jnp.concatenate([
+        jax.lax.psum(stats[:i_demand], axis),
+        jax.lax.pmax(stats[i_demand:i_rows], axis),
+        jax.lax.psum(stats[i_rows:], axis),
+    ])
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "sp") -> Mesh:
@@ -101,15 +128,7 @@ def render_frame_sharded(
             out_rows=rows_per_dev,
             interpret=interpret,
         )
-        # overflow ([:4]) and total_pairs ([8]) come from binning the FULL
-        # screen — every device computes the same values; the per-pixel
-        # saturation counts ([4:8]) are per-shard and psum'd; the layered +
-        # shade demand peaks ([9:]) are per-shard maxima and pmax'd.
-        stats = jnp.concatenate(
-            [stats[:4], jax.lax.psum(stats[4:8], axis), stats[8:9],
-             jax.lax.pmax(stats[9:], axis)]
-        )
-        return img, stats
+        return img, _combine_shard_stats(stats, axis)
 
     sharded = jax.shard_map(
         step,
@@ -152,12 +171,13 @@ def render_frames_batched(
     morph_k: int = 0,
     joint_cap: int = constants.MAX_JOINT_COUNT,
     interpret: bool = False,
-) -> jnp.ndarray:
+):
     """dp × sp frame rendering: each dp group renders one frame of the batch
     (own camera/transforms/joints over shared geometry+materials), internally
-    sharded over tile rows. Returns u8 [B, H, W, 3], sharded (dp, sp).
-    (Per-frame stats are dropped here — batched rendering is the
-    device-resident loop; use render_frame_sharded for diagnostics.)"""
+    sharded over tile rows. Returns (u8 [B, H, W, 3] sharded (dp, sp),
+    stats i32 [B, N_STATS] sharded (dp,)) — per-frame stats combined over sp
+    like render_frame_sharded, so overflow anywhere in the batch is loud
+    (check max over the batch axis, the render_frames_device policy)."""
     dp = mesh.shape["dp"]
     sp = mesh.shape["sp"]
     batch = jax.tree_util.tree_leaves(frames)[0].shape[0]
@@ -191,7 +211,7 @@ def render_frames_batched(
             for k, v in vs_local.items()
         }
 
-        img, _stats = pipeline.render_shard(
+        img, stats = pipeline.render_shard(
             geom, frame, materials, vs,
             config=config,
             has_masked=has_masked,
@@ -202,13 +222,14 @@ def render_frames_batched(
             out_rows=rows_per_dev,
             interpret=interpret,
         )
-        return img[None]  # local [1, rows, W, 3]
+        stats = _combine_shard_stats(stats, "sp")
+        return img[None], stats[None]  # local [1, rows, W, 3], [1, N_STATS]
 
     sharded = jax.shard_map(
         step,
         mesh=mesh,
         in_specs=(P(), P("dp"), P()),
-        out_specs=P("dp", "sp", None, None),
+        out_specs=(P("dp", "sp", None, None), P("dp", None)),
         check_vma=False,
     )
     return sharded(geom, frames, materials)

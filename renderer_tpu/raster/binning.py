@@ -88,7 +88,7 @@ def _tile_spans(tri_data, bounds, n_classes, *, tiles_x, tiles_y,
 @functools.partial(
     jax.jit,
     static_argnames=("tiles_x", "tiles_y", "tile_w", "tile_h",
-                     "pair_capacity", "row_capacity"),
+                     "pair_capacity", "row_capacity", "local_tiles_y"),
 )
 def bin_triangles(
     tri_data: jnp.ndarray,  # [ROWS, Tc] from triangle_setup
@@ -101,6 +101,8 @@ def bin_triangles(
     tile_h: int,
     pair_capacity: int,
     row_capacity: int | None = None,
+    tile_row_lo=0,
+    local_tiles_y: int | None = None,
 ):
     """Single-class binning (kept for per-stage profiling + tests; the
     production frame uses `bin_triangle_classes` — one sort for all alpha
@@ -116,6 +118,7 @@ def bin_triangles(
         tiles_x=tiles_x, tiles_y=tiles_y, tile_w=tile_w, tile_h=tile_h,
         pair_capacity=pair_capacity,
         row_capacity=pair_capacity if row_capacity is None else row_capacity,
+        tile_row_lo=tile_row_lo, local_tiles_y=local_tiles_y,
     )
     # fold row truncation into the loud scalar (each dropped row hides ≥ 0
     # pairs; callers only test > 0 and grow their one capacity knob)
@@ -125,7 +128,7 @@ def bin_triangles(
 @functools.partial(
     jax.jit,
     static_argnames=("tiles_x", "tiles_y", "tile_w", "tile_h",
-                     "pair_capacity", "row_capacity"),
+                     "pair_capacity", "row_capacity", "local_tiles_y"),
 )
 def bin_triangle_classes(
     tri_data: jnp.ndarray,  # [ROWS, Tc] from triangle_setup
@@ -137,6 +140,8 @@ def bin_triangle_classes(
     tile_h: int,
     pair_capacity: int,
     row_capacity: int | None = None,
+    tile_row_lo=0,  # traced i32: first tile row this call bins (sharding)
+    local_tiles_y: int | None = None,  # static: tile rows binned (None = all)
 ):
     """Bin all alpha classes with ONE stable sort: pairs are keyed by
     class * n_tiles + tile, so each (class, tile) segment lands contiguous and
@@ -158,6 +163,16 @@ def bin_triangle_classes(
       3. rows expand to (triangle, tile) pairs over their windows only
          (`pair_capacity`), and the per-pair extent reject prunes the rest.
 
+    SHARDING (`tile_row_lo` + `local_tiles_y`): bin only the tile rows
+    [tile_row_lo, tile_row_lo + local_tiles_y) — the stage-1 row expansion
+    is clipped to that range BEFORE it costs row slots, windows, or sort
+    width, so a multichip shard (parallel/mesh.py) pays only its own rows'
+    O(P log P). Tile keys and the starts/counts arrays are LOCAL to the
+    range (row 0 = tile_row_lo); per-row math is shard-independent, so the
+    shards' pair sets partition the full-screen expansion exactly (demands
+    sum to the single-chip totals). Defaults are the full screen — a no-op
+    clip, bit-identical to the unsharded path.
+
     Returns (binned [B_ROWS, Pp] f32 SoA — slim layout, see KEEP_ROWS —,
     starts [C, tiles] i32 (128-aligned), counts [C, tiles] i32,
     overflow_pairs [C] i32, row_overflow i32 scalar, pair_demand i32 scalar,
@@ -168,12 +183,22 @@ def bin_triangle_classes(
     tc = tri_data.shape[1]
     if row_capacity is None:
         row_capacity = pair_capacity  # tools/tests with ample single buckets
+    if local_tiles_y is None:
+        local_tiles_y = tiles_y
     n_classes = len(bounds) - 1
     assert n_classes >= 1
     tx0, ty0, span_w, span_h, n_pairs, cls = _tile_spans(
         tri_data, bounds, n_classes,
         tiles_x=tiles_x, tiles_y=tiles_y, tile_w=tile_w, tile_h=tile_h,
     )
+    # clip each triangle's tile-row span to this shard's row range (no-op
+    # for the full-screen defaults: _tile_spans already clamps to
+    # [0, tiles_y-1])
+    row_lo = jnp.asarray(tile_row_lo, jnp.int32)
+    ty1 = jnp.minimum(ty0 + span_h - 1, row_lo + (local_tiles_y - 1))
+    ty0 = jnp.maximum(ty0, row_lo)
+    span_h = jnp.maximum(ty1 - ty0 + 1, 0)
+    n_pairs = jnp.where(n_pairs > 0, span_w * span_h, 0)
     xmin, _ymin, xmax, _ymax = (tri_data[k] for k in BBOX_ROWS)
 
     # -- stage 1: (triangle, tile-row) expansion ------------------------------
@@ -231,8 +256,10 @@ def bin_triangle_classes(
     tri_of_pair = tri_of_row[row_of_pair]
     tile_x = rx_lo[row_of_pair] + (pair_idx - cum_start_p[row_of_pair])
     tile_y = row_ty[row_of_pair]
-    tile = tile_y * tiles_x + tile_x
-    n_tiles = tiles_x * tiles_y
+    # tile keys are LOCAL to the binned row range (row 0 = tile_row_lo);
+    # the kernels index starts/counts by their grid step, not the global row
+    tile = (tile_y - row_lo) * tiles_x + tile_x
+    n_tiles = tiles_x * local_tiles_y
     n_keys = n_classes * n_tiles
     key = cls[tri_of_pair] * n_tiles + tile
     key = jnp.where(pair_live, key, n_keys)  # dead pairs → overflow bucket

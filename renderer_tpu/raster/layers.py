@@ -73,9 +73,12 @@ def _make_layer_kernel(mode: str, n_layers: int, tile_h: int, tile_w: int,
 
     def kernel(starts_ref, counts_ref, tri_ref, depth_in_ref,
                lz_ref, lt_ref, aux_ref, smem, sem):
-        ty = pl.program_id(0) + starts_ref[counts_ref.shape[0]]
+        # bins are LOCAL to this shard's tile-row range (see raster_kernel):
+        # grid step indexes starts/counts; the global row feeds pixel coords.
+        lty = pl.program_id(0)
+        ty = lty + starts_ref[counts_ref.shape[0]]
         tx = pl.program_id(1)
-        tile_index = ty * tiles_x + tx
+        tile_index = lty * tiles_x + tx
 
         lz_ref[:] = jnp.full((n_s, n_layers, tile_h, tile_w), -1.0, jnp.float32)
         lt_ref[:] = jnp.full((n_s, n_layers, tile_h, tile_w), -1, jnp.int32)

@@ -247,7 +247,10 @@ def render_shard(
 
     # One stable sort bins every alpha class at once: pairs are keyed by
     # class × tile, each class reads the shared binned buffer through its own
-    # starts/counts row (binning.bin_triangle_classes).
+    # starts/counts row (binning.bin_triangle_classes). Binning covers ONLY
+    # this shard's tile rows (tile_row_lo/local_tiles_y): under the multichip
+    # sp decomposition each device expands, sorts and scatters only its own
+    # rows' pairs — the single-chip call is the full range.
     bounds = [0, n_opaque]
     if has_masked:
         bounds.append(n_opaque + n_masked)
@@ -259,6 +262,7 @@ def render_shard(
         tiles_x=cfg.tiles_x, tiles_y=cfg.tiles_y,
         tile_w=cfg.tile_w, tile_h=cfg.tile_h,
         pair_capacity=cfg.pair_capacity, row_capacity=cfg.row_capacity,
+        tile_row_lo=tile_row_offset, local_tiles_y=local_tiles_y,
     )
     bins_opaque = (b_all, s_all[0], c_all[0])
     ov_opaque = ov_all[0]

@@ -76,9 +76,14 @@ def _binned_kernel(
     # the eps band pre-folded, setup.py), 9-11 depth plane, 12-14 1/w
     # plane, then B_TID
     n_s = len(sample_positions)
-    ty = pl.program_id(0) + starts_ref[counts_ref.shape[0]]
+    # bins are LOCAL to this shard's tile-row range (binning tile_row_lo):
+    # starts/counts are indexed by the grid step; the global tile row
+    # (grid step + tile_row_offset, stashed as the last starts entry) is
+    # only needed for the pixel coordinates the planes are evaluated at.
+    lty = pl.program_id(0)
+    ty = lty + starts_ref[counts_ref.shape[0]]
     tx = pl.program_id(1)
-    tile_index = ty * tiles_x + tx
+    tile_index = lty * tiles_x + tx
 
     depth_ref[:] = jnp.zeros((n_s, tile_h, tile_w), jnp.float32)
     trid_ref[:] = jnp.full((n_s, tile_h, tile_w), -1, jnp.int32)

@@ -66,6 +66,8 @@ def rasterize_ui(
         tiles_x=cfg.tiles_x, tiles_y=cfg.tiles_y,
         tile_w=cfg.tile_w, tile_h=cfg.tile_h,
         pair_capacity=cfg.ui_pair_capacity,
+        # shard-local binning like the scene classes (pipeline.render_shard)
+        tile_row_lo=tile_row_offset, local_tiles_y=local_tiles_y,
     )
     # constant z = 0.5 vs floor 0.0 → every covered fragment passes GE and
     # the accept chain is pure submission (painter's) order

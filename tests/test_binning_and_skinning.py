@@ -159,6 +159,67 @@ class TestBinning:
             assert ((got >= 30) & (got < 60)).all()
         assert np.asarray(counts_all).sum() > counts.sum() > 0
 
+    def test_sharded_binning_partitions_full_screen(self):
+        """Shard-local binning (tile_row_lo/local_tiles_y) must PARTITION
+        the full-screen expansion: per-shard pair/row demands sum EXACTLY to
+        the single-chip totals (each (triangle, tile-row) belongs to exactly
+        one shard and its edge-plane x-window is shard-independent), each
+        shard's per-tile counts equal the matching rows of the full-screen
+        counts, and each shard's binned content matches tile-for-tile —
+        i.e. the multichip sp path sorts/scatters only its own rows' pairs
+        instead of rebuilding the full screen n times."""
+        tiles_x, tiles_y, tile_w, tile_h = 4, 8, 128, 16
+        W, H = tiles_x * tile_w, tiles_y * tile_h
+        rng = np.random.default_rng(23)
+        n = 120
+        pts = rng.uniform(-1.3, 1.3, (n, 3, 2)).astype(np.float32)
+        pts[0] = [[-1.1, -1.1], [1.1, 1.05], [1.1, 1.1]]  # screen-wide sliver
+        clip = np.zeros((3 * n, 4), np.float32)
+        clip[:, :2] = pts.reshape(-1, 2)
+        clip[:, 2] = rng.uniform(0.1, 0.9, 3 * n)
+        clip[:, 3] = 1.0
+        # a few near-plane-crossing triangles (full-screen conservative bbox)
+        clip[9:18, 3] = rng.uniform(-0.5, 1.5, 9)
+        tri_v = np.arange(3 * n, dtype=np.int32).reshape(n, 3)
+        td = jnp.asarray(np.asarray(setup.triangle_setup(
+            jnp.asarray(clip), jnp.asarray(tri_v), n, W, H, bbox_pad=0.5,
+        )))
+        kw = dict(tiles_x=tiles_x, tiles_y=tiles_y, tile_w=tile_w,
+                  tile_h=tile_h, pair_capacity=1 << 14,
+                  row_capacity=1 << 14)
+        bounds = (0, n)
+        b_f, s_f, c_f, ov_f, rov_f, pd_f, rd_f = binning.bin_triangle_classes(
+            td, bounds, **kw)
+        assert int(np.asarray(ov_f).sum()) == 0 and int(rov_f) == 0
+        b_f, s_f, c_f = (np.asarray(a) for a in (b_f, s_f, c_f))
+        c_f2 = c_f.reshape(tiles_y, tiles_x)
+        s_f2 = s_f.reshape(tiles_y, tiles_x)
+        shards, local = 4, tiles_y // 4
+        pd_sum = rd_sum = 0
+        for k in range(shards):
+            b_k, s_k, c_k, ov_k, rov_k, pd_k, rd_k = (
+                binning.bin_triangle_classes(
+                    td, bounds, tile_row_lo=k * local, local_tiles_y=local,
+                    **kw))
+            assert int(np.asarray(ov_k).sum()) == 0 and int(rov_k) == 0
+            pd_sum += int(pd_k)
+            rd_sum += int(rd_k)
+            b_k, s_k, c_k = (np.asarray(a) for a in (b_k, s_k, c_k))
+            c_k2 = c_k.reshape(local, tiles_x)
+            s_k2 = s_k.reshape(local, tiles_x)
+            np.testing.assert_array_equal(
+                c_k2, c_f2[k * local:(k + 1) * local])
+            for ly in range(local):
+                for tx in range(tiles_x):
+                    cnt = c_k2[ly, tx]
+                    np.testing.assert_allclose(
+                        b_k[:, s_k2[ly, tx]:s_k2[ly, tx] + cnt],
+                        b_f[:, s_f2[k * local + ly, tx]:
+                            s_f2[k * local + ly, tx] + cnt],
+                    )
+        assert pd_sum == int(pd_f) > 0
+        assert rd_sum == int(rd_f) > 0
+
     def test_overflow_reported(self):
         rng = np.random.default_rng(7)
         td = _fake_tri_data(rng, 200, 256, 4, 4, 128, 32)

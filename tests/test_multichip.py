@@ -85,19 +85,65 @@ def test_dp_batch_matches_single(config):
 
     batched = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *frames)
     mesh2 = pmesh.make_mesh_2d(2, 4)
-    out = np.asarray(
-        jax.jit(
-            functools.partial(
-                pmesh.render_frames_batched,
-                config=config, mesh=mesh2, joint_cap=jc,
-                interpret=pipeline.interpret_mode(),
-            )
-        )(geom, batched, mats)
-    )
+    out, bstats = jax.jit(
+        functools.partial(
+            pmesh.render_frames_batched,
+            config=config, mesh=mesh2, joint_cap=jc,
+            interpret=pipeline.interpret_mode(),
+        )
+    )(geom, batched, mats)
+    out = np.asarray(out)
+    bstats = np.asarray(bstats)
+    assert bstats.shape == (2, pipeline.N_STATS)
+    assert (bstats[:, :4] == 0).all()  # no overflow anywhere in the batch
     assert out.shape == (2, H, W, 3)
     for b in range(2):
         agreement = (out[b] == singles[b]).all(axis=-1).mean()
         assert agreement > 0.999, f"frame {b} agreement {agreement}"
+
+
+def test_dp_batch_overflow_detected():
+    """A frame mid-batch must not drop work silently: force pair overflow in
+    frame 0 of a dp×sp batch (tiny pair_capacity, camera on the triangles)
+    while frame 1 looks away (zero demand) — the returned [B, N_STATS] stats
+    must flag frame 0's overflow and report frame 1 clean (the
+    render_frames_device batch-max policy has a real signal to act on)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    cfg = rt.RenderConfig(width=256, height=128, tile_h=16, tile_w=128,
+                          pair_capacity=4, row_capacity=1 << 12).validate()
+    registry, meshes, material = build_triangle_assets()
+    scene0 = build_scene(meshes, material)
+    scene1 = build_scene(meshes, material)
+    # camera past the triangles (z = 0.8), looking further +z: nothing binned
+    scene1.camera.position = np.array([0.0, 0.0, 2.0], np.float32)
+    renderer = rt.Renderer(registry, cfg, overflow_policy="off")
+    frames = []
+    fv0 = draw_stream.frame_view(scene0)
+    gs, geom = renderer._geometry(scene0, fv0.order, fv0.geom_key)
+    jc = renderer._joint_cap(scene0)
+    for scene in (scene0, scene1):
+        fv = draw_stream.frame_view(scene)
+        assert fv.geom_key == fv0.geom_key
+        frames.append(renderer._frame_arrays(scene, fv, gs, debug_mode=3))
+    batched = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *frames)
+    mesh2 = pmesh.make_mesh_2d(2, 4)
+    _imgs, bstats = jax.jit(
+        functools.partial(
+            pmesh.render_frames_batched,
+            config=cfg, mesh=mesh2, joint_cap=jc,
+            interpret=pipeline.interpret_mode(),
+        )
+    )(geom, batched, mats := renderer._materials())
+    bstats = np.asarray(bstats)
+    assert bstats.shape == (2, pipeline.N_STATS)
+    assert bstats[0, :3].sum() > 0, f"frame 0 overflow not detected: {bstats[0]}"
+    assert bstats[1, :4].sum() == 0, f"frame 1 should be clean: {bstats[1]}"
+    # the batch-max policy signal (render_frames_device checks max over rows)
+    assert np.max(bstats[:, :4].sum(axis=1)) > 0
 
 
 def test_morph_sharded_matches_single_device(config):

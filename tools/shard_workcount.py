@@ -1,0 +1,102 @@
+"""Multichip binning work-count probe (CPU, no TPU needed).
+
+Measures how the binning work (the one frame stage that used to be fully
+replicated across devices) divides under the sp tile-row sharding
+(parallel/mesh.py + binning.bin_triangle_classes tile_row_lo): for the
+canonical bench frame, bins the full screen and then each shard's tile-row
+range for sp in {2, 4, 8}, reporting per-device (triangle, tile-row) and
+(tile, triangle) expansion demands — the widths the per-device O(P log P)
+pair sort and bin scatter actually run at. The shards partition the
+full-screen expansion exactly (pinned by
+tests/test_binning_and_skinning.py::test_sharded_binning_partitions_full_screen),
+so the max-per-device column is the honest per-device cost.
+
+Reference analog: the one sorted draw stream consumed once
+(renderer/src/renderer.rs:219-256) — not rebuilt n times.
+
+Run: python -m tools.shard_workcount [sp ...]   (default 2 4 8)
+"""
+
+from __future__ import annotations
+
+import sys
+
+
+def main(shard_counts=(2, 4, 8)) -> list[dict]:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    import bench
+    from renderer_tpu.raster import binning, setup, vertex_stage
+    from renderer_tpu.scene import draw_stream
+
+    name, renderer, make_scene = bench.build_bench(None, None)
+    # the sharded mode requires height == padded_height divisible by the
+    # shard count (parallel/mesh.py asserts); 1920x1024 is the multichip
+    # bench shape (32 tile rows: divides 2/4/8)
+    from dataclasses import replace
+
+    cfg = replace(renderer.config, height=1024).validate()
+    scene = make_scene(1.0)  # first timed frame of the canonical timeline
+    fv = draw_stream.frame_view(scene)
+    gs, geom = renderer._geometry(scene, fv.order, fv.geom_key)
+    frame = draw_stream.unpack_frame(
+        renderer._frame_arrays(scene, fv, gs), morph_k=gs.morph_k,
+        joint_cap=renderer._joint_cap(scene),
+    )
+    vs = vertex_stage.run_vertex_stage(geom, frame, skin_start=gs.skin_start,
+                                       morph_k=gs.morph_k)
+    td = setup.triangle_setup(
+        vs["clip"], geom["tri_v"], frame["num_tris"], cfg.width, cfg.height,
+        bbox_pad=(0.5 if cfg.msaa_samples > 1 else 0.0),
+    )
+    bounds = [0, frame["n_opaque"]]
+    if gs.num_masked_tris > 0:
+        bounds.append(frame["n_opaque"] + frame["n_masked"])
+    if gs.num_tris > gs.num_opaque_tris + gs.num_masked_tris:
+        bounds.append(frame["num_tris"])
+    kw = dict(tiles_x=cfg.tiles_x, tiles_y=cfg.tiles_y, tile_w=cfg.tile_w,
+              tile_h=cfg.tile_h, pair_capacity=cfg.pair_capacity,
+              row_capacity=cfg.row_capacity)
+
+    def demands(tile_row_lo, local_tiles_y):
+        out = binning.bin_triangle_classes(
+            td, tuple(bounds), tile_row_lo=tile_row_lo,
+            local_tiles_y=local_tiles_y, **kw)
+        _b, _s, _c, ov, row_ov, pair_dem, row_dem = out
+        assert int(np.asarray(ov).sum()) == 0 and int(row_ov) == 0
+        return int(pair_dem), int(row_dem)
+
+    full_pairs, full_rows = demands(0, cfg.tiles_y)
+    rows = [{"sp": 1, "pairs_per_dev_max": full_pairs,
+             "rows_per_dev_max": full_rows, "pairs_sum": full_pairs,
+             "speedup_vs_replicated": 1.0}]
+    print(f"# scene {name}: frame t=1.0, {cfg.tiles_y} tile rows, "
+          f"full-screen demand {full_pairs} pairs / {full_rows} tile-rows")
+    print(f"{'sp':>3} {'pairs/dev (max)':>16} {'rows/dev (max)':>15} "
+          f"{'sum(pairs)':>11} {'work vs replicated':>19}")
+    print(f"{1:>3} {full_pairs:>16} {full_rows:>15} {full_pairs:>11} "
+          f"{'1.00x (baseline)':>19}")
+    for sp in shard_counts:
+        if cfg.tiles_y % sp:
+            print(f"{sp:>3}  (skipped: {cfg.tiles_y} tile rows not divisible)")
+            continue
+        local = cfg.tiles_y // sp
+        per = [demands(k * local, local) for k in range(sp)]
+        pmax = max(p for p, _ in per)
+        rmax = max(r for _, r in per)
+        psum = sum(p for p, _ in per)
+        assert psum == full_pairs, (psum, full_pairs)  # exact partition
+        assert sum(r for _, r in per) == full_rows
+        rows.append({"sp": sp, "pairs_per_dev_max": pmax,
+                     "rows_per_dev_max": rmax, "pairs_sum": psum,
+                     "speedup_vs_replicated": round(full_pairs / pmax, 2)})
+        print(f"{sp:>3} {pmax:>16} {rmax:>15} {psum:>11} "
+              f"{full_pairs / pmax:>17.2f}x")
+    return rows
+
+
+if __name__ == "__main__":
+    main(tuple(int(a) for a in sys.argv[1:]) or (2, 4, 8))
