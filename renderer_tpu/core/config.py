@@ -108,11 +108,18 @@ class RenderConfig:
     # candidate stacks gather [C, H, W, 3, 4] vertex attributes and dozens
     # of [C, H, W, 4] texture taps — at 1080p x several candidates the live
     # set exceeds a v5e's 16 GB. Stacks whose C*H*W exceeds this element
-    # budget are shaded in equal tile-row strips via lax.map (one traced
-    # body — the HLO stays one shading subgraph), bounding live shading
-    # memory to ~budget*48B regardless of resolution/candidate count.
-    # 0 disables stripping. Bit-identical to the unstripped path
-    # (tests/test_engine.py::test_shade_strips_bit_equal).
+    # budget are shaded in ceil-sized tile-row strips via lax.map plus an
+    # optional shorter remainder strip (at most two traced shading
+    # subgraphs in the HLO), bounding live shading memory to ~budget*48B
+    # regardless of resolution/candidate count. 0 disables stripping.
+    # The per-pixel math is identical; the eager/interpret frame is pinned
+    # BIT-equal (tests/test_engine.py::test_shade_strips_bit_equal), while
+    # the jitted lax.map branch is pinned at >0.999 pixel agreement
+    # (ULP-level XLA fusion differences across strip boundaries,
+    # test_shade_strips_jitted_lax_map_matches). NOTE: this default makes
+    # common configs (1080p msaa4 with 3 candidates) take the striped path;
+    # its device-time cost is unmeasurable through the tunnel (TIMINGS.md)
+    # — re-time on direct-attached hardware before tuning the budget.
     shade_strip_elems: int = 1 << 21
 
     def exact_sampler(self) -> "RenderConfig":

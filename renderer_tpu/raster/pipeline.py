@@ -136,56 +136,63 @@ def _extract_candidates(tids: list, n: int) -> list:
     return cands
 
 
-def _pick_strips(c: int, hp: int, wp: int, tile_h: int, budget: int) -> int:
-    """Smallest equal tile-row split of a [c, hp, wp] candidate stack whose
-    per-strip element count fits `budget` (RenderConfig.shade_strip_elems;
-    0 = never split). Strips are whole tile rows and divide the stack
-    evenly, so lax.map traces ONE body at a static shape. Falls back to
-    per-tile-row strips when no smaller divisor fits."""
+def _pick_strip_rows(c: int, hp: int, wp: int, tile_h: int, budget: int) -> int:
+    """Strip height (pixel rows, a whole-tile-row multiple) for striped
+    stacked shading: the LARGEST tile-row multiple whose [c, strip, wp]
+    element count fits `budget` (RenderConfig.shade_strip_elems; 0 = never
+    split). Returns hp when the whole stack fits. Strips need not divide
+    the tile-row count — _shade_striped runs the equal strips under one
+    lax.map body plus a shorter remainder strip as a second call (two
+    traced shapes max), so a prime tile-row count (e.g. 720p's 23) splits
+    into ceil-sized strips instead of collapsing to per-tile-row serial
+    work (round-3 advisor finding)."""
     if budget <= 0 or c * hp * wp <= budget:
-        return 1
-    tiles = max(hp // tile_h, 1)
-    n = 1
-    for d in range(1, tiles + 1):
-        if tiles % d:
-            continue
-        n = d
-        if c * (hp // d) * wp <= budget:
-            break
-    return n
+        return hp
+    rows = max(budget // (c * tile_h * wp), 1)
+    return min(rows * tile_h, hp)
 
 
-def _shade_striped(stack, row0, n_strips: int, fn):
+def _shade_striped(stack, row0, strip_h: int, fn):
     """Run fn(tid [c, h, w] i32, row0 scalar) -> pytree of [c, h, w, ...]
-    over n_strips equal tile-row strips with lax.map, concatenating the
-    results back to full height. The stacked deferred-shading calls gather
-    [c, h, w, 3, 4] vertex attributes plus dozens of [c, h, w, 4] texture
-    taps per strip — mapping over strips bounds that live set to one
-    strip's worth (the fix for the 1080p x many-candidate frame exceeding
-    a v5e's 16 GB HBM at XLA buffer assignment) while keeping a single
-    shading subgraph in the HLO. Bit-identical to fn(stack, row0): shading
-    is a pure per-pixel function of the candidate map and its global row."""
-    if n_strips <= 1:
-        return fn(stack, row0)
+    over tile-row strips of `strip_h` pixel rows with lax.map (plus one
+    direct call for a shorter remainder strip when strip_h does not divide
+    the height), concatenating the results back to full height. The
+    stacked deferred-shading calls gather [c, h, w, 3, 4] vertex
+    attributes plus dozens of [c, h, w, 4] texture taps per strip —
+    mapping over strips bounds that live set to one strip's worth (the fix
+    for the 1080p x many-candidate frame exceeding a v5e's 16 GB HBM at
+    XLA buffer assignment) while keeping at most two shading subgraphs in
+    the HLO. The math is identical per pixel (shading is a pure per-pixel
+    function of the candidate map and its global row); the eager/interpret
+    path is pinned bit-equal, the jitted lax.map path agrees to ULP-level
+    fusion differences (tests/test_engine.py strip tests)."""
     c, hp, wp = stack.shape
-    sh = hp // n_strips
+    if strip_h >= hp:
+        return fn(stack, row0)
     if not isinstance(stack, jax.core.Tracer):
         # eager frame composition (interpret-mode tests): a concrete Python
         # loop strips the live set the same way without tracing the body
         # (the closed-over numpy frame/material tables stay host arrays;
         # lax.map tracing would index them with tracers and fail)
-        outs = [fn(stack[:, i * sh:(i + 1) * sh], row0 + i * sh)
-                for i in range(n_strips)]
+        outs = [fn(stack[:, b:min(b + strip_h, hp)], row0 + b)
+                for b in range(0, hp, strip_h)]
         return jax.tree_util.tree_map(
             lambda *xs: jnp.concatenate(xs, axis=1), *outs)
-    per = stack.reshape(c, n_strips, sh, wp).transpose(1, 0, 2, 3)
+    n_full = hp // strip_h
+    main_h = n_full * strip_h
+    per = stack[:, :main_h].reshape(c, n_full, strip_h, wp).transpose(1, 0, 2, 3)
     r0s = (jnp.asarray(row0, jnp.int32)
-           + jnp.arange(n_strips, dtype=jnp.int32) * sh)
+           + jnp.arange(n_full, dtype=jnp.int32) * strip_h)
     out = jax.lax.map(lambda args: fn(args[0], args[1]), (per, r0s))
-    return jax.tree_util.tree_map(
-        lambda a: jnp.moveaxis(a, 0, 1).reshape((c, hp, wp) + a.shape[4:]),
+    out = jax.tree_util.tree_map(
+        lambda a: jnp.moveaxis(a, 0, 1).reshape((c, main_h, wp) + a.shape[4:]),
         out,
     )
+    if main_h < hp:
+        tail = fn(stack[:, main_h:], row0 + main_h)
+        out = jax.tree_util.tree_map(
+            lambda a, b: jnp.concatenate([a, b], axis=1), out, tail)
+    return out
 
 
 def _select(tid, cands: list, values: list):
@@ -351,10 +358,10 @@ def render_shard(
         past cfg.shade_strip_elems shade in tile-row strips (_shade_striped)
         so the [C,H,W,3,4] gathers never exceed the HBM budget."""
         stack = clampc(jnp.stack(cands))
-        n = _pick_strips(stack.shape[0], stack.shape[1], stack.shape[2],
-                         cfg.tile_h, cfg.shade_strip_elems)
+        sh = _pick_strip_rows(stack.shape[0], stack.shape[1], stack.shape[2],
+                              cfg.tile_h, cfg.shade_strip_elems)
         out = _shade_striped(
-            stack, row0, n,
+            stack, row0, sh,
             lambda tid, r0: shade.shade_interpolated(
                 interpolants_of(tid, r0), vs, frame, materials,
                 cfg.trilinear, cfg.aniso_samples, cfg.srgb_per_tap,
@@ -386,11 +393,11 @@ def render_shard(
         slots = [lt_m[s][k] for s in range(msaa) for k in range(cfg.mask_layers)]
         cands = _extract_candidates(slots, min(len(slots), cfg.mask_layers + extra))
         stack_m = clampc(jnp.stack(cands))
-        n_m = _pick_strips(stack_m.shape[0], stack_m.shape[1],
-                           stack_m.shape[2], cfg.tile_h,
-                           cfg.shade_strip_elems)
+        sh_m = _pick_strip_rows(stack_m.shape[0], stack_m.shape[1],
+                                stack_m.shape[2], cfg.tile_h,
+                                cfg.shade_strip_elems)
         a_all, co_all = _shade_striped(
-            stack_m, row0, n_m,
+            stack_m, row0, sh_m,
             lambda tid, r0: shade.base_alpha(
                 interpolants_of(tid, r0), frame, materials,
                 cfg.trilinear, cfg.aniso_samples, cfg.srgb_per_tap,

@@ -167,6 +167,25 @@ def test_profiler_chrome_trace_export(tmp_path):
     assert p2.export_chrome_trace(str(tmp_path / "t2.json")) == 4
 
 
+def test_pick_strip_rows_sizing():
+    """Strip sizing must not collapse to per-tile-row strips when the
+    tile-row count is prime (round-3 advisor: 720p = 23 tile rows made any
+    over-budget stack jump from 1 strip to 23): strips are ceil-sized to
+    the budget with a remainder strip, so the count tracks
+    ceil(elems/budget)."""
+    from renderer_tpu.raster import pipeline as pl
+
+    # 720p-like: 736 rows = 23 tile rows of 32 (prime); c=3 candidates
+    sh = pl._pick_strip_rows(3, 736, 1280, 32, 1 << 21)
+    assert sh % 32 == 0 and sh > 32, sh  # several tile rows per strip
+    assert 3 * sh * 1280 <= 1 << 21  # each full strip fits the budget
+    assert -(-736 // sh) <= 3  # ~2 strips, not 23
+    # whole stack fits -> one call
+    assert pl._pick_strip_rows(1, 64, 128, 32, 1 << 21) == 64
+    # degenerate budget -> per-tile-row strips (the old worst case)
+    assert pl._pick_strip_rows(3, 736, 1280, 32, 1) == 32
+
+
 def test_shade_strips_bit_equal():
     """Strip-mapped stacked shading (RenderConfig.shade_strip_elems) is
     bit-identical to the unstripped path across all three stacked shade
