@@ -78,6 +78,19 @@ class RenderConfig:
     # glyph/border edges, one shade pass per layer instead of msaa_samples.
     ui_msaa: bool = False
 
+    # Nearest-first z-ordering of the OPAQUE bin streams (the early-Z
+    # analog; the reference gets early depth rejection from fixed-function
+    # hardware, pipelines.rs:152-158). Each opaque pair carries a
+    # conservative-nearest-depth bucket as a low-order component of the
+    # binning sort key (NO extra sort), so the raster kernel — whose depth
+    # merge is an order-invariant lexicographic (z, id) max — sees near
+    # geometry first and its per-sub-chunk conservative depth test skips
+    # occluded work. Bit-identical images for ANY value (pinned:
+    # tests/test_zorder.py + fuzz/goldens); purely a
+    # work-skipping lever, biggest on overdraw-heavy scenes. 1 disables
+    # (pure submission order).
+    opaque_z_buckets: int = 16
+
     # MSAA shading dedup: shade at most this many distinct solid triangles
     # per pixel across the 4 samples (layered passes get layers+this-1).
     # 3 is exact for any pixel where ≤3 triangles meet; pixels needing more
@@ -148,6 +161,7 @@ class RenderConfig:
     def validate(self) -> "RenderConfig":
         assert self.msaa_samples in (1, 2, 4, 8), "MSAA must be 1, 2, 4 or 8"
         assert self.msaa_shade_candidates >= 1
+        assert self.opaque_z_buckets >= 1
         assert self.tile_w % 128 == 0, "tile_w must be lane-aligned (128)"
         assert self.tile_h % 8 == 0, "tile_h must be sublane-aligned (8)"
         assert self.max_triangles % self.tri_chunk == 0

@@ -23,7 +23,11 @@ TPU-native formulation: everything is dense XLA ops —
    scalar-prefetch arrays.
 
 Pair order within a tile is triangle-stream order (stable sort), preserving
-the reference's later-submission-wins depth-tie semantics.
+the reference's later-submission-wins depth-tie semantics. The opaque class
+may additionally be sub-ordered nearest-first at z-bucket granularity
+(`zbuckets`, riding the same sort) — output-invariant because the opaque
+kernel's merge is a lexicographic (z, id) max, and the enabler for its
+conservative early-depth rejection (see bin_triangle_classes docstring).
 """
 
 from __future__ import annotations
@@ -128,7 +132,8 @@ def bin_triangles(
 @functools.partial(
     jax.jit,
     static_argnames=("tiles_x", "tiles_y", "tile_w", "tile_h",
-                     "pair_capacity", "row_capacity", "local_tiles_y"),
+                     "pair_capacity", "row_capacity", "local_tiles_y",
+                     "zbuckets"),
 )
 def bin_triangle_classes(
     tri_data: jnp.ndarray,  # [ROWS, Tc] from triangle_setup
@@ -142,6 +147,7 @@ def bin_triangle_classes(
     row_capacity: int | None = None,
     tile_row_lo=0,  # traced i32: first tile row this call bins (sharding)
     local_tiles_y: int | None = None,  # static: tile rows binned (None = all)
+    zbuckets: int = 1,  # static: nearest-first sub-order of the OPAQUE class
 ):
     """Bin all alpha classes with ONE stable sort: pairs are keyed by
     class * n_tiles + tile, so each (class, tile) segment lands contiguous and
@@ -162,6 +168,20 @@ def bin_triangle_classes(
          slack so f32 division rounding can never cull true coverage,
       3. rows expand to (triangle, tile) pairs over their windows only
          (`pair_capacity`), and the per-pair extent reject prunes the rest.
+
+    Z-ORDER (`zbuckets` > 1): within each tile, class-0 (opaque) pairs are
+    sub-ordered nearest-first at zbucket granularity — the bucket of each
+    triangle's conservative nearest depth over its bbox (reverse-Z max)
+    rides the SAME single sort as a low-order key component, costing no
+    extra sort. The raster kernel's depth merge is an order-invariant
+    lexicographic (z, triangle-id) max (raster_kernel), so the image is
+    bit-identical to stream order — but the kernel's per-sub conservative
+    depth rejection now sees near geometry first and skips occluded work
+    (the early-Z analog; reference gets this from hardware,
+    pipelines.rs:152-158). Equal-depth later-submission-wins ties are
+    exact: within a bucket the stable sort keeps stream order, and the
+    kernel breaks depth ties by triangle id (= submission order). The
+    ORDER-DEPENDENT masked/blended/UI classes are never bucketed.
 
     SHARDING (`tile_row_lo` + `local_tiles_y`): bin only the tile rows
     [tile_row_lo, tile_row_lo + local_tiles_y) — the stage-1 row expansion
@@ -260,9 +280,26 @@ def bin_triangle_classes(
     # the kernels index starts/counts by their grid step, not the global row
     tile = (tile_y - row_lo) * tiles_x + tile_x
     n_tiles = tiles_x * local_tiles_y
-    n_keys = n_classes * n_tiles
-    key = cls[tri_of_pair] * n_tiles + tile
-    key = jnp.where(pair_live, key, n_keys)  # dead pairs → overflow bucket
+    n_keys = n_classes * n_tiles  # (class, tile) GROUPS — starts/counts rows
+    group = cls[tri_of_pair] * n_tiles + tile
+    if zbuckets > 1:
+        # nearest-first sub-key for the opaque class (see docstring): the
+        # conservative nearest depth of each triangle over its bbox is the
+        # corner-max of the z plane (reverse-Z: larger = nearer), bucketed
+        # so nearer pairs sort earlier within their (class=0, tile) group.
+        za, zb, zc = tri_data[9], tri_data[10], tri_data[11]
+        ymin, ymax = tri_data[BBOX_ROWS[1]], tri_data[BBOX_ROWS[3]]
+        z_near = (za * jnp.where(za > 0, xmax, xmin)
+                  + zb * jnp.where(zb > 0, ymax, ymin) + zc)
+        z_near = jnp.clip(z_near, 0.0, 1.0)
+        zb_tri = jnp.clip(((1.0 - z_near) * zbuckets).astype(jnp.int32),
+                          0, zbuckets - 1)
+        sub = jnp.where(cls[tri_of_pair] == 0, zb_tri[tri_of_pair], 0)
+        key = group * zbuckets + sub
+    else:
+        key = group
+    dead = n_keys * zbuckets
+    key = jnp.where(pair_live, key, dead)  # dead pairs → overflow bucket
 
     # Tight trivial-reject on the surviving pairs: a pair is kept only if
     # EVERY edge's most-inside corner of the tile's sample extent is inside
@@ -289,15 +326,20 @@ def bin_triangle_classes(
         e_max = (a * jnp.where(a > 0, ext_x1, ext_x0)
                  + b * jnp.where(b > 0, ext_y1p, ext_y0p) + c)
         covers &= e_max >= 0.0
-    key = jnp.where(covers, key, n_keys)
+    key = jnp.where(covers, key, dead)
 
     order = jnp.argsort(key, stable=True)
     key_sorted = key[order]
     tri_sorted = tri_of_pair[order]
+    # (class, tile) group of each sorted pair; dead -> n_keys sentinel
+    group_sorted = key_sorted // zbuckets if zbuckets > 1 else key_sorted
 
+    # group boundaries: a group's keys span [g*zbuckets, (g+1)*zbuckets)
     key_range = jnp.arange(n_keys, dtype=jnp.int32)
-    starts_raw = jnp.searchsorted(key_sorted, key_range).astype(jnp.int32)
-    ends_raw = jnp.searchsorted(key_sorted, key_range, side="right").astype(jnp.int32)
+    starts_raw = jnp.searchsorted(
+        key_sorted, key_range * zbuckets).astype(jnp.int32)
+    ends_raw = jnp.searchsorted(
+        key_sorted, (key_range + 1) * zbuckets).astype(jnp.int32)
     counts = ends_raw - starts_raw
 
     # 128-aligned destination offsets per (class, tile) segment
@@ -307,10 +349,12 @@ def bin_triangle_classes(
     )
 
     p_total = padded_capacity_classes(pair_capacity, n_tiles, n_classes)
-    rank = pair_idx - jnp.concatenate([starts_raw, total.reshape(1)])[key_sorted]
+    rank = pair_idx - jnp.concatenate(
+        [starts_raw, total.reshape(1)])[group_sorted]
     dest = jnp.where(
-        key_sorted < n_keys,
-        jnp.concatenate([padded_starts, jnp.zeros(1, jnp.int32)])[key_sorted] + rank,
+        group_sorted < n_keys,
+        jnp.concatenate(
+            [padded_starts, jnp.zeros(1, jnp.int32)])[group_sorted] + rank,
         p_total - 1,  # dead pairs land on the last (padding) column
     )
 
@@ -318,7 +362,7 @@ def bin_triangle_classes(
     rows = slim.T[tri_sorted]  # [P, B_ROWS]
     rows = rows.at[:, B_TID].set(tri_sorted.astype(jnp.float32))
     # dead rows must not rasterize even via the dump column
-    rows = jnp.where((key_sorted < n_keys)[:, None], rows, 0.0)
+    rows = jnp.where((group_sorted < n_keys)[:, None], rows, 0.0)
 
     binned = jnp.zeros((B_ROWS, p_total), jnp.float32).at[:, dest].set(rows.T)
 

@@ -270,6 +270,7 @@ def render_shard(
         tile_w=cfg.tile_w, tile_h=cfg.tile_h,
         pair_capacity=cfg.pair_capacity, row_capacity=cfg.row_capacity,
         tile_row_lo=tile_row_offset, local_tiles_y=local_tiles_y,
+        zbuckets=cfg.opaque_z_buckets,
     )
     bins_opaque = (b_all, s_all[0], c_all[0])
     ov_opaque = ov_all[0]

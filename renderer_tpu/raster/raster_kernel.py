@@ -23,7 +23,12 @@ pass over the binned buffer serves every sample, instead of one kernel launch
 Depth semantics parity: clear depth = 0.0, compare GREATER_OR_EQUAL
 (reference: renderer/src/renderer/pipeline_parameters/render_passes.rs:192-197,
 renderer/src/renderer/pipelines.rs:152-158); on equal depth the
-later-submitted triangle wins, matching draw order.
+later-submitted triangle wins, matching draw order. The merge is written as
+a lexicographic (z, triangle-id) max — equivalent to the submission-order
+semantics (stream index = submission order) and ORDER-INVARIANT, which lets
+binning feed pairs nearest-first (zbuckets) so the per-sub-chunk
+conservative depth rejection (the early-Z analog, see chunk_body) can skip
+occluded work without changing any pixel.
 
 Output: per-pixel {depth f32, tri_id i32} (tri_id = -1 where uncovered); all
 shading happens in the deferred stage (raster/shade.py), so raster cost is
@@ -116,6 +121,24 @@ def _binned_kernel(
 
     sub_iota = jax.lax.broadcasted_iota(jnp.int32, (sub, 1, 1), 0)
 
+    # Conservative tile extent for the early-depth (Hi-Z analog) test:
+    # every sample position lies in [tile_x0, tile_x0 + tile_w) ×
+    # [tile_y0, tile_y0 + tile_h).
+    ez_x0, ez_x1 = tile_x0, tile_x0 + float(tile_w)
+    ez_y0, ez_y1 = tile_y0, tile_y0 + float(tile_h)
+
+    def sub_z_near(t):
+        """Conservative NEAREST depth (reverse-Z max) any triangle of the
+        sub-chunk can write anywhere in this tile: corner-max of each depth
+        plane over the tile extent, clamped to the z ≤ 1 depth-range clip.
+        Padding columns (all-zero planes) contribute 0 — never the max of a
+        sub with live work, and a harmless no-skip when the tile still has
+        background (d_min = 0)."""
+        za, zb, zc = t[:, 9], t[:, 10], t[:, 11]
+        zm = (za * jnp.where(za > 0, ez_x1, ez_x0)
+              + zb * jnp.where(zb > 0, ez_y1, ez_y0) + zc)
+        return jnp.max(jnp.minimum(zm, 1.0))
+
     def process_sub(t, base_in_bin):
         # t: [sub, B_ROWS] triangle planes (slim layout)
         def col(k):
@@ -161,7 +184,16 @@ def _binned_kernel(
             zbest = jnp.max(zc, axis=0)
             tid_best = jnp.max(jnp.where(zc == zbest[None], tid, -1), axis=0)
 
-            write = (zbest >= 0.0) & (zbest >= depth_ref[s])
+            # Lexicographic (z, id) max merge: on equal depth the LARGER
+            # triangle id wins = later submission (the stream index is
+            # submission order), reference depth-tie parity — and the
+            # reduction is ORDER-INVARIANT, so the binning may feed pairs
+            # nearest-first (zbuckets) for the early-depth skip above
+            # without changing a single pixel.
+            write = (zbest >= 0.0) & (
+                (zbest > depth_ref[s])
+                | ((zbest == depth_ref[s]) & (tid_best > trid_ref[s]))
+            )
             depth_ref[s] = jnp.where(write, zbest, depth_ref[s])
             trid_ref[s] = jnp.where(write, tid_best, trid_ref[s])
 
@@ -176,19 +208,31 @@ def _binned_kernel(
         soa = buf[:, pl.ds(pl.multiple_of(slot * CHUNK, CHUNK), CHUNK)]  # [B_ROWS,CHUNK]
         chunk = soa.T  # [CHUNK,ROWS]
         base = ci * CHUNK
+        # Early-depth rejection floor (the early-Z analog; reference:
+        # pipelines.rs:152-158 hardware depth test): the FARTHEST depth
+        # currently stored anywhere in the tile (min over samples/pixels;
+        # reverse-Z). A sub-chunk whose conservative nearest depth is
+        # STRICTLY farther cannot win any sample (even ties lose nothing:
+        # equal depth is kept) — skip its whole coverage/depth evaluation.
+        # d_min only grows within a tile, so a per-chunk snapshot is safe
+        # for every sub in the chunk. With nearest-first pair order
+        # (binning zbuckets) a covered tile starts skipping after the
+        # first opaque layers.
+        d_min = jnp.min(depth_ref[:])
         if unroll:
             for sc in range(CHUNK // sub):
-                @pl.when(base + sc * sub < count)
-                def _(sc=sc):
-                    process_sub(chunk[sc * sub : (sc + 1) * sub], base + sc * sub)
+                t = chunk[sc * sub : (sc + 1) * sub]
+
+                @pl.when((base + sc * sub < count) & (sub_z_near(t) >= d_min))
+                def _(t=t, sc=sc):
+                    process_sub(t, base + sc * sub)
         else:
             def sub_body(sc, _):
-                @pl.when(base + sc * sub < count)
+                t = jax.lax.dynamic_slice_in_dim(chunk, sc * sub, sub, 0)
+
+                @pl.when((base + sc * sub < count) & (sub_z_near(t) >= d_min))
                 def _():
-                    process_sub(
-                        jax.lax.dynamic_slice_in_dim(chunk, sc * sub, sub, 0),
-                        base + sc * sub,
-                    )
+                    process_sub(t, base + sc * sub)
                 return 0
 
             jax.lax.fori_loop(0, CHUNK // sub, sub_body, 0)
