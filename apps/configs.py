@@ -222,6 +222,37 @@ def run_all(outdir: str = "configs_out", frames: int = 10) -> list[dict]:
     record("morph-sheet-480p-normals", img,
            (time.perf_counter() - t0) / nm * 1e3)
 
+    # 10. REAL geometry end-to-end: testbox.glb is the mount's only asset
+    # with actual vertex/index/texture bytes (the Sponza .bin LFS buffers
+    # are absent — configs 2-6 substitute proxy geometry). One box
+    # (golden-locked, tests/test_testbox_golden.py) plus a 90-instance
+    # field at Sponza-like triangle count (276,480 real tris; measured
+    # demand 144k pairs / 142k tile-rows — the 1<<18 defaults hold), so
+    # real index/vertex/tangent patterns run at bench scale every round,
+    # bounding the proxy bench's raster-coherence optimism.
+    from apps import testbox as testbox_app
+
+    try:
+        treg, _tlib, tgltf = testbox_app.load_testbox()
+    except Exception as e:  # noqa: BLE001 — asset mount optional
+        print(f"# testbox unavailable ({type(e).__name__}: {e}); skipping",
+              flush=True)
+    else:
+        tb_renderer = rt.Renderer(
+            treg, rt.RenderConfig(width=800, height=608),
+            overflow_policy="off",
+        )
+        img, ms = _timed(tb_renderer, testbox_app.build_single(tgltf), 0,
+                         frames)
+        record("testbox-real-geometry-800x608", img, ms)
+        tbf_renderer = rt.Renderer(
+            treg, rt.RenderConfig(width=1920, height=1080, msaa_samples=4),
+            overflow_policy="off",
+        )
+        img, ms = _timed(tbf_renderer, testbox_app.build_field(tgltf), 0,
+                         max(frames // 2, 3))
+        record("testbox-field-276k-1080p-msaa4", img, ms)
+
     # results FIRST: the deferred PNG readbacks can wedge for minutes on
     # tunneled runtimes (readback latency scales with dispatch history —
     # see tools/readback_probe.py), and the numbers must never be lost

@@ -52,7 +52,7 @@ def build_single(gltf) -> rt.Scene:
     """One testbox, deterministic camera (golden-locked,
     tests/test_testbox_golden.py). The box spans ~[-0.84, 0.84]^3."""
     scene = rt.Scene(world_space=rt.GLTF)
-    _aim(scene, [1.6, 1.2, 2.2], [0.0, 0.0, 0.0])
+    _aim(scene, [0.95, 0.7, 1.3], [0.0, 0.0, 0.0])
     gltf.queue(scene, math3d.IDENTITY)
     return scene
 

@@ -50,7 +50,8 @@ def _capacity_overrides(pair_capacity, row_capacity):
 
 
 def build_triangle_bench(pair_capacity: int | None = None,
-                         row_capacity: int | None = None):
+                         row_capacity: int | None = None,
+                         exact: bool = False):
     import renderer_tpu as rt
     from apps.triangle import build_scene, build_triangle_assets
 
@@ -61,6 +62,8 @@ def build_triangle_bench(pair_capacity: int | None = None,
         from dataclasses import replace
 
         config = replace(config, **overrides)
+    if exact:
+        config = config.exact_sampler()
     # "off" like the sponza path: any per-frame device→host stats read would
     # serialize the dispatch pipeline on tunneled runtimes
     renderer = rt.Renderer(registry, config, overflow_policy="off")
@@ -68,11 +71,13 @@ def build_triangle_bench(pair_capacity: int | None = None,
     def make_scene(game_time: float):
         return build_scene(meshes, material)
 
-    return "triangle-1080p", renderer, make_scene
+    return ("triangle-1080p" + ("-exact" if exact else ""), renderer,
+            make_scene)
 
 
 def build_sponza_bench(pair_capacity: int | None = None,
-                       row_capacity: int | None = None):
+                       row_capacity: int | None = None,
+                       exact: bool = False):
     from apps import sandbox
     from renderer_tpu.core import math3d
 
@@ -82,6 +87,12 @@ def build_sponza_bench(pair_capacity: int | None = None,
         from dataclasses import replace
 
         renderer.config = replace(renderer.config, **overrides).validate()
+    if exact:
+        # the reference device's exact sampler mode: per-tap sRGB decode +
+        # aniso16 (descriptors.rs:90-105) — `python bench.py --exact`
+        # quantifies its end-to-end fps cost vs the fast default
+        renderer.config = renderer.config.exact_sampler()
+        name += "-exact"
 
     pooled: list = [None]
 
@@ -99,13 +110,14 @@ def build_sponza_bench(pair_capacity: int | None = None,
 
 
 def build_bench(pair_capacity: int | None = None,
-                row_capacity: int | None = None):
+                row_capacity: int | None = None,
+                exact: bool = False):
     try:
-        return build_sponza_bench(pair_capacity, row_capacity)
+        return build_sponza_bench(pair_capacity, row_capacity, exact)
     except Exception as e:  # noqa: BLE001 — assets/loader not ready yet
         print(f"# sponza bench unavailable ({type(e).__name__}: {e}); "
               "falling back to triangle", file=sys.stderr)
-        return build_triangle_bench(pair_capacity, row_capacity)
+        return build_triangle_bench(pair_capacity, row_capacity, exact)
 
 
 def frame_times(frames: int):
@@ -286,6 +298,13 @@ def main():
     verify = "--verify" in args
     if verify:
         args.remove("--verify")
+    # --exact: bench the reference device's exact sampler configuration
+    # (per-tap sRGB + aniso16, RenderConfig.exact_sampler) — sampler state
+    # only changes shading, so the completeness verifier (setup + binning
+    # replay) is shared with the default mode
+    exact = "--exact" in args
+    if exact:
+        args.remove("--exact")
     frames = int(args[0]) if args else 60
 
     if verify:
@@ -365,7 +384,8 @@ def main():
               "dropped_pairs=-1", file=sys.stderr)
 
     # -- phase 2: timed run (ZERO device→host copies, this process) ----------
-    name, renderer, make_scene = build_bench(pair_capacity, row_capacity)
+    name, renderer, make_scene = build_bench(pair_capacity, row_capacity,
+                                             exact)
     _mark("bench built")
 
     def run_pass(label: str):

@@ -128,6 +128,15 @@ def test_sandbox_scale_golden():
     _check_against("mini-sandbox-msaa4")
 
 
+def test_sandbox_exact_sampler_msaa4_golden():
+    """The exact-sampler mode UNDER MSAA4 — the configuration the
+    'pixel-accurate' north-star claim refers to (reference device: 4xMSAA
+    sandbox + per-tap-sRGB aniso16 sampler, main.rs:114-117 +
+    descriptors.rs:90-105) — locked by its own golden. bench.py --exact
+    times this sampler configuration end-to-end at the bench resolution."""
+    _check_against("mini-sandbox-exact-msaa4", exact=True, msaa=4)
+
+
 def test_sandbox_exact_sampler_golden():
     """The exact-sampler mode (per-tap sRGB + aniso16) locked by its own
     golden, and pinned CLOSE to the fast default — the documented deviation
@@ -143,15 +152,25 @@ def test_sandbox_exact_sampler_golden():
     assert (diff.mean()) < 8.0, f"exact vs fast mean drift {diff.mean():.2f}"
 
 
-def regenerate():
+def regenerate(only: str | None = None):
+    """Regenerate all keys, or `only` one key merged into the existing npz
+    (adding a new key must not re-render — and silently re-baseline — the
+    committed ones)."""
     GOLDEN.parent.mkdir(exist_ok=True)
-    img, stats = _render()
-    exact_img, exact_stats = _render(exact=True, msaa=1)
-    np.savez_compressed(
-        GOLDEN,
-        **{"mini-sandbox-msaa4": img, "mini-sandbox-exact": exact_img},
-    )
-    print(f"wrote {GOLDEN} (stats: {stats}; exact stats: {exact_stats})")
+    renders = {
+        "mini-sandbox-msaa4": dict(),
+        "mini-sandbox-exact": dict(exact=True, msaa=1),
+        "mini-sandbox-exact-msaa4": dict(exact=True, msaa=4),
+    }
+    keep = dict(np.load(GOLDEN)) if (only and GOLDEN.exists()) else {}
+    for key, kw in renders.items():
+        if only and key != only:
+            continue
+        img, stats = _render(**kw)
+        keep[key] = img
+        print(f"{key}: stats {stats}")
+    np.savez_compressed(GOLDEN, **keep)
+    print(f"wrote {GOLDEN} ({sorted(keep)})")
 
 
 if __name__ == "__main__":
@@ -161,4 +180,4 @@ if __name__ == "__main__":
     # platform so the golden matches what pytest renders
 
     if len(sys.argv) > 1 and sys.argv[1] == "regen":
-        regenerate()
+        regenerate(only=sys.argv[2] if len(sys.argv) > 2 else None)
