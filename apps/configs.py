@@ -33,7 +33,12 @@ def _timed(renderer, scene, mode, frames):
     return img, (time.perf_counter() - t0) / frames * 1e3
 
 
-def run_all(outdir: str = "configs_out", frames: int = 10) -> list[dict]:
+def run_all(outdir: str = "configs_out", frames: int = 10,
+            save_images: bool = True) -> list[dict]:
+    """save_images=False skips ALL device→host readbacks (tools/warm_cache
+    runs the matrix purely to populate the persistent XLA compile cache via
+    the production jit-call path — a readback would degrade nothing there,
+    but costs minutes on tunneled runtimes)."""
     out = Path(outdir)
     out.mkdir(parents=True, exist_ok=True)
     from PIL import Image
@@ -257,6 +262,9 @@ def run_all(outdir: str = "configs_out", frames: int = 10) -> list[dict]:
     # tunneled runtimes (readback latency scales with dispatch history —
     # see tools/readback_probe.py), and the numbers must never be lost
     (out / "results.json").write_text(json.dumps(results, indent=2))
+
+    if not save_images:
+        return results
 
     # deferred readbacks (see _timed docstring), watchdog-bounded per image
     import threading

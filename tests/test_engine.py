@@ -122,6 +122,49 @@ def test_format_bytes():
     assert format_bytes(3 * 1024**3) == "3.00 GiB"
 
 
+def test_hud_span_tree_sections_and_tinting():
+    """The HUD is the reference's span tree (main.rs:769-847): snapshot
+    sections under collapsible [-]/[+] headers, live spans as 'latest
+    frame', per-span %-of-section-root with green→red tinting, and a
+    collapsed section hiding its children."""
+    from renderer_tpu.overlay.hud import _pct_color, hud_tree_lines
+
+    p = Profiler(enabled=True)
+    with p.span("load assets"):
+        pass
+    p.snapshot("startup")
+    with p.span("frame"):
+        with p.span("heavy"):
+            pass
+        with p.span("light"):
+            pass
+    lines = hud_tree_lines(p, ["header"])
+    texts = [t for t, _c in lines]
+    assert texts[0] == "header"
+    assert any(t.startswith("[-] startup") for t in texts)
+    assert any(t.startswith("[-] latest frame") for t in texts)
+    assert any("load assets" in t for t in texts)
+    # every span line carries µs + percentage
+    span_lines = [t for t in texts if "%" in t]
+    assert span_lines and all("(" in t and "us" in t or "ms" in t
+                              for t in span_lines)
+    # root span of a section ≈ 100% of itself
+    frame_line = next(t for t in texts if t.lstrip().startswith("frame:"))
+    assert "(100%)" in frame_line
+
+    # collapsing hides children but keeps the header with the [+] marker
+    collapsed = hud_tree_lines(p, None, collapsed={"startup"})
+    ctexts = [t for t, _c in collapsed]
+    assert any(t.startswith("[+] startup") for t in ctexts)
+    assert not any("load assets" in t for t in ctexts)
+
+    # tint ramps green → yellow → red with the share of the frame
+    g, y, r = _pct_color(5), _pct_color(50), _pct_color(95)
+    assert g[1] > g[0]  # green-ish
+    assert y[0] > 230 and y[1] > 200  # yellow-ish
+    assert r[0] > 230 and r[1] < 130  # red-ish
+
+
 def test_hud_draws_window():
     from renderer_tpu.overlay.hud import draw_hud
 

@@ -15,7 +15,6 @@ import pytest
 import renderer_tpu as rt
 from renderer_tpu.assets import proxy
 from renderer_tpu.core import math3d
-from renderer_tpu.ui import DrawList
 
 GOLDEN = Path(__file__).parent / "golden" / "sandbox-golden.npz"
 W, H = 160, 96
@@ -92,10 +91,23 @@ def _render(msaa: int = 4, exact: bool = False, bf16: bool = False):
     playing = [(0.4 % a.end_time, a) for a in character.animations]
     character.queue_animated(scene, math3d.IDENTITY, playing)
 
-    ui = DrawList()
-    ui.push_clip_rect(4, 4, 80, 30)
-    ui.add_rect_filled((4, 4), (100, 30), (20, 20, 28, 166))
-    ui.pop_clip_rect()
+    # the HUD span-tree window with deterministic timings (one collapsed
+    # section, one expanded with low/high %-of-frame tints) — locks the
+    # reference's perf-window structure (main.rs:769-847) into the golden
+    from renderer_tpu.engine.profiling import Profiler, Span
+    from renderer_tpu.overlay.hud import build_hud_drawlist
+
+    prof = Profiler(enabled=True)
+    prof.sections = {"startup": [Span("load", 0, 0.5, 1)]}
+    prof._spans = {
+        (0, "frame"): Span("frame", 0, 1.0e-3, 1),
+        (1, "raster"): Span("raster", 1, 0.8e-3, 1),
+        (1, "post"): Span("post", 1, 0.05e-3, 1),
+    }
+    prof._order = list(prof._spans)
+    ui = build_hud_drawlist(registry, prof, ["mini sandbox"],
+                            collapsed={"startup"}, max_width=W,
+                            show_memory=False)
 
     config = rt.RenderConfig(width=W, height=H, msaa_samples=msaa,
                              bf16_shading=bf16)
