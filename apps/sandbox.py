@@ -45,10 +45,13 @@ class Sandbox:
                 from renderer_tpu.assets import ntex as ntex_mod
                 from renderer_tpu.materials.registry import Texture, TextureKind
 
-                _, mips = ntex_mod.decode_file(
-                    SMOL_AME.parent / "terrariumtexsketchfab.ntex"
+                ame_ntex = SMOL_AME.parent / "terrariumtexsketchfab.ntex"
+                _, mips = ntex_mod.decode_file(ame_ntex)
+                tex = Texture(
+                    mips, TextureKind.SRGB_COLOR, "terrariumtexsketchfab",
+                    blocks_loader=lambda p=ame_ntex:
+                        ntex_mod.read_blocks_file(p)[1],
                 )
-                tex = Texture(mips, TextureKind.SRGB_COLOR, "terrariumtexsketchfab")
                 self.smol_ame = proxy.make_skinned_character(
                     builder, self.registry, textures=[tex]
                 )

@@ -1306,6 +1306,9 @@ def load_gltf(
                 shape=(header.height, header.width),
                 fingerprint=ntex.file_fingerprint(ntex_path),
                 wrap_s=wrap_s, wrap_t=wrap_t,
+                # compressed-source access for the device-decode atlas
+                # path (1 byte/texel over the link, BC7→RGBA on-chip)
+                blocks_loader=lambda p=ntex_path: ntex.read_blocks_file(p)[1],
             )
             registry.register_texture(tex)
             images.append(tex)

@@ -108,6 +108,34 @@ def decode(data: bytes) -> tuple[NtexHeader, list[np.ndarray]]:
     return header, mips
 
 
+def read_blocks(data: bytes) -> tuple[NtexHeader, list[np.ndarray] | None]:
+    """Raw compressed mip payloads WITHOUT decoding: returns (header,
+    [blocks_u8 [nb, 16] per mip]) for BC7 files, (header, None) for
+    non-block formats. The device-side decode path
+    (materials/bc7_jax + atlas_device) uploads these 1-byte/texel blocks
+    and decodes on-chip instead of uploading 4-byte/texel decoded RGBA."""
+    header = decode_header(data)
+    if header.vk_format not in (VK_FORMAT_BC7_UNORM, VK_FORMAT_BC7_SRGB):
+        return header, None
+    pixels = data[1024:]
+    ranges = header.mip_ranges()
+    if len(pixels) != ranges[-1][1]:
+        raise NtexDecodeError(
+            f"ntex length mismatch: expected {ranges[-1][1] + 1024}, "
+            f"got {len(data)}"
+        )
+    mips = [
+        np.frombuffer(pixels[start:end], np.uint8).reshape(-1, 16)
+        for start, end in ranges
+    ]
+    return header, mips
+
+
+def read_blocks_file(path) -> tuple[NtexHeader, list[np.ndarray] | None]:
+    with open(path, "rb") as f:
+        return read_blocks(f.read())
+
+
 def is_srgb_format(vk_format: int) -> bool:
     return vk_format in (VK_FORMAT_BC7_SRGB, VK_FORMAT_R8G8B8A8_SRGB)
 

@@ -157,6 +157,8 @@ def load_gltf_proxy(
             shape=(header.height, header.width),
             fingerprint=ntex.file_fingerprint(ntex_path),
             wrap_s=wrap_s, wrap_t=wrap_t,
+            # device-decode path: upload 1-byte/texel BC7 blocks
+            blocks_loader=lambda p=ntex_path: ntex.read_blocks_file(p)[1],
         )
         registry.register_texture(tex)
         images.append(tex)

@@ -453,25 +453,69 @@ class Renderer:
             self._geom_cache[geom_key] = cached
         return cached
 
+    def _use_device_atlas(self) -> bool:
+        """Decode BC7 on the device (upload blocks, not decoded texels —
+        materials/atlas_device.py) when the host→device link is the startup
+        bottleneck, i.e. on real TPU backends; the host path stays the
+        oracle (bit-parity pinned in tests/test_bc7_decode.py) and the CPU
+        default (tests/interpret: no link to save, and the mmap'd host
+        bundle is cheaper than a scatter compile). Override with
+        RENDERER_TPU_ATLAS=device|host."""
+        import os
+
+        mode = os.environ.get("RENDERER_TPU_ATLAS", "")
+        if mode in ("device", "host"):
+            return mode == "device"
+        return jax.default_backend() == "tpu"
+
     def _materials(self):
         reg = self.registry
         if self._mat_cache is not None and self._mat_cache[0] == reg.version:
             return self._mat_cache[1]
-        at = build_atlas(reg)
+        atlas_dev = None
+        if self._use_device_atlas():
+            try:
+                from renderer_tpu.materials.atlas_device import (
+                    build_atlas_plan_cached,
+                    realize_atlas,
+                )
+
+                plan = build_atlas_plan_cached(reg)
+                host_bytes = plan.shape[0] * plan.shape[1] * 4
+                if plan.upload_bytes < host_bytes:
+                    atlas_dev = realize_atlas(plan)
+                    table, srgb, wrap = plan.table, plan.srgb, plan.wrap
+                else:
+                    # mostly non-BC7 textures: the compressed plan would
+                    # ship MORE bytes than the decoded atlas — use the
+                    # host path (its bundle cache mmaps the decoded bytes)
+                    print(
+                        f"[renderer] device atlas plan ({plan.upload_bytes}"
+                        f" B) not smaller than the decoded atlas "
+                        f"({host_bytes} B); using the host path")
+            except Exception as e:  # noqa: BLE001 — loud fallback, never fatal
+                print(f"[renderer] device atlas decode unavailable "
+                      f"({type(e).__name__}: {e}); falling back to the host "
+                      "atlas path")
+                atlas_dev = None
+        if atlas_dev is None:
+            at = build_atlas(reg)
+            atlas_dev = jnp.asarray(at.data)
+            table, srgb, wrap = at.table, at.srgb, at.wrap
         dev = {
             "base_color_factor": jnp.asarray(reg.base_color_factor),
             "emissive_occlusion": jnp.asarray(reg.emissive_occlusion),
             "alpha_rgh_mtl_normal": jnp.asarray(reg.alpha_rgh_mtl_normal),
             "tex_indices": jnp.asarray(reg.tex_indices),
-            "atlas": jnp.asarray(at.data),
-            "atlas_table": jnp.asarray(at.table),
-            "atlas_srgb": jnp.asarray(at.srgb),
+            "atlas": atlas_dev,
+            "atlas_table": jnp.asarray(table),
+            "atlas_srgb": jnp.asarray(srgb),
         }
-        if at.wrap.any():
+        if wrap.any():
             # per-texture sampler address modes (TextureWrap) — attached
             # only when some texture is non-repeat, so the common all-repeat
             # registry compiles the exact pre-wrap sampler (zero-cost)
-            dev["atlas_wrap"] = jnp.asarray(at.wrap)
+            dev["atlas_wrap"] = jnp.asarray(wrap)
         self._mat_cache = (reg.version, dev)
         return dev
 

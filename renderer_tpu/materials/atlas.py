@@ -128,21 +128,23 @@ def build_atlas(registry: MaterialRegistry) -> Atlas:
     return atlas
 
 
-def _build_atlas_uncached(registry: MaterialRegistry) -> Atlas:
-    from renderer_tpu.raster.post import srgb_decode_np
-
-    rects = []  # (slot, mip, h+2, w+2, image)
-    for slot, tex in sorted(registry.textures.items()):
-        for mip, img in enumerate(tex.mips[:MAX_MIPS]):
-            rects.append((slot, mip, img.shape[0] + 2, img.shape[1] + 2, img))
-
-    # shelf packing, tallest first
+def _plan_placements(shapes: dict[int, list[tuple[int, int]]]):
+    """Shelf packing (tallest first, stable on registry slot/mip order) of
+    bordered rects. `shapes[slot]` = [(h, w) per mip]. Returns
+    (placements {(slot, mip): (x, y)}, atlas height). Shared by the host
+    atlas builder AND the device-decode plan (materials/atlas_device.py) so
+    both produce byte-identical layouts."""
+    rects = [
+        (slot, mip, h + 2, w + 2)
+        for slot, per in sorted(shapes.items())
+        for mip, (h, w) in enumerate(per[:MAX_MIPS])
+    ]
     rects.sort(key=lambda r: (-r[2], -r[3]))
     placements = {}
     shelf_y = 0
     shelf_h = 0
     cursor_x = 0
-    for slot, mip, h, w, img in rects:
+    for slot, mip, h, w in rects:
         assert w <= ATLAS_WIDTH, (
             f"texture slot {slot} mip {mip} is {w - 2} px wide (+2 border); "
             f"the atlas row is {ATLAS_WIDTH} px — downsample the source image"
@@ -156,7 +158,17 @@ def _build_atlas_uncached(registry: MaterialRegistry) -> Atlas:
         shelf_h = max(shelf_h, h)
     height = shelf_y + shelf_h
     # round height to a sublane multiple
-    height = (height + 7) // 8 * 8
+    return placements, (height + 7) // 8 * 8
+
+
+def _build_atlas_uncached(registry: MaterialRegistry) -> Atlas:
+    from renderer_tpu.raster.post import srgb_decode_np
+
+    shapes = {
+        slot: [img.shape[:2] for img in tex.mips[:MAX_MIPS]]
+        for slot, tex in sorted(registry.textures.items())
+    }
+    placements, height = _plan_placements(shapes)
 
     data = np.zeros((max(height, 8), ATLAS_WIDTH), np.uint32)
     table = np.zeros((constants.MAX_TEXTURES, MAX_MIPS, 4), np.int32)

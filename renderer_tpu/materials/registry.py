@@ -88,7 +88,8 @@ class Texture:
                  name: str = "", *, loader=None, shape=None,
                  fingerprint: str | None = None,
                  wrap_s: int = TextureWrap.REPEAT,
-                 wrap_t: int = TextureWrap.REPEAT) -> None:
+                 wrap_t: int = TextureWrap.REPEAT,
+                 blocks_loader=None) -> None:
         if mips is None:
             assert loader is not None and shape is not None
             assert fingerprint is not None, "lazy textures need a fingerprint"
@@ -103,6 +104,12 @@ class Texture:
             self._loader = None
             self._shape = mips[0].shape[:2]
         self._fingerprint = fingerprint
+        # optional compressed-source access: () -> list[[nb,16] u8 BC7
+        # blocks per mip] or None — lets the device-decode atlas path
+        # (materials/atlas_device.py) upload 1-byte/texel blocks without
+        # ever touching the decoded mips
+        self._blocks_loader = blocks_loader
+        self._blocks = None
         self.kind = kind
         self.name = name
         assert wrap_s in (0, 1, 2) and wrap_t in (0, 1, 2)
@@ -120,6 +127,21 @@ class Texture:
             )
             self._mips = mips
         return self._mips
+
+    @property
+    def bc7_mips(self) -> list[np.ndarray] | None:
+        """Per-mip raw BC7 block arrays ([nb, 16] u8) when the texture is
+        backed by a compressed source, else None. Never triggers a decode."""
+        if self._blocks is None and self._blocks_loader is not None:
+            self._blocks = self._blocks_loader()
+            self._blocks_loader = None  # one attempt; None result sticks
+            if self._blocks is not None:
+                nb0 = (self.width + 3) // 4 * ((self.height + 3) // 4)
+                assert self._blocks[0].shape == (nb0, 16), (
+                    f"texture {self.name}: block count {self._blocks[0].shape}"
+                    f" != expected {(nb0, 16)}"
+                )
+        return self._blocks
 
     @property
     def fingerprint(self) -> str:
