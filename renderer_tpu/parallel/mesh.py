@@ -11,7 +11,11 @@ TPU-native addition. The natural decomposition for a tile rasterizer:
   (the stage-1 row expansion is clipped to the shard's tile rows, so the
   O(P log P) pair sort and the bin scatter run at shard width), raster,
   deferred shading and tonemap all run entirely on the local shard — no
-  communication. The final image is already sharded correctly for output.
+  communication. Rows are a contiguous band per device by default (image
+  comes out pre-sharded for output) or ROUND-ROBIN interleaved
+  (`interleave=True`) for content load balance — measured 6.50× vs 3.57×
+  per-device work reduction at sp=8 on the bench frame (TIMINGS.md),
+  costing one final de-interleave reshuffle of the small u8 image.
   Triangle setup stays replicated DELIBERATELY: it is dense O(T) VPU math
   (~40 flops/triangle), cheaper recomputed everywhere than all_gathering
   its 96 B/triangle output over ICI (compute-over-communication, the
@@ -74,13 +78,21 @@ def render_frame_sharded(
     has_blended: bool = True,
     morph_k: int = 0,
     joint_cap: int = constants.MAX_JOINT_COUNT,
+    interleave: bool = False,
     interpret: bool = False,
 ):
     """The full frame step under shard_map. Inputs are replicated (they are
     small or needed everywhere); the returned u8 image is sharded by rows.
-    Returns (image, stats i32[N_STATS] — overflow entries are computed
-    identically on every device; saturation counts are psum'd over shards).
-    """
+    Returns (image, stats i32[N_STATS]; count stats psum to the single-chip
+    values, demand peaks pmax — _combine_shard_stats).
+
+    `interleave=False` gives each device a CONTIGUOUS band of tile rows —
+    zero output communication, but per-device work follows screen content
+    (a camera concentrating geometry mid-screen loads the middle shards;
+    tools/shard_workcount measures it). `interleave=True` assigns tile rows
+    ROUND-ROBIN (device d owns rows {d + k·n}) — screen content spreads
+    near-uniformly across shards, at the cost of one final de-interleave
+    reshuffle of the small u8 image (H·W·3 bytes over ICI)."""
     axis = mesh.axis_names[0]
     n = mesh.shape[axis]
     assert config.tiles_y % n == 0, (
@@ -123,8 +135,8 @@ def render_frame_sharded(
             has_masked=has_masked,
             has_blended=has_blended,
             local_tiles_y=local_tiles_y,
-            tile_row_offset=i * local_tiles_y,
-            row0=(i * rows_per_dev).astype(jnp.float32),
+            tile_row_offset=(i if interleave else i * local_tiles_y),
+            row_stride=(n if interleave else 1),
             out_rows=rows_per_dev,
             interpret=interpret,
         )
@@ -137,16 +149,26 @@ def render_frame_sharded(
         out_specs=(P(axis, None, None), P()),
         check_vma=False,
     )
-    return sharded(geom, frame, materials)
+    img, stats = sharded(geom, frame, materials)
+    if interleave:
+        # device d's band holds global tile rows {d + k·n}: de-interleave
+        # [n, L·th, W, 3] → [L, n, th, W, 3] → [H, W, 3] (XLA inserts the
+        # resharding collective for the small final image)
+        th = config.tile_h
+        img = img.reshape(n, local_tiles_y, th, config.width, 3)
+        img = img.transpose(1, 0, 2, 3, 4).reshape(
+            config.height, config.width, 3)
+    return img, stats
 
 
 def jit_sharded_frame(config: RenderConfig, mesh: Mesh, interpret: bool = False,
                       morph_k: int = 0,
-                      joint_cap: int = constants.MAX_JOINT_COUNT):
+                      joint_cap: int = constants.MAX_JOINT_COUNT,
+                      interleave: bool = False):
     return jax.jit(
         functools.partial(
             render_frame_sharded, config=config, mesh=mesh, interpret=interpret,
-            morph_k=morph_k, joint_cap=joint_cap,
+            morph_k=morph_k, joint_cap=joint_cap, interleave=interleave,
         )
     )
 
@@ -218,7 +240,6 @@ def render_frames_batched(
             has_blended=has_blended,
             local_tiles_y=local_tiles_y,
             tile_row_offset=i * local_tiles_y,
-            row0=(i * rows_per_dev).astype(jnp.float32),
             out_rows=rows_per_dev,
             interpret=interpret,
         )

@@ -92,7 +92,8 @@ def _tile_spans(tri_data, bounds, n_classes, *, tiles_x, tiles_y,
 @functools.partial(
     jax.jit,
     static_argnames=("tiles_x", "tiles_y", "tile_w", "tile_h",
-                     "pair_capacity", "row_capacity", "local_tiles_y"),
+                     "pair_capacity", "row_capacity", "local_tiles_y",
+                     "row_stride"),
 )
 def bin_triangles(
     tri_data: jnp.ndarray,  # [ROWS, Tc] from triangle_setup
@@ -107,6 +108,7 @@ def bin_triangles(
     row_capacity: int | None = None,
     tile_row_lo=0,
     local_tiles_y: int | None = None,
+    row_stride: int = 1,
 ):
     """Single-class binning (kept for per-stage profiling + tests; the
     production frame uses `bin_triangle_classes` — one sort for all alpha
@@ -123,6 +125,7 @@ def bin_triangles(
         pair_capacity=pair_capacity,
         row_capacity=pair_capacity if row_capacity is None else row_capacity,
         tile_row_lo=tile_row_lo, local_tiles_y=local_tiles_y,
+        row_stride=row_stride,
     )
     # fold row truncation into the loud scalar (each dropped row hides ≥ 0
     # pairs; callers only test > 0 and grow their one capacity knob)
@@ -133,7 +136,7 @@ def bin_triangles(
     jax.jit,
     static_argnames=("tiles_x", "tiles_y", "tile_w", "tile_h",
                      "pair_capacity", "row_capacity", "local_tiles_y",
-                     "zbuckets"),
+                     "zbuckets", "row_stride"),
 )
 def bin_triangle_classes(
     tri_data: jnp.ndarray,  # [ROWS, Tc] from triangle_setup
@@ -148,6 +151,7 @@ def bin_triangle_classes(
     tile_row_lo=0,  # traced i32: first tile row this call bins (sharding)
     local_tiles_y: int | None = None,  # static: tile rows binned (None = all)
     zbuckets: int = 1,  # static: nearest-first sub-order of the OPAQUE class
+    row_stride: int = 1,  # static: stride between binned tile rows
 ):
     """Bin all alpha classes with ONE stable sort: pairs are keyed by
     class * n_tiles + tile, so each (class, tile) segment lands contiguous and
@@ -183,15 +187,18 @@ def bin_triangle_classes(
     kernel breaks depth ties by triangle id (= submission order). The
     ORDER-DEPENDENT masked/blended/UI classes are never bucketed.
 
-    SHARDING (`tile_row_lo` + `local_tiles_y`): bin only the tile rows
-    [tile_row_lo, tile_row_lo + local_tiles_y) — the stage-1 row expansion
-    is clipped to that range BEFORE it costs row slots, windows, or sort
-    width, so a multichip shard (parallel/mesh.py) pays only its own rows'
-    O(P log P). Tile keys and the starts/counts arrays are LOCAL to the
-    range (row 0 = tile_row_lo); per-row math is shard-independent, so the
-    shards' pair sets partition the full-screen expansion exactly (demands
-    sum to the single-chip totals). Defaults are the full screen — a no-op
-    clip, bit-identical to the unsharded path.
+    SHARDING (`tile_row_lo` + `local_tiles_y` + `row_stride`): bin only the
+    tile rows {tile_row_lo + k·row_stride : 0 ≤ k < local_tiles_y} — the
+    stage-1 row expansion is clipped to that set BEFORE it costs row slots,
+    windows, or sort width, so a multichip shard (parallel/mesh.py) pays
+    only its own rows' O(P log P). Contiguous bands use row_stride=1;
+    row_stride=n_devices INTERLEAVES rows round-robin, balancing
+    screen-content load across shards. Tile keys and the starts/counts
+    arrays are LOCAL (row k of the set); per-row math is shard-independent,
+    so the shards' pair sets partition the full-screen expansion exactly
+    (demands sum to the single-chip totals) under either layout. Defaults
+    are the full screen — a no-op clip, bit-identical to the unsharded
+    path.
 
     Returns (binned [B_ROWS, Pp] f32 SoA — slim layout, see KEEP_ROWS —,
     starts [C, tiles] i32 (128-aligned), counts [C, tiles] i32,
@@ -211,13 +218,16 @@ def bin_triangle_classes(
         tri_data, bounds, n_classes,
         tiles_x=tiles_x, tiles_y=tiles_y, tile_w=tile_w, tile_h=tile_h,
     )
-    # clip each triangle's tile-row span to this shard's row range (no-op
-    # for the full-screen defaults: _tile_spans already clamps to
-    # [0, tiles_y-1])
+    # clip each triangle's tile-row span to this shard's row SET
+    # {row_lo + k·stride} — in local k units (no-op for the full-screen
+    # defaults: _tile_spans already clamps to [0, tiles_y-1]; jnp // is
+    # floor division, so the ceil identity holds for spans starting above
+    # row_lo too)
     row_lo = jnp.asarray(tile_row_lo, jnp.int32)
-    ty1 = jnp.minimum(ty0 + span_h - 1, row_lo + (local_tiles_y - 1))
-    ty0 = jnp.maximum(ty0, row_lo)
-    span_h = jnp.maximum(ty1 - ty0 + 1, 0)
+    ty1 = ty0 + span_h - 1
+    k0 = jnp.maximum(-((row_lo - ty0) // row_stride), 0)  # ceil((ty0-lo)/s)
+    k1 = jnp.minimum((ty1 - row_lo) // row_stride, local_tiles_y - 1)
+    span_h = jnp.maximum(k1 - k0 + 1, 0)
     n_pairs = jnp.where(n_pairs > 0, span_w * span_h, 0)
     xmin, _ymin, xmax, _ymax = (tri_data[k] for k in BBOX_ROWS)
 
@@ -231,7 +241,10 @@ def bin_triangle_classes(
     )
     row_idx = jnp.arange(row_capacity, dtype=jnp.int32)
     row_live = row_idx < jnp.minimum(row_demand, row_capacity)
-    row_ty = ty0[tri_of_row] + (row_idx - cum_start_r[tri_of_row])
+    # local row index within this shard's row set, and its GLOBAL tile row
+    # (pixel-coordinate math below runs on the global row)
+    row_k = k0[tri_of_row] + (row_idx - cum_start_r[tri_of_row])
+    row_ty = row_lo + row_k * row_stride
 
     # tight per-row x-window: for each edge, coverage anywhere in the row's
     # padded y-extent needs a·x + max_y(b·y) + c ≥ 0 — a half-line in x
@@ -276,9 +289,9 @@ def bin_triangle_classes(
     tri_of_pair = tri_of_row[row_of_pair]
     tile_x = rx_lo[row_of_pair] + (pair_idx - cum_start_p[row_of_pair])
     tile_y = row_ty[row_of_pair]
-    # tile keys are LOCAL to the binned row range (row 0 = tile_row_lo);
+    # tile keys are LOCAL to the binned row set (k of tile_row_lo + k·s);
     # the kernels index starts/counts by their grid step, not the global row
-    tile = (tile_y - row_lo) * tiles_x + tile_x
+    tile = row_k[row_of_pair] * tiles_x + tile_x
     n_tiles = tiles_x * local_tiles_y
     n_keys = n_classes * n_tiles  # (class, tile) GROUPS — starts/counts rows
     group = cls[tri_of_pair] * n_tiles + tile

@@ -67,7 +67,8 @@ def _fragment(t_col, px3, py3, in_range):
 
 
 def _make_layer_kernel(mode: str, n_layers: int, tile_h: int, tile_w: int,
-                       tiles_x: int, sample_positions: tuple):
+                       tiles_x: int, sample_positions: tuple,
+                       row_stride: int = 1):
     assert mode in ("masked", "blended")
     n_s = len(sample_positions)
 
@@ -76,7 +77,7 @@ def _make_layer_kernel(mode: str, n_layers: int, tile_h: int, tile_w: int,
         # bins are LOCAL to this shard's tile-row range (see raster_kernel):
         # grid step indexes starts/counts; the global row feeds pixel coords.
         lty = pl.program_id(0)
-        ty = lty + starts_ref[counts_ref.shape[0]]
+        ty = lty * row_stride + starts_ref[counts_ref.shape[0]]
         tx = pl.program_id(1)
         tile_index = lty * tiles_x + tx
 
@@ -171,6 +172,7 @@ def _make_layer_kernel(mode: str, n_layers: int, tile_h: int, tile_w: int,
     static_argnames=(
         "mode", "n_layers", "padded_height",
         "padded_width", "tile_h", "tile_w", "sample_positions", "interpret",
+        "row_stride",
     ),
 )
 def rasterize_layers(
@@ -187,6 +189,7 @@ def rasterize_layers(
     tile_h: int = 32,
     tile_w: int = 128,
     sample_positions: tuple = ((0.5, 0.5),),  # in-pixel positions (MSAA)
+    row_stride: int = 1,  # global-row stride (interleaved sp sharding)
     interpret: bool = False,
 ):
     """Returns (layer_z [S,K,Hp,Wp] f32, layer_tid [S,K,Hp,Wp] i32,
@@ -221,7 +224,7 @@ def rasterize_layers(
         ],
     )
     kernel = _make_layer_kernel(mode, n_layers, tile_h, tile_w, tiles_x,
-                                tuple(sample_positions))
+                                tuple(sample_positions), row_stride)
     lz, lt, aux = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -153,7 +153,8 @@ def _pick_strip_rows(c: int, hp: int, wp: int, tile_h: int, budget: int) -> int:
 
 
 def _shade_striped(stack, row0, strip_h: int, fn):
-    """Run fn(tid [c, h, w] i32, row0 scalar) -> pytree of [c, h, w, ...]
+    """Run fn(tid [c, h, w] i32, row0 [h, 1] per-row y offset) -> pytree of
+    [c, h, w, ...]
     over tile-row strips of `strip_h` pixel rows with lax.map (plus one
     direct call for a shorter remainder strip when strip_h does not divide
     the height), concatenating the results back to full height. The
@@ -174,22 +175,26 @@ def _shade_striped(stack, row0, strip_h: int, fn):
         # loop strips the live set the same way without tracing the body
         # (the closed-over numpy frame/material tables stay host arrays;
         # lax.map tracing would index them with tracers and fail)
-        outs = [fn(stack[:, b:min(b + strip_h, hp)], row0 + b)
+        # row0 is the offset a strip adds to its LOCAL arange — slicing to
+        # rows [b, e) must also fold the strip base b back in (py for local
+        # strip row i is (b + i) + row0[b + i])
+        outs = [fn(stack[:, b:min(b + strip_h, hp)],
+                   row0[b:min(b + strip_h, hp)] + b)
                 for b in range(0, hp, strip_h)]
         return jax.tree_util.tree_map(
             lambda *xs: jnp.concatenate(xs, axis=1), *outs)
     n_full = hp // strip_h
     main_h = n_full * strip_h
     per = stack[:, :main_h].reshape(c, n_full, strip_h, wp).transpose(1, 0, 2, 3)
-    r0s = (jnp.asarray(row0, jnp.int32)
-           + jnp.arange(n_full, dtype=jnp.int32) * strip_h)
+    bases = (jnp.arange(n_full, dtype=row0.dtype) * strip_h)[:, None, None]
+    r0s = row0[:main_h].reshape(n_full, strip_h, 1) + bases
     out = jax.lax.map(lambda args: fn(args[0], args[1]), (per, r0s))
     out = jax.tree_util.tree_map(
         lambda a: jnp.moveaxis(a, 0, 1).reshape((c, main_h, wp) + a.shape[4:]),
         out,
     )
     if main_h < hp:
-        tail = fn(stack[:, main_h:], row0 + main_h)
+        tail = fn(stack[:, main_h:], row0[main_h:] + main_h)
         out = jax.tree_util.tree_map(
             lambda a, b: jnp.concatenate([a, b], axis=1), out, tail)
     return out
@@ -229,8 +234,9 @@ def render_shard(
     has_blended: bool,
     local_tiles_y: int,
     tile_row_offset,  # traced i32: first global tile row of this shard
-    row0,  # traced f32: first global pixel row of this shard
     out_rows: int,  # rows of the final image this shard produces
+    row_stride: int = 1,  # static: stride between the shard's global tile
+    # rows (1 = contiguous band; n_devices = interleaved sp sharding)
     interpret: bool = False,
 ):
     """Raster + shade + composite for a horizontal band of the image (the
@@ -242,6 +248,15 @@ def render_shard(
     cfg = config
     shade_dt = jnp.bfloat16 if cfg.bf16_shading else jnp.float32
     pad_h = local_tiles_y * cfg.tile_h
+    # per-LOCAL-row offset to the GLOBAL pixel row (py = iota + 0.5 + row0):
+    # a constant column for a contiguous band, piecewise per tile row under
+    # interleaved sharding. Shading/UI math adds it exactly like the old
+    # scalar (bit-identical values for stride 1).
+    _j = jnp.arange(pad_h, dtype=jnp.int32)
+    _gy = ((jnp.asarray(tile_row_offset, jnp.int32)
+            + (_j // cfg.tile_h) * row_stride) * cfg.tile_h
+           + (_j % cfg.tile_h))
+    row0 = (_gy - _j).astype(jnp.float32)[:, None]
     n_opaque = frame["n_opaque"]
     n_masked = frame["n_masked"]
     msaa = cfg.msaa_samples
@@ -270,7 +285,7 @@ def render_shard(
         tile_w=cfg.tile_w, tile_h=cfg.tile_h,
         pair_capacity=cfg.pair_capacity, row_capacity=cfg.row_capacity,
         tile_row_lo=tile_row_offset, local_tiles_y=local_tiles_y,
-        zbuckets=cfg.opaque_z_buckets,
+        zbuckets=cfg.opaque_z_buckets, row_stride=row_stride,
     )
     bins_opaque = (b_all, s_all[0], c_all[0])
     ov_opaque = ov_all[0]
@@ -332,7 +347,7 @@ def render_shard(
             tile_row_offset=tile_row_offset,
             padded_height=pad_h, padded_width=cfg.padded_width,
             tile_h=cfg.tile_h, tile_w=cfg.tile_w, sub=cfg.tri_chunk,
-            sample_positions=spos,
+            sample_positions=spos, row_stride=row_stride,
             interpret=interpret,
         )
 
@@ -343,7 +358,7 @@ def render_shard(
             tile_row_offset=tile_row_offset,
             padded_height=pad_h, padded_width=cfg.padded_width,
             tile_h=cfg.tile_h, tile_w=cfg.tile_w,
-            sample_positions=spos,
+            sample_positions=spos, row_stride=row_stride,
             interpret=interpret,
         )
 
@@ -488,7 +503,7 @@ def render_shard(
         lt_ui, ov_ui, aux_ui = ui_stage.rasterize_ui(
             ui, config=cfg, local_tiles_y=local_tiles_y,
             tile_row_offset=tile_row_offset, sample_positions=ui_spos,
-            interpret=interpret,
+            row_stride=row_stride, interpret=interpret,
         )
         ui_sat = saturated_px(aux_ui, cfg.ui_layers)
         ui_demand = demand_max(aux_ui)
@@ -586,7 +601,6 @@ def render_frame(
         has_blended=has_blended,
         local_tiles_y=config.tiles_y,
         tile_row_offset=0,
-        row0=0.0,
         out_rows=config.height,
         interpret=interpret,
     )

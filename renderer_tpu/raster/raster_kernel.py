@@ -69,6 +69,9 @@ def _binned_kernel(
     # equivalent to shifting the geometry, and shares ONE binned buffer and
     # ONE DMA stream across all samples)
     sample_positions: tuple = ((0.5, 0.5),),
+    # stride between this shard's GLOBAL tile rows (interleaved sp sharding;
+    # 1 = contiguous band / single chip)
+    row_stride: int = 1,
     # Mosaic (TPU) wants the sub-chunk walk unrolled: static VMEM slices,
     # no loop overhead, full ILP across the double-buffered DMA stream.
     # Interpret mode (the CPU test oracle) rolls it into a fori_loop —
@@ -86,7 +89,7 @@ def _binned_kernel(
     # (grid step + tile_row_offset, stashed as the last starts entry) is
     # only needed for the pixel coordinates the planes are evaluated at.
     lty = pl.program_id(0)
-    ty = lty + starts_ref[counts_ref.shape[0]]
+    ty = lty * row_stride + starts_ref[counts_ref.shape[0]]
     tx = pl.program_id(1)
     tile_index = lty * tiles_x + tx
 
@@ -244,7 +247,8 @@ def _binned_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("padded_height", "padded_width", "tile_h", "tile_w",
-                     "sub", "sample_positions", "interpret", "unroll"),
+                     "sub", "sample_positions", "interpret", "unroll",
+                     "row_stride"),
 )
 def rasterize_binned(
     binned: jnp.ndarray,  # [B_ROWS, Pp] f32 slim SoA from binning
@@ -258,6 +262,7 @@ def rasterize_binned(
     tile_w: int = 128,
     sub: int = 8,
     sample_positions: tuple = ((0.5, 0.5),),  # in-pixel positions (MSAA)
+    row_stride: int = 1,  # global-row stride (interleaved sp sharding)
     interpret: bool = False,
     unroll: bool | None = None,  # default: unrolled on TPU, rolled in
     # interpret mode (tests override to pin bit-equality of both paths)
@@ -289,7 +294,7 @@ def rasterize_binned(
     )
     kernel = functools.partial(
         _binned_kernel, tile_h=tile_h, tile_w=tile_w, sub=sub, tiles_x=tiles_x,
-        sample_positions=tuple(sample_positions),
+        sample_positions=tuple(sample_positions), row_stride=row_stride,
         unroll=(not interpret) if unroll is None else unroll,
     )
     depth, trid = pl.pallas_call(

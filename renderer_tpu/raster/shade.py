@@ -233,7 +233,8 @@ def interpolants(
     *,
     width: int,
     height: int,
-    row0=0,  # traced: global y of this shard's first row (image sharding)
+    row0=0,  # traced scalar, or [h, 1] per-row offset to the GLOBAL pixel
+    # row (interleaved sp sharding: local rows are not a contiguous band)
 ) -> dict:
     """Per-pixel interpolation context for a visibility buffer: gathers the
     triangle's vertices, reconstructs perspective-correct barycentrics, and

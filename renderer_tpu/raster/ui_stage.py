@@ -40,6 +40,7 @@ def rasterize_ui(
     local_tiles_y: int,
     tile_row_offset,
     sample_positions: tuple = ((0.5, 0.5),),
+    row_stride: int = 1,
     interpret: bool = False,
 ):
     """Bin + layer-rasterize the UI triangles. `sample_positions` — in-pixel
@@ -68,6 +69,7 @@ def rasterize_ui(
         pair_capacity=cfg.ui_pair_capacity,
         # shard-local binning like the scene classes (pipeline.render_shard)
         tile_row_lo=tile_row_offset, local_tiles_y=local_tiles_y,
+        row_stride=row_stride,
     )
     # constant z = 0.5 vs floor 0.0 → every covered fragment passes GE and
     # the accept chain is pure submission (painter's) order
@@ -78,7 +80,7 @@ def rasterize_ui(
         tile_row_offset=tile_row_offset,
         padded_height=pad_h, padded_width=cfg.padded_width,
         tile_h=cfg.tile_h, tile_w=cfg.tile_w,
-        sample_positions=tuple(sample_positions),
+        sample_positions=tuple(sample_positions), row_stride=row_stride,
         interpret=interpret,
     )
     return lt, overflow, aux

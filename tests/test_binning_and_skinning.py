@@ -220,6 +220,24 @@ class TestBinning:
         assert pd_sum == int(pd_f) > 0
         assert rd_sum == int(rd_f) > 0
 
+        # INTERLEAVED (round-robin, row_stride=n) shards must partition the
+        # expansion exactly too, and each shard's per-tile counts must equal
+        # the strided rows of the full-screen counts
+        pd_sum = rd_sum = 0
+        for k in range(shards):
+            _b, _s, c_k, ov_k, rov_k, pd_k, rd_k = (
+                binning.bin_triangle_classes(
+                    td, bounds, tile_row_lo=k, local_tiles_y=local,
+                    row_stride=shards, **kw))
+            assert int(np.asarray(ov_k).sum()) == 0 and int(rov_k) == 0
+            pd_sum += int(pd_k)
+            rd_sum += int(rd_k)
+            np.testing.assert_array_equal(
+                np.asarray(c_k).reshape(local, tiles_x),
+                c_f2[k::shards])
+        assert pd_sum == int(pd_f)
+        assert rd_sum == int(rd_f)
+
     def test_overflow_reported(self):
         rng = np.random.default_rng(7)
         td = _fake_tri_data(rng, 200, 256, 4, 4, 128, 32)

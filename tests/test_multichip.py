@@ -102,6 +102,29 @@ def test_dp_batch_matches_single(config):
         assert agreement > 0.999, f"frame {b} agreement {agreement}"
 
 
+def test_interleaved_sharded_matches_single_device(config):
+    """Round-robin tile-row assignment (interleave=True — the load-balanced
+    sp layout) must reproduce the single-device image and stats exactly,
+    like the contiguous-band layout."""
+    renderer, gs, geom, frame, mats, jc = _device_inputs(config)
+    single, single_stats = pipeline.render_frame(
+        geom, frame, mats, config=config, skin_start=gs.skin_start,
+        joint_cap=jc, interpret=pipeline.interpret_mode(),
+    )
+    mesh = pmesh.make_mesh(8)
+    sharded, sharded_stats = pmesh.jit_sharded_frame(
+        config, mesh, interpret=pipeline.interpret_mode(), joint_cap=jc,
+        interleave=True,
+    )(geom, frame, mats)
+    np.testing.assert_array_equal(
+        np.asarray(single_stats), np.asarray(sharded_stats)
+    )
+    single = np.asarray(single)
+    assert (single.sum(-1) > 0).mean() > 0.05
+    agreement = (single == np.asarray(sharded)).all(axis=-1).mean()
+    assert agreement > 0.999, f"interleaved/single agreement {agreement}"
+
+
 def test_dp_batch_overflow_detected():
     """A frame mid-batch must not drop work silently: force pair overflow in
     frame 0 of a dp×sp batch (tiny pair_capacity, camera on the triangles)

@@ -61,10 +61,10 @@ def main(shard_counts=(2, 4, 8)) -> list[dict]:
               tile_h=cfg.tile_h, pair_capacity=cfg.pair_capacity,
               row_capacity=cfg.row_capacity)
 
-    def demands(tile_row_lo, local_tiles_y):
+    def demands(tile_row_lo, local_tiles_y, row_stride=1):
         out = binning.bin_triangle_classes(
             td, tuple(bounds), tile_row_lo=tile_row_lo,
-            local_tiles_y=local_tiles_y, **kw)
+            local_tiles_y=local_tiles_y, row_stride=row_stride, **kw)
         _b, _s, _c, ov, row_ov, pair_dem, row_dem = out
         assert int(np.asarray(ov).sum()) == 0 and int(row_ov) == 0
         return int(pair_dem), int(row_dem)
@@ -75,26 +75,31 @@ def main(shard_counts=(2, 4, 8)) -> list[dict]:
              "speedup_vs_replicated": 1.0}]
     print(f"# scene {name}: frame t=1.0, {cfg.tiles_y} tile rows, "
           f"full-screen demand {full_pairs} pairs / {full_rows} tile-rows")
-    print(f"{'sp':>3} {'pairs/dev (max)':>16} {'rows/dev (max)':>15} "
-          f"{'sum(pairs)':>11} {'work vs replicated':>19}")
-    print(f"{1:>3} {full_pairs:>16} {full_rows:>15} {full_pairs:>11} "
-          f"{'1.00x (baseline)':>19}")
+    print(f"{'sp':>3} {'layout':>12} {'pairs/dev (max)':>16} "
+          f"{'rows/dev (max)':>15} {'sum(pairs)':>11} "
+          f"{'work vs replicated':>19}")
+    print(f"{1:>3} {'-':>12} {full_pairs:>16} {full_rows:>15} "
+          f"{full_pairs:>11} {'1.00x (baseline)':>19}")
     for sp in shard_counts:
         if cfg.tiles_y % sp:
             print(f"{sp:>3}  (skipped: {cfg.tiles_y} tile rows not divisible)")
             continue
         local = cfg.tiles_y // sp
-        per = [demands(k * local, local) for k in range(sp)]
-        pmax = max(p for p, _ in per)
-        rmax = max(r for _, r in per)
-        psum = sum(p for p, _ in per)
-        assert psum == full_pairs, (psum, full_pairs)  # exact partition
-        assert sum(r for _, r in per) == full_rows
-        rows.append({"sp": sp, "pairs_per_dev_max": pmax,
-                     "rows_per_dev_max": rmax, "pairs_sum": psum,
-                     "speedup_vs_replicated": round(full_pairs / pmax, 2)})
-        print(f"{sp:>3} {pmax:>16} {rmax:>15} {psum:>11} "
-              f"{full_pairs / pmax:>17.2f}x")
+        for layout, per in (
+            ("contiguous", [demands(k * local, local) for k in range(sp)]),
+            ("interleaved", [demands(k, local, sp) for k in range(sp)]),
+        ):
+            pmax = max(p for p, _ in per)
+            rmax = max(r for _, r in per)
+            psum = sum(p for p, _ in per)
+            assert psum == full_pairs, (psum, full_pairs)  # exact partition
+            assert sum(r for _, r in per) == full_rows
+            rows.append({"sp": sp, "layout": layout,
+                         "pairs_per_dev_max": pmax,
+                         "rows_per_dev_max": rmax, "pairs_sum": psum,
+                         "speedup_vs_replicated": round(full_pairs / pmax, 2)})
+            print(f"{sp:>3} {layout:>12} {pmax:>16} {rmax:>15} {psum:>11} "
+                  f"{full_pairs / pmax:>17.2f}x")
     return rows
 
 
