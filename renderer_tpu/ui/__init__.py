@@ -17,5 +17,11 @@ every MSAA sample BEFORE tonemap — exactly the reference's pass position.
 
 from renderer_tpu.ui.draw_list import DrawList, TEX_KIND_FONT, TEX_KIND_RGBA
 from renderer_tpu.ui.font import get_font
+from renderer_tpu.ui.io import Key, Platform, UiIo, filter_event
+from renderer_tpu.ui.widgets import Condition, Ui, UiContext
 
-__all__ = ["DrawList", "TEX_KIND_FONT", "TEX_KIND_RGBA", "get_font"]
+__all__ = [
+    "DrawList", "TEX_KIND_FONT", "TEX_KIND_RGBA", "get_font",
+    "Key", "Platform", "UiIo", "filter_event",
+    "Condition", "Ui", "UiContext",
+]

@@ -114,6 +114,24 @@ class DrawList:
                 )
             x += g.advance
 
+    def extend(self, other: "DrawList") -> None:
+        """Append another DrawList's geometry after this one (painter's
+        order). Used by the widget layer to composite per-window draw lists
+        back-to-front in focus order — the analog of imgui sorting window
+        draw data by focus order before the backend consumes it."""
+        base_v = self._nv
+        base_c = len(self._cmds)
+        assert base_c + len(other._cmds) <= MAX_UI_COMMANDS, \
+            "UI draw-command capacity"
+        self._pos += other._pos
+        self._uv += other._uv
+        self._col += other._col
+        self._nv += other._nv
+        self._tris += [(a + base_v, b + base_v, c + base_v)
+                       for a, b, c in other._tris]
+        self._tri_cmd += [c + base_c for c in other._tri_cmd]
+        self._cmds += other._cmds
+
     # -- packing --------------------------------------------------------------
 
     @property
