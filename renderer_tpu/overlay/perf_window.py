@@ -28,48 +28,58 @@ def _mean_s(span) -> float:
 def span_tree(ui: Ui, spans) -> None:
     """Render a flat depth-annotated span list as a collapsible tree
     (main.rs:769-847). `spans` is profiling.Span objects (name, depth,
-    total_s, count)."""
+    total_s, count).
+
+    Matches the reference's semantics: the %-column denominator is the FIRST
+    span's duration (main.rs:826-827), name counts for duplicate-name ids are
+    scoped per open parent (name_counts Vec<HashMap>, main.rs:776-799),
+    root-level rows default open (default_open(tree_nodes.is_empty()),
+    main.rs:805), closed nodes skip their whole subtree (main.rs:815-823),
+    and timings print in µs only (fmt_ms, main.rs:770-772)."""
     spans = list(spans)
     if not spans:
         return
-    # denominator: the section's top-level spans (the %-of-frame column)
-    root_s = sum(_mean_s(s) for s in spans if s.depth == 0)
-    open_stack: list = []  # (depth, token-or-None); None = closed/invisible
-    name_counts: dict[str, int] = {}
-    for i, s in enumerate(spans):
-        while open_stack and open_stack[-1][0] >= s.depth:
-            _d, tok = open_stack.pop()
-            if tok is not None:
-                tok.pop()
-        visible = not open_stack or open_stack[-1][1] is not None
-        if not visible:
-            # a closed ancestor: the row (and its subtree) is skipped, but
-            # keep a placeholder so deeper descendants skip too
-            open_stack.append((s.depth, None))
-            continue
+    root_s = _mean_s(spans[0])
+    open_stack: list = []    # (span, token) for open nodes (tree_nodes)
+    count_stack: list[dict] = [{}]  # per-parent duplicate-name counts
+    i = 0
+    while i < len(spans):
+        s = spans[i]
+        while open_stack and open_stack[-1][0].depth >= s.depth:
+            _sp, tok = open_stack.pop()
+            count_stack.pop()
+            tok.pop()
+        counts = count_stack[-1]
+        n = counts.get(s.name, 0) + 1
+        counts[s.name] = n
         has_children = i + 1 < len(spans) and spans[i + 1].depth > s.depth
-        n = name_counts.get(s.name, 0)
-        name_counts[s.name] = n + 1
         # duplicate names stay distinct ids (ui.push_id_int, main.rs:799)
         with ui.push_id(n):
-            tok = ui.tree_node(s.name, leaf=not has_children)
+            tok = ui.tree_node(s.name, leaf=not has_children,
+                               default_open=not open_stack)
         mean = _mean_s(s)
         pct = 100.0 * mean / root_s if root_s > 0 else 0.0
-        pct_text = f"{pct:.0f}%"
+        pct_text = f"{pct:.1f} %"
         window_width = ui.window_size()[0]
         pct_w = ui.calc_text_size(pct_text)[0]
         ui.same_line_with_pos(window_width - pct_w - 50.0)
         ui.text_colored(_pct_color(pct), pct_text)
-        us = mean * 1e6
-        timing_text = f"{us / 1000:.1f} ms" if us >= 10000 else f"{us:.0f} us"
+        timing_text = f"{mean * 1e6:.0f} us"
         timing_w = ui.calc_text_size(timing_text)[0]
         ui.same_line_with_pos(window_width - timing_w - 150.0)
         ui.text(timing_text)
-        open_stack.append((s.depth, tok))
-    while open_stack:
-        _d, tok = open_stack.pop()
         if tok is not None:
-            tok.pop()
+            open_stack.append((s, tok))
+            count_stack.append({})
+            i += 1
+        else:
+            i += 1
+            while i < len(spans) and spans[i].depth > s.depth:
+                i += 1
+    while open_stack:
+        _sp, tok = open_stack.pop()
+        count_stack.pop()
+        tok.pop()
 
 
 def performance_stats_window(

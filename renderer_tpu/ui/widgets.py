@@ -334,7 +334,10 @@ class Ui:
     def _end_window(self, win: _ActiveWindow) -> None:
         st = win.state
         if not st.collapsed:
-            st.content_h = (win.cursor[1] + st.scroll_y) - win.content_y0
+            # content_y0 already subtracts scroll_y, so cursor - content_y0 is
+            # the scroll-INVARIANT intrinsic height (the wheel clamp depends
+            # on this not growing with the current scroll)
+            st.content_h = win.cursor[1] - win.content_y0
             win.dl.pop_clip_rect()
         win.dl.pop_clip_rect()
         self._frame_rects[win.title] = win.outer_rect
@@ -535,6 +538,13 @@ class Ui:
                 cur = 0
             if Key.END in io.keys_pressed:
                 cur = len(value)
+            # characters after keys: within one SDL frame KeyDown precedes
+            # TextInput (lib.rs:244-266), so e.g. Home+"x" prepends
+            for ch in io.input_characters:
+                if ch >= " ":
+                    value = value[:cur] + ch + value[cur:]
+                    cur += 1
+                    changed = True
             if (Key.ENTER in io.keys_pressed
                     or Key.KEYPAD_ENTER in io.keys_pressed
                     or Key.ESCAPE in io.keys_pressed):

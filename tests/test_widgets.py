@@ -231,10 +231,16 @@ class TestWindow:
         h.frame(build, [("mouse_motion", 100, 50), ("mouse_wheel", 0, -2)])
         st = h.ctx.windows["W"]
         assert st.scroll_y == pytest.approx(6.0 * FONT.line_height)
-        # scrolling clamps at the content height
+        # content_h is the scroll-INVARIANT intrinsic height, and scrolling
+        # clamps exactly at content_h - viewport_h with no creep
+        viewport_h = 100.0 - TITLE_H - 2 * PAD
         for _ in range(50):
             h.frame(build, [("mouse_wheel", 0, -5)])
-        assert st.scroll_y <= st.content_h
+        intrinsic = st.content_h
+        assert st.scroll_y == pytest.approx(intrinsic - viewport_h)
+        h.frame(build, [("mouse_wheel", 0, -5)])
+        assert st.content_h == pytest.approx(intrinsic)  # no scroll feedback
+        assert st.scroll_y == pytest.approx(intrinsic - viewport_h)
 
 
 class TestWidgets:
