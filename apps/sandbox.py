@@ -152,20 +152,41 @@ def run_loop(
     show_hud: bool = True,
     immediate_present: bool = False,
     trace_path: str | None = None,
+    events=None,
+    sandbox=None,
 ):
     """Headless flying-camera demo loop — the sandbox main loop parity
     (main.rs:325-640): fixed-timestep game time with variable-dt fallback
     when a frame runs >20% over budget, frame pacing to the target rate,
-    per-frame scene requeue + animation evaluation, live perf-span stats.
+    per-frame scene requeue + animation evaluation, and the interactive
+    "Performance stats" window (main.rs:527-543) built through the widget
+    layer every frame and rendered through the in-frame UI pass.
 
-    The camera flies a circular path through the atrium (the interactive
-    WASD camera's role in a headless run). Returns a stats dict."""
+    `events` drives the reference event loop headlessly: events[i] is the
+    list of SDL-shaped tuples (see renderer_tpu.ui.io.Platform) delivered on
+    frame i. Keybind semantics follow main.rs:341-457 — debug keys Num0-7
+    switch the render mode, WASD/QX move and LShift sprints (all gated on
+    !want_capture_keyboard), left click toggles mouse-look (gated on
+    !want_capture_mouse; sets ConfigFlags::NO_MOUSE), ("mouse_motion_rel",
+    xrel, yrel) turns the camera while mouse-looking, Escape exits
+    mouse-look, and 'I' keyup toggles immediate present. Without events the
+    camera flies a circular path through the atrium (the interactive WASD
+    camera's role in a headless run). Returns a stats dict (including the
+    final frame as "image").
+
+    `sandbox` reuses an already-loaded scene source (anything with
+    `.registry` and `.build_scene(game_time, scene=)`) instead of loading
+    the demo assets — back-to-back runs skip the asset reload."""
     import time
 
     from renderer_tpu.engine.profiling import Profiler
     from renderer_tpu.engine.stats import log_memory_usage
+    from renderer_tpu.overlay.hud import build_hud_drawlist
+    from renderer_tpu.overlay.perf_window import performance_stats_window
+    from renderer_tpu.ui import Platform, UiContext, UiIo
 
-    sandbox = Sandbox()
+    if sandbox is None:
+        sandbox = Sandbox()
     # trace_path: also retain per-event spans and write Chrome trace-event
     # JSON at the end (chrome://tracing / Perfetto — the reference's
     # profile-with-tracing output, main.rs:30-36)
@@ -179,7 +200,19 @@ def run_loop(
                            overflow_policy="off")
     log_memory_usage("assets loaded")
 
-    from renderer_tpu.overlay.hud import build_hud_drawlist
+    interactive = events is not None
+    ctx, io, platform = UiContext(), UiIo(), Platform()
+    capture_every_frame = False
+    frame_spans: list = []
+    # interactive camera state (main.rs:94-117 initial pose — the same pose
+    # Sandbox hoists for the static camera)
+    cam_pos = np.array([0.0, 1.6, 0.0], np.float32)
+    cam_yaw, cam_pitch = 1.56, 0.0
+    dx = dy = dz = 0.0
+    yaw_once = pitch_once = 0.0
+    sprinting = mouse_look = False
+    debug_value = int(debug_mode)
+    _DEBUG_KEYS = {f"Num{n}": n for n in range(8)}
 
     budget = 1.0 / target_fps
     game_time = 0.0
@@ -188,23 +221,119 @@ def run_loop(
     scene = None
     prev = time.perf_counter()
     for i in range(frames):
-        # flying camera: circle the atrium, always facing its center
-        pos, orient = orbit_camera(2.0 * np.pi * (i / max(frames, 1)))
+        # -- event handling (main.rs:341-457): every event reaches the UI
+        # first; game handling is gated on the PREVIOUS frame's capture
+        # flags — the reference's exact handshake (main.rs:348-349)
+        frame_events = events[i] if interactive and i < len(events) else ()
+        for ev in frame_events:
+            platform.handle_event(io, ev)
+            handle_mouse = not io.want_capture_mouse
+            handle_kb = not io.want_capture_keyboard
+            kind, args = ev[0], ev[1:]
+            if kind == "key_down" and handle_kb:
+                sc = args[0]
+                if sc in _DEBUG_KEYS:
+                    debug_value = _DEBUG_KEYS[sc]
+                elif sc == "W":
+                    dz = 1.0
+                elif sc == "S":
+                    dz = -1.0
+                elif sc == "A":
+                    dx = 1.0
+                elif sc == "D":
+                    dx = -1.0
+                elif sc == "Q":
+                    dy = 1.0
+                elif sc == "X":
+                    dy = -1.0
+                elif sc == "LShift":
+                    sprinting = True
+                elif sc == "Escape" and mouse_look:
+                    mouse_look = False
+                    io.config_no_mouse = False
+            elif kind == "key_up" and handle_kb:
+                sc = args[0]
+                if sc == "I":
+                    immediate_present = not immediate_present
+                elif sc == "W" and dz > 0:
+                    dz = 0.0
+                elif sc == "S" and dz < 0:
+                    dz = 0.0
+                elif sc == "A" and dx > 0:
+                    dx = 0.0
+                elif sc == "D" and dx < 0:
+                    dx = 0.0
+                elif sc == "Q" and dy > 0:
+                    dy = 0.0
+                elif sc == "X" and dy < 0:
+                    dy = 0.0
+                elif sc == "LShift":
+                    sprinting = False
+            elif (kind == "mouse_button_down" and args[0] == "left"
+                  and handle_mouse):
+                mouse_look = not mouse_look
+                io.config_no_mouse = mouse_look  # NO_MOUSE (main.rs:425)
+            elif kind == "mouse_motion_rel" and mouse_look:
+                yaw_once -= args[0] / 750.0
+                pitch_once += args[1] / 750.0
+
+        # -- game update (main.rs:486-521): movement with the frame's dt
+        dt = (frame_times[-1]
+              if frame_times and frame_times[-1] > 1.2 * budget
+              else budget)
+        if interactive:
+            cam_yaw += yaw_once
+            cam_pitch = float(np.clip(cam_pitch + pitch_once,
+                                      -np.pi / 2, np.pi / 2))
+            yaw_once = pitch_once = 0.0
+            orient = math3d.quat_mul(
+                math3d.quat_from_axis_angle([0, 1, 0], cam_yaw),
+                math3d.quat_from_axis_angle([1, 0, 0], cam_pitch),
+            )
+            if dx != 0.0 or dy != 0.0 or dz != 0.0:
+                ctl = np.array([dx, dy, dz], np.float32)
+                ctl /= np.linalg.norm(ctl)
+                speed = 10.0 if sprinting else 5.0
+                cam_pos = cam_pos + (
+                    math3d.quat_to_mat3(orient) @ ctl) * speed * dt
+            pos = cam_pos
+        else:
+            # flying camera: circle the atrium, always facing its center
+            pos, orient = orbit_camera(2.0 * np.pi * (i / max(frames, 1)))
 
         scene = sandbox.build_scene(game_time, scene=scene)
         scene.camera.position = pos
         scene.camera.orientation = orient
         ui = None
         if show_hud:
-            # the live stats window, rendered THROUGH the raster pipeline
-            # (the reference's ImGui pass; imgui_support.rs:107-169). Only
-            # host-side data (profiler spans, frame times) — no device reads.
+            # the interactive "Performance stats" window (main.rs:527-543),
+            # built with real widgets and rendered THROUGH the raster
+            # pipeline (the reference's ImGui pass; imgui_support.rs:107-169)
+            # plus a one-line fps status. Only host-side data — no device
+            # reads.
+            platform.prepare_frame(io, window_size=(width, height),
+                                   now=time.perf_counter())
+            io.new_frame()
+            uif = ctx.new_frame(io, sandbox.registry)
+            if capture_every_frame or not frame_spans:
+                from copy import copy
+
+                frame_spans = [copy(s) for s in profiler.report()]
+            startup_spans = getattr(profiler, "sections", {}).get(
+                "startup (first frame incl. compile)", [])
+            capture_every_frame = performance_stats_window(
+                uif, capture_every_frame, frame_spans, startup_spans)
+            ui = uif.end_frame()
             fps_now = 1.0 / max(frame_times[-1], 1e-6) if frame_times else 0.0
-            extra = [f"{width}x{height} msaa{msaa}  {fps_now:.0f} fps "
-                     f"(paced {target_fps:.0f})"]
-            ui = build_hud_drawlist(sandbox.registry, profiler, extra,
-                                    max_width=width)
-        img = renderer.render_frame_device(scene, debug_mode=debug_mode, ui=ui)
+            status = build_hud_drawlist(
+                sandbox.registry, None,
+                [f"{width}x{height} msaa{msaa}  {fps_now:.0f} fps "
+                 f"(paced {target_fps:.0f})"],
+                max_width=width, show_memory=False)
+            status.extend(ui)
+            ui = status
+        img = renderer.render_frame_device(scene, debug_mode=debug_value,
+                                           ui=ui)
         if i == 0:
             img.block_until_ready()
             profiler.snapshot("startup (first frame incl. compile)")
@@ -231,7 +360,19 @@ def run_loop(
         "render_fps": float(1.0 / ft.mean()),
         "p99_ms": float(np.percentile(ft, 99) * 1e3),
         "paced_to": target_fps,
+        "debug_mode": debug_value,
+        "immediate_present": immediate_present,
+        "image": out,
     }
+    if interactive:
+        stats.update({
+            "cam_position": [float(v) for v in cam_pos],
+            "cam_yaw": cam_yaw,
+            "cam_pitch": cam_pitch,
+            "mouse_look": mouse_look,
+            "want_capture_mouse": io.want_capture_mouse,
+            "want_capture_keyboard": io.want_capture_keyboard,
+        })
     frame_stats = renderer.frame_stats()  # end-of-run device stats check
     if frame_stats:
         dropped = sum(v for k, v in frame_stats.items() if "overflow" in k)
@@ -247,7 +388,7 @@ def run_loop(
     if trace_path:
         n = profiler.export_chrome_trace(trace_path)
         print(f"wrote {n} trace events to {trace_path}")
-    print(f"run_loop: {stats}")
+    print("run_loop:", {k: v for k, v in stats.items() if k != "image"})
     return stats
 
 

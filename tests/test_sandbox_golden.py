@@ -74,7 +74,33 @@ def _build():
     return registry, meshes, mats, character
 
 
-def _render(msaa: int = 4, exact: bool = False, bf16: bool = False):
+def _perf_window_drawlist(registry):
+    """The interactive 'Performance stats' window (perf_window.py) with
+    deterministic spans, expanded at a fixed rect — two UiContext frames so
+    the Condition::Appearing state settles before the golden frame."""
+    from renderer_tpu.engine.profiling import Span
+    from renderer_tpu.overlay.perf_window import performance_stats_window
+    from renderer_tpu.ui import UiContext, UiIo
+
+    frame_spans = [Span("frame", 0, 1.0e-3, 1), Span("raster", 1, 0.8e-3, 1),
+                   Span("post", 1, 0.05e-3, 1)]
+    startup_spans = [Span("load", 0, 0.5, 1)]
+    ctx, io = UiContext(), UiIo()
+    dl = None
+    for _ in range(2):
+        io.new_frame()
+        ui = ctx.new_frame(io, registry)
+        performance_stats_window(ui, False, frame_spans, startup_spans)
+        dl = ui.end_frame()
+        st = ctx.windows["Performance stats"]
+        st.collapsed = False
+        st.pos = (4.0, 4.0)
+        st.size = (150.0, 88.0)
+    return dl
+
+
+def _render(msaa: int = 4, exact: bool = False, bf16: bool = False,
+            perf_window: bool = False):
     registry, meshes, mats, character = _build()
     scene = rt.Scene(world_space=rt.GLTF)
     scene.camera.position = np.array([0.0, 0.9, 2.6], np.float32)
@@ -105,9 +131,13 @@ def _render(msaa: int = 4, exact: bool = False, bf16: bool = False):
         (1, "post"): Span("post", 1, 0.05e-3, 1),
     }
     prof._order = list(prof._spans)
-    ui = build_hud_drawlist(registry, prof, ["mini sandbox"],
-                            collapsed={"startup"}, max_width=W,
-                            show_memory=False)
+    if perf_window:
+        # the interactive widget-layer window instead of the flat HUD
+        ui = _perf_window_drawlist(registry)
+    else:
+        ui = build_hud_drawlist(registry, prof, ["mini sandbox"],
+                                collapsed={"startup"}, max_width=W,
+                                show_memory=False)
 
     config = rt.RenderConfig(width=W, height=H, msaa_samples=msaa,
                              bf16_shading=bf16)
@@ -138,6 +168,14 @@ def _check_against(key, **render_kw):
 
 def test_sandbox_scale_golden():
     _check_against("mini-sandbox-msaa4")
+
+
+def test_sandbox_perf_window_golden():
+    """The interactive 'Performance stats' window (widgets + perf_window.py)
+    rendered through the UI pass — golden-locks the widget layer's output
+    through the real pipeline (reference window: main.rs:527-543, span tree
+    main.rs:769-847), complementing the flat-HUD golden above."""
+    _check_against("mini-sandbox-perfwin", perf_window=True)
 
 
 def test_sandbox_exact_sampler_msaa4_golden():
@@ -173,6 +211,7 @@ def regenerate(only: str | None = None):
         "mini-sandbox-msaa4": dict(),
         "mini-sandbox-exact": dict(exact=True, msaa=1),
         "mini-sandbox-exact-msaa4": dict(exact=True, msaa=4),
+        "mini-sandbox-perfwin": dict(perf_window=True),
     }
     keep = dict(np.load(GOLDEN)) if (only and GOLDEN.exists()) else {}
     for key, kw in renders.items():
