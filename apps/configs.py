@@ -107,6 +107,17 @@ def run_all(outdir: str = "configs_out", frames: int = 10,
     img, ms = _timed(renderer, scene, 0, frames)
     record("sandbox-lit-1080p-msaa4", img, ms)
 
+    # 5b. the fast_sampler opt-in at the same configuration — tracks the
+    # cheap mode's headroom vs the exact default (which config 5 now is)
+    fast_renderer = rt.Renderer(
+        full.registry,
+        rt.RenderConfig(width=1920, height=1080,
+                        msaa_samples=4).fast_sampler(),
+        overflow_policy="off",
+    )
+    img, ms = _timed(fast_renderer, scene, 0, frames)
+    record("sandbox-lit-1080p-msaa4-fastsampler", img, ms)
+
     # 6. device-resident flythrough: 16 frames (camera orbit + animation)
     # per dispatch via lax.scan — the offline-throughput mode that amortizes
     # the per-dispatch host/tunnel overhead bounding config 5. Its own

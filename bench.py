@@ -3,9 +3,14 @@
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": "fps",
 "vs_baseline": N, "dropped_pairs": int, "dropped_rows": int,
-"overflow_checked": bool} where vs_baseline is value / 60 and the two
-dropped_* integers are the verifier's per-axis binning-truncation counts
-(-1 only when verification was unavailable, flagged by overflow_checked).
+"overflow_checked": bool, "measures": str} where vs_baseline is value / 60,
+the two dropped_* integers are the verifier's per-axis binning-truncation
+counts (-1 only when verification was unavailable, flagged by
+overflow_checked), and "measures" states what the number is on this
+runtime (host+dispatch throughput — the tunnel acks without an execution
+fence, TIMINGS.md). The benched configuration is the DEFAULT RenderConfig,
+which since round 5 is the reference device's exact sampler (per-tap sRGB +
+aniso16); --fast benches the cheap opt-in sampler instead.
 
 Renders the heaviest scene available: Sponza + Smol Ame when the glTF assets
 and loader are available, otherwise the triangle demo scene. Every frame does
@@ -49,21 +54,30 @@ def _capacity_overrides(pair_capacity, row_capacity):
     return out
 
 
+#: What the fps number measures on this runtime — carried in every JSON line
+#: so the caveat cannot be lost by reading the bench output alone.
+MEASURES = ("host+dispatch throughput; no execution fence on this tunneled "
+            "runtime (block_until_ready acks without fencing execution) — "
+            "see TIMINGS.md")
+
+
 def build_triangle_bench(pair_capacity: int | None = None,
                          row_capacity: int | None = None,
-                         exact: bool = False):
+                         fast: bool = False):
     import renderer_tpu as rt
     from apps.triangle import build_scene, build_triangle_assets
 
     registry, meshes, material = build_triangle_assets()
+    # the default RenderConfig IS the reference-exact sampler (per-tap sRGB
+    # + aniso16, descriptors.rs:90-105) — the canonical metric
     config = rt.RenderConfig(width=1920, height=1080)
     overrides = _capacity_overrides(pair_capacity, row_capacity)
     if overrides:
         from dataclasses import replace
 
         config = replace(config, **overrides)
-    if exact:
-        config = config.exact_sampler()
+    if fast:
+        config = config.fast_sampler()
     # "off" like the sponza path: any per-frame device→host stats read would
     # serialize the dispatch pipeline on tunneled runtimes
     renderer = rt.Renderer(registry, config, overflow_policy="off")
@@ -71,13 +85,13 @@ def build_triangle_bench(pair_capacity: int | None = None,
     def make_scene(game_time: float):
         return build_scene(meshes, material)
 
-    return ("triangle-1080p" + ("-exact" if exact else ""), renderer,
+    return ("triangle-1080p" + ("-fast" if fast else ""), renderer,
             make_scene)
 
 
 def build_sponza_bench(pair_capacity: int | None = None,
                        row_capacity: int | None = None,
-                       exact: bool = False):
+                       fast: bool = False):
     from apps import sandbox
     from renderer_tpu.core import math3d
 
@@ -87,12 +101,11 @@ def build_sponza_bench(pair_capacity: int | None = None,
         from dataclasses import replace
 
         renderer.config = replace(renderer.config, **overrides).validate()
-    if exact:
-        # the reference device's exact sampler mode: per-tap sRGB decode +
-        # aniso16 (descriptors.rs:90-105) — `python bench.py --exact`
-        # quantifies its end-to-end fps cost vs the fast default
-        renderer.config = renderer.config.exact_sampler()
-        name += "-exact"
+    if fast:
+        # `python bench.py --fast` quantifies the cheap opt-in sampler
+        # (decode-after-filter sRGB + aniso4) vs the exact default
+        renderer.config = renderer.config.fast_sampler()
+        name += "-fast"
 
     pooled: list = [None]
 
@@ -111,13 +124,13 @@ def build_sponza_bench(pair_capacity: int | None = None,
 
 def build_bench(pair_capacity: int | None = None,
                 row_capacity: int | None = None,
-                exact: bool = False):
+                fast: bool = False):
     try:
-        return build_sponza_bench(pair_capacity, row_capacity, exact)
+        return build_sponza_bench(pair_capacity, row_capacity, fast)
     except Exception as e:  # noqa: BLE001 — assets/loader not ready yet
         print(f"# sponza bench unavailable ({type(e).__name__}: {e}); "
               "falling back to triangle", file=sys.stderr)
-        return build_triangle_bench(pair_capacity, row_capacity, exact)
+        return build_triangle_bench(pair_capacity, row_capacity, fast)
 
 
 def frame_times(frames: int):
@@ -275,6 +288,7 @@ def _start_stall_watchdog(limit_s: float) -> None:
                     "dropped_pairs": _progress["dropped_pairs"],
                     "dropped_rows": _progress["dropped_rows"],
                     "overflow_checked": _progress["overflow_checked"],
+                    "measures": MEASURES,
                     "error": f"no progress for {int(idle)}s after "
                              f"'{_progress['label']}' — device/tunnel stall",
                 }), flush=True)
@@ -298,12 +312,15 @@ def main():
     verify = "--verify" in args
     if verify:
         args.remove("--verify")
-    # --exact: bench the reference device's exact sampler configuration
-    # (per-tap sRGB + aniso16, RenderConfig.exact_sampler) — sampler state
-    # only changes shading, so the completeness verifier (setup + binning
-    # replay) is shared with the default mode
-    exact = "--exact" in args
-    if exact:
+    # The DEFAULT bench is the reference device's exact sampler (per-tap
+    # sRGB + aniso16 — a plain RenderConfig since round 5). --fast benches
+    # the cheap opt-in sampler; sampler state only changes shading, so the
+    # completeness verifier (setup + binning replay) is shared. --exact is
+    # accepted as a no-op for compatibility with round<5 invocations.
+    fast = "--fast" in args
+    if fast:
+        args.remove("--fast")
+    if "--exact" in args:
         args.remove("--exact")
     frames = int(args[0]) if args else 60
 
@@ -385,7 +402,7 @@ def main():
 
     # -- phase 2: timed run (ZERO device→host copies, this process) ----------
     name, renderer, make_scene = build_bench(pair_capacity, row_capacity,
-                                             exact)
+                                             fast)
     _mark("bench built")
 
     def run_pass(label: str):
@@ -422,6 +439,7 @@ def main():
                 "dropped_pairs": ov_pairs,
                 "dropped_rows": ov_rows,
                 "overflow_checked": checked,
+                "measures": MEASURES,
             }
         ),
         flush=True,

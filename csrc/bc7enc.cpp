@@ -1,13 +1,29 @@
-// BC7 mode-6 block encoder (native half of tools/make_ntex.py).
+// BC7 multi-mode block encoder (native half of tools/make_ntex.py).
 //
 // The reference's make-ntex CLI compresses textures with the native intel_tex
-// BC7 encoder (reference: make-ntex/src/main.rs:231-246); this is the
-// TPU-build equivalent. Mode 6 (single subset, 7.7.7.7 + per-endpoint p-bit
-// endpoints, 4-bit indices) gives solid RGBA quality at very low encode cost:
-// principal-axis endpoint fit + least-squares refinement + exact index search.
+// BC7 encoder at slow settings with alpha-aware mode selection (reference:
+// make-ntex/src/main.rs:231-246); this is the TPU-build equivalent. Per
+// 4x4 block the encoder tries, and keeps the lowest-reconstruction-error of:
+//   mode 6  — 1 subset, 7.7.7.7+p endpoints, 4-bit indices (the solid RGBA
+//             workhorse; also the only mode of the round<5 encoder)
+//   mode 1  — 2 subsets, RGB 6.6.6 + shared p-bit, 3-bit indices (opaque
+//             blocks whose colors do not fit ONE line: edges/gradients)
+//   mode 5  — 1 subset, RGB 7.7 + SEPARATE alpha 8.8 plane, 2+2-bit indices
+//             (smooth independent alpha: color and alpha each get a line)
+//   mode 7  — 2 subsets, RGBA 5.5.5.5+p, 2-bit indices (sharp alpha that
+//             correlates with a 2-subset color split: cutout edges)
+// Modes 1 is tried only on fully-opaque blocks (it decodes alpha=255);
+// 5/7 only when the block has alpha<255 (they can't beat 6 on opaque
+// content but cost the full partition search). The 2-subset partition
+// search scores all 64 patterns with a per-subset variance proxy and fully
+// evaluates the best 8 (the slow-settings analog).
+//
+// The partition/anchor tables are PASSED IN from Python
+// (renderer_tpu/materials/bc7_tables.py — empirically recovered from
+// Pillow's decoder, the repo's single table source).
 //
 // Build: make (g++ -O3 -shared -fPIC); loaded via ctypes from
-// renderer_tpu/tools/native.py with a numpy fallback.
+// renderer_tpu/tools/native.py with a numpy (mode-6-only) fallback.
 
 #include <cstdint>
 #include <cstring>
@@ -17,6 +33,8 @@
 namespace {
 
 const int kWeights4[16] = {0, 4, 9, 13, 17, 21, 26, 30, 34, 38, 43, 47, 51, 55, 60, 64};
+const int kWeights3[8] = {0, 9, 18, 27, 37, 46, 55, 64};
+const int kWeights2[4] = {0, 21, 43, 64};
 
 struct BitWriter {
   uint8_t* out;
@@ -50,7 +68,7 @@ void quantize_endpoint(const float v[4], int p, int q[4]) {
   }
 }
 
-void encode_block_mode6(const float px[16][4], uint8_t* out) {
+double encode_block_mode6(const float px[16][4], uint8_t* out) {
   // principal axis via covariance power iteration
   float mean[4] = {0, 0, 0, 0};
   for (int i = 0; i < 16; i++)
@@ -146,6 +164,338 @@ void encode_block_mode6(const float px[16][4], uint8_t* out) {
   bw.put(uint32_t(best_p[1]), 1);
   bw.put(uint32_t(best_idx[0]), 3);  // anchor: implicit 0 MSB
   for (int i = 1; i < 16; i++) bw.put(uint32_t(best_idx[i]), 4);
+  return best_err;
+}
+
+// ---- shared helpers for modes 1/5/7 -----------------------------------------
+
+// reconstruct an 8-bit endpoint channel from `bits` stored bits (+ optional
+// appended p-bit): left-align then replicate the top bits (the BC7 rule)
+inline int expand_ep(int q, int bits, int p, int has_p) {
+  int v = q, total = bits;
+  if (has_p) { v = (q << 1) | p; total = bits + 1; }
+  return (v << (8 - total)) | (v >> (2 * total - 8));
+}
+
+// exhaustive channel quantization against the reconstruction rule
+inline int quant_channel(float target, int bits, int p, int has_p) {
+  int best = 0;
+  float be = 1e30f;
+  for (int q = 0; q < (1 << bits); q++) {
+    float e = std::fabs(float(expand_ep(q, bits, p, has_p)) - target);
+    if (e < be) { be = e; best = q; }
+  }
+  return best;
+}
+
+// PCA line fit over the texels of one subset (nch channels)
+void subset_endpoints(const float px[16][4], const uint8_t* mask, int subset,
+                      int nch, float ep0[4], float ep1[4]) {
+  float mean[4] = {0, 0, 0, 0};
+  int n = 0;
+  for (int i = 0; i < 16; i++)
+    if (!mask || mask[i] == subset) {
+      n++;
+      for (int c = 0; c < nch; c++) mean[c] += px[i][c];
+    }
+  ep0[3] = ep1[3] = 255.0f;
+  if (!n) { for (int c = 0; c < nch; c++) ep0[c] = ep1[c] = 0; return; }
+  for (int c = 0; c < nch; c++) mean[c] /= float(n);
+  float cov[4][4] = {};
+  for (int i = 0; i < 16; i++)
+    if (!mask || mask[i] == subset) {
+      float d[4];
+      for (int c = 0; c < nch; c++) d[c] = px[i][c] - mean[c];
+      for (int a = 0; a < nch; a++)
+        for (int b = 0; b < nch; b++) cov[a][b] += d[a] * d[b];
+    }
+  float axis[4] = {1, 1, 1, nch == 4 ? 1.0f : 0.0f};
+  for (int it = 0; it < 8; it++) {
+    float nx[4] = {};
+    for (int a = 0; a < nch; a++)
+      for (int b = 0; b < nch; b++) nx[a] += cov[a][b] * axis[b];
+    float norm = 0;
+    for (int c = 0; c < nch; c++) norm += nx[c] * nx[c];
+    norm = std::sqrt(norm);
+    if (norm < 1e-9f) break;
+    for (int c = 0; c < nch; c++) axis[c] = nx[c] / norm;
+  }
+  float tmin = 1e30f, tmax = -1e30f;
+  for (int i = 0; i < 16; i++)
+    if (!mask || mask[i] == subset) {
+      float t = 0;
+      for (int c = 0; c < nch; c++) t += (px[i][c] - mean[c]) * axis[c];
+      tmin = std::min(tmin, t);
+      tmax = std::max(tmax, t);
+    }
+  for (int c = 0; c < nch; c++) {
+    ep0[c] = std::max(0.0f, std::min(255.0f, mean[c] + tmin * axis[c]));
+    ep1[c] = std::max(0.0f, std::min(255.0f, mean[c] + tmax * axis[c]));
+  }
+}
+
+// best index per texel of `subset` against the (r0, r1, wts) palette;
+// accumulates squared error over nch_err channels
+double fit_indices(const float px[16][4], const uint8_t* mask, int subset,
+                   const int r0[4], const int r1[4], const int* wts, int nidx,
+                   int nch_err, int idx[16]) {
+  double err = 0;
+  for (int i = 0; i < 16; i++) {
+    if (mask && mask[i] != subset) continue;
+    double be = 1e30;
+    int bj = 0;
+    for (int j = 0; j < nidx; j++) {
+      double e = 0;
+      for (int c = 0; c < nch_err; c++) {
+        double d = double(interp(r0[c], r1[c], wts[j])) - px[i][c];
+        e += d * d;
+      }
+      if (e < be) { be = e; bj = j; }
+    }
+    idx[i] = bj;
+    err += be;
+  }
+  return err;
+}
+
+// rank 2-subset partitions by a cheap proxy (total squared deviation from
+// per-subset means) and return the `ncand` best into cand[]
+void rank_partitions(const float px[16][4], const uint8_t* parts, int nch,
+                     int ncand, int cand[]) {
+  double score[64];
+  for (int pi = 0; pi < 64; pi++) {
+    const uint8_t* mask = parts + pi * 16;
+    double s = 0;
+    for (int sub = 0; sub < 2; sub++) {
+      float mean[4] = {0, 0, 0, 0};
+      int n = 0;
+      for (int i = 0; i < 16; i++)
+        if (mask[i] == sub) {
+          n++;
+          for (int c = 0; c < nch; c++) mean[c] += px[i][c];
+        }
+      if (!n) continue;
+      for (int c = 0; c < nch; c++) mean[c] /= float(n);
+      for (int i = 0; i < 16; i++)
+        if (mask[i] == sub)
+          for (int c = 0; c < nch; c++) {
+            double d = px[i][c] - mean[c];
+            s += d * d;
+          }
+    }
+    score[pi] = s;
+  }
+  for (int k = 0; k < ncand; k++) {
+    int best = -1;
+    for (int pi = 0; pi < 64; pi++) {
+      bool used = false;
+      for (int j = 0; j < k; j++) used |= (cand[j] == pi);
+      if (used) continue;
+      if (best < 0 || score[pi] < score[best]) best = pi;
+    }
+    cand[k] = best;
+  }
+}
+
+// mode 1: 2 subsets, RGB 6.6.6 + shared p-bit/subset, 3-bit indices.
+// Decodes alpha=255 — callers gate it on fully-opaque blocks.
+double encode_mode1(const float px[16][4], const uint8_t* parts,
+                    const uint8_t* anchors, uint8_t* out) {
+  int cand[8];
+  rank_partitions(px, parts, 3, 8, cand);
+  double best_err = 1e30;
+  for (int k = 0; k < 8; k++) {
+    int pi = cand[k];
+    const uint8_t* mask = parts + pi * 16;
+    int q[2][2][3], pbit[2], idx[16];
+    double perr = 0;
+    for (int s = 0; s < 2; s++) {
+      float e0[4], e1[4];
+      subset_endpoints(px, mask, s, 3, e0, e1);
+      double sbest = 1e30;
+      for (int p = 0; p < 2; p++) {
+        int q0[3], q1[3], r0[4], r1[4], sidx[16];
+        for (int c = 0; c < 3; c++) {
+          q0[c] = quant_channel(e0[c], 6, p, 1);
+          q1[c] = quant_channel(e1[c], 6, p, 1);
+          r0[c] = expand_ep(q0[c], 6, p, 1);
+          r1[c] = expand_ep(q1[c], 6, p, 1);
+        }
+        double e = fit_indices(px, mask, s, r0, r1, kWeights3, 8, 3, sidx);
+        if (e < sbest) {
+          sbest = e;
+          pbit[s] = p;
+          for (int c = 0; c < 3; c++) { q[s][0][c] = q0[c]; q[s][1][c] = q1[c]; }
+          for (int i = 0; i < 16; i++)
+            if (mask[i] == s) idx[i] = sidx[i];
+        }
+      }
+      perr += sbest;
+    }
+    if (perr >= best_err) continue;
+    best_err = perr;
+    // anchor MSB rule per subset: texel 0 anchors subset 0, anchors[pi]
+    // anchors subset 1 — swap that subset's endpoints + invert its indices
+    int anchor_of[2] = {0, anchors[pi]};
+    int qq[2][2][3];
+    std::memcpy(qq, q, sizeof(q));
+    int fidx[16];
+    std::memcpy(fidx, idx, sizeof(idx));
+    for (int s = 0; s < 2; s++) {
+      if (fidx[anchor_of[s]] >= 4) {
+        for (int c = 0; c < 3; c++) std::swap(qq[s][0][c], qq[s][1][c]);
+        for (int i = 0; i < 16; i++)
+          if (mask[i] == s) fidx[i] = 7 - fidx[i];
+      }
+    }
+    BitWriter bw(out);
+    bw.put(1u << 1, 2);  // mode 1
+    bw.put(uint32_t(pi), 6);
+    for (int c = 0; c < 3; c++)
+      for (int s = 0; s < 2; s++)
+        for (int e = 0; e < 2; e++) bw.put(uint32_t(qq[s][e][c]), 6);
+    bw.put(uint32_t(pbit[0]), 1);
+    bw.put(uint32_t(pbit[1]), 1);
+    for (int i = 0; i < 16; i++) {
+      bool anchor = (i == 0) || (i == anchor_of[1]);
+      bw.put(uint32_t(fidx[i]), anchor ? 2 : 3);
+    }
+  }
+  return best_err;
+}
+
+// mode 5 (rotation 0): 1 subset, RGB 7.7 + separate alpha 8.8 plane,
+// 2-bit color indices + 2-bit alpha indices
+double encode_mode5(const float px[16][4], uint8_t* out) {
+  float e0[4], e1[4];
+  subset_endpoints(px, nullptr, 0, 3, e0, e1);
+  int q0[4], q1[4], r0[4], r1[4], cidx[16];
+  for (int c = 0; c < 3; c++) {
+    q0[c] = quant_channel(e0[c], 7, 0, 0);
+    q1[c] = quant_channel(e1[c], 7, 0, 0);
+    r0[c] = expand_ep(q0[c], 7, 0, 0);
+    r1[c] = expand_ep(q1[c], 7, 0, 0);
+  }
+  double cerr = fit_indices(px, nullptr, 0, r0, r1, kWeights2, 4, 3, cidx);
+  // alpha plane: min/max endpoints at full 8 bits
+  float amin = 255.0f, amax = 0.0f;
+  for (int i = 0; i < 16; i++) {
+    amin = std::min(amin, px[i][3]);
+    amax = std::max(amax, px[i][3]);
+  }
+  int a0 = int(std::lround(amin)), a1 = int(std::lround(amax));
+  int ra0[4] = {a0, 0, 0, 0}, ra1[4] = {a1, 0, 0, 0}, aidx[16];
+  float pa[16][4];
+  for (int i = 0; i < 16; i++) pa[i][0] = px[i][3];
+  double aerr = fit_indices(pa, nullptr, 0, ra0, ra1, kWeights2, 4, 1, aidx);
+  // anchor rule, separately per index plane (texel 0 anchors both)
+  if (cidx[0] >= 2) {
+    for (int c = 0; c < 3; c++) std::swap(q0[c], q1[c]);
+    for (int i = 0; i < 16; i++) cidx[i] = 3 - cidx[i];
+  }
+  if (aidx[0] >= 2) {
+    std::swap(a0, a1);
+    for (int i = 0; i < 16; i++) aidx[i] = 3 - aidx[i];
+  }
+  BitWriter bw(out);
+  bw.put(1u << 5, 6);  // mode 5
+  bw.put(0u, 2);       // rotation 0
+  for (int c = 0; c < 3; c++) {
+    bw.put(uint32_t(q0[c]), 7);
+    bw.put(uint32_t(q1[c]), 7);
+  }
+  bw.put(uint32_t(a0), 8);
+  bw.put(uint32_t(a1), 8);
+  bw.put(uint32_t(cidx[0]), 1);
+  for (int i = 1; i < 16; i++) bw.put(uint32_t(cidx[i]), 2);
+  bw.put(uint32_t(aidx[0]), 1);
+  for (int i = 1; i < 16; i++) bw.put(uint32_t(aidx[i]), 2);
+  return cerr + aerr;
+}
+
+// mode 7: 2 subsets, RGBA 5.5.5.5 + per-endpoint p-bit, 2-bit indices
+double encode_mode7(const float px[16][4], const uint8_t* parts,
+                    const uint8_t* anchors, uint8_t* out) {
+  int cand[8];
+  rank_partitions(px, parts, 4, 8, cand);
+  double best_err = 1e30;
+  for (int k = 0; k < 8; k++) {
+    int pi = cand[k];
+    const uint8_t* mask = parts + pi * 16;
+    int q[2][2][4], pb[2][2], idx[16];
+    double perr = 0;
+    for (int s = 0; s < 2; s++) {
+      float e0[4], e1[4];
+      subset_endpoints(px, mask, s, 4, e0, e1);
+      double sbest = 1e30;
+      for (int pc = 0; pc < 4; pc++) {
+        int p0 = pc & 1, p1 = pc >> 1;
+        int q0[4], q1[4], r0[4], r1[4], sidx[16];
+        for (int c = 0; c < 4; c++) {
+          q0[c] = quant_channel(e0[c], 5, p0, 1);
+          q1[c] = quant_channel(e1[c], 5, p1, 1);
+          r0[c] = expand_ep(q0[c], 5, p0, 1);
+          r1[c] = expand_ep(q1[c], 5, p1, 1);
+        }
+        double e = fit_indices(px, mask, s, r0, r1, kWeights2, 4, 4, sidx);
+        if (e < sbest) {
+          sbest = e;
+          pb[s][0] = p0;
+          pb[s][1] = p1;
+          for (int c = 0; c < 4; c++) { q[s][0][c] = q0[c]; q[s][1][c] = q1[c]; }
+          for (int i = 0; i < 16; i++)
+            if (mask[i] == s) idx[i] = sidx[i];
+        }
+      }
+      perr += sbest;
+    }
+    if (perr >= best_err) continue;
+    best_err = perr;
+    int anchor_of[2] = {0, anchors[pi]};
+    int qq[2][2][4], pp[2][2], fidx[16];
+    std::memcpy(qq, q, sizeof(q));
+    std::memcpy(pp, pb, sizeof(pb));
+    std::memcpy(fidx, idx, sizeof(idx));
+    for (int s = 0; s < 2; s++) {
+      if (fidx[anchor_of[s]] >= 2) {
+        for (int c = 0; c < 4; c++) std::swap(qq[s][0][c], qq[s][1][c]);
+        std::swap(pp[s][0], pp[s][1]);
+        for (int i = 0; i < 16; i++)
+          if (mask[i] == s) fidx[i] = 3 - fidx[i];
+      }
+    }
+    BitWriter bw(out);
+    bw.put(1u << 7, 8);  // mode 7
+    bw.put(uint32_t(pi), 6);
+    for (int c = 0; c < 4; c++)
+      for (int s = 0; s < 2; s++)
+        for (int e = 0; e < 2; e++) bw.put(uint32_t(qq[s][e][c]), 5);
+    for (int s = 0; s < 2; s++)
+      for (int e = 0; e < 2; e++) bw.put(uint32_t(pp[s][e]), 1);
+    for (int i = 0; i < 16; i++) {
+      bool anchor = (i == 0) || (i == anchor_of[1]);
+      bw.put(uint32_t(fidx[i]), anchor ? 1 : 2);
+    }
+  }
+  return best_err;
+}
+
+// alpha-aware multi-mode dispatch (the make-ntex slow-settings analog)
+void encode_block_multi(const float px[16][4], const uint8_t* parts,
+                        const uint8_t* anchors, uint8_t* out) {
+  double err = encode_block_mode6(px, out);
+  bool opaque = true;
+  for (int i = 0; i < 16; i++) opaque &= (px[i][3] >= 254.5f);
+  uint8_t tmp[16];
+  if (opaque) {
+    double e1 = encode_mode1(px, parts, anchors, tmp);
+    if (e1 < err) { std::memcpy(out, tmp, 16); err = e1; }
+  } else {
+    double e5 = encode_mode5(px, tmp);
+    if (e5 < err) { std::memcpy(out, tmp, 16); err = e5; }
+    double e7 = encode_mode7(px, parts, anchors, tmp);
+    if (e7 < err) { std::memcpy(out, tmp, 16); err = e7; }
+  }
 }
 
 }  // namespace
@@ -166,6 +516,28 @@ void bc7_encode_mode6(const uint8_t* rgba, int w, int h, uint8_t* out) {
         for (int c = 0; c < 4; c++) px[i][c] = float(p[c]);
       }
       encode_block_mode6(px, out + (size_t(by) * bw_ + bx) * 16);
+    }
+  }
+}
+
+// Multi-mode encode (modes 1/5/6/7, alpha-aware per-block selection).
+// partition2: [64*16] u8 subset ids; anchor2: [64] u8 subset-1 anchor
+// texels — passed in from renderer_tpu/materials/bc7_tables.py (the repo's
+// single, empirically-recovered table source).
+void bc7_encode(const uint8_t* rgba, int w, int h, const uint8_t* partition2,
+                const uint8_t* anchor2, uint8_t* out) {
+  int bw_ = (w + 3) / 4, bh = (h + 3) / 4;
+  for (int by = 0; by < bh; by++) {
+    for (int bx = 0; bx < bw_; bx++) {
+      float px[16][4];
+      for (int i = 0; i < 16; i++) {
+        int x = std::min(bx * 4 + (i & 3), w - 1);
+        int y = std::min(by * 4 + (i >> 2), h - 1);
+        const uint8_t* p = rgba + (size_t(y) * w + x) * 4;
+        for (int c = 0; c < 4; c++) px[i][c] = float(p[c]);
+      }
+      encode_block_multi(px, partition2, anchor2,
+                         out + (size_t(by) * bw_ + bx) * 16);
     }
   }
 }

@@ -107,12 +107,16 @@ class RenderConfig:
     # Anisotropic filtering taps along the major UV-footprint axis (the
     # reference enables sampler anisotropy at the device's
     # max_sampler_anisotropy — typically 16, descriptors.rs:100-101 +
-    # physical_device_features.rs:29-56); 1 = isotropic, 16 = device-class.
-    aniso_samples: int = 4
+    # physical_device_features.rs:29-56); 1 = isotropic. The DEFAULT is the
+    # reference device's 16 — a default RenderConfig renders the
+    # pixel-accurate configuration; fast_sampler() opts into the cheaper
+    # 4-tap mode.
+    aniso_samples: int = 16
     # sRGB decode per bilinear tap (True = exact hardware filter order,
-    # VK_FORMAT_*_SRGB semantics) vs decode-after-filter (False, 4-8x fewer
-    # pow() evaluations, deviation pinned by tests/test_srgb_filter_order.py).
-    srgb_per_tap: bool = False
+    # VK_FORMAT_*_SRGB semantics, the DEFAULT) vs decode-after-filter
+    # (False, 4-8x fewer pow() evaluations, deviation pinned by
+    # tests/test_srgb_filter_order.py — the fast_sampler() opt-in).
+    srgb_per_tap: bool = True
     # bf16 texture filtering + lighting (double VPU throughput; texel
     # addressing, depth, edges and compositing stay f32 — raster/shade.py).
     # Goldens within tolerance: tests/test_bf16_shading.py.
@@ -137,10 +141,17 @@ class RenderConfig:
 
     def exact_sampler(self) -> "RenderConfig":
         """The reference device's exact sampler configuration: per-tap sRGB
-        decode + 16x anisotropy (descriptors.rs:90-105). Golden-tested
-        against the fast default in tests/test_srgb_filter_order.py and
-        tests/test_golden.py."""
+        decode + 16x anisotropy (descriptors.rs:90-105). This IS the
+        default since round 5 — kept as an explicit spelling (and to undo a
+        fast_sampler)."""
         return replace(self, srgb_per_tap=True, aniso_samples=16)
+
+    def fast_sampler(self) -> "RenderConfig":
+        """Cheaper opt-in sampler: decode-after-filter sRGB + 4x anisotropy
+        (4-8x fewer pow() evaluations, fewer taps). Bounded deviation from
+        the exact default is pinned by tests/test_srgb_filter_order.py and
+        the mini-sandbox goldens."""
+        return replace(self, srgb_per_tap=False, aniso_samples=4)
 
     @property
     def padded_width(self) -> int:

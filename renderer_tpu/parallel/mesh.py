@@ -60,6 +60,39 @@ def _combine_shard_stats(stats, axis):
     ])
 
 
+def per_shard_config(config: RenderConfig, sp: int, *,
+                     headroom: float = 2.0,
+                     floor: int = 1 << 14) -> RenderConfig:
+    """Size the PER-DEVICE binning buckets to the per-shard demand.
+
+    Under sp tile-row sharding, binning is shard-local (stage-1 row
+    expansion clipped to the shard's rows) and the shards partition the
+    full-screen expansion EXACTLY (pinned by
+    test_sharded_binning_partitions_full_screen) — so a per-device bucket
+    sized for the full screen wastes sort/scatter width sp-fold. This
+    derives a config whose pair/row buckets hold ceil(full/sp)·headroom,
+    rounded up to a power of two (the repo's capacity-bucket discipline)
+    and floored: headroom 2.0 absorbs content imbalance (the interleaved
+    layout measures ≤1.23× imbalance at sp=8, tools/shard_workcount;
+    contiguous bands can be worse — overflow stays LOUD + demand-fed either
+    way, engine/renderer.py _grow_capacities).
+
+    Reference analog: one consumed draw stream, not n full-size rebuilds
+    (renderer/src/renderer.rs:219-256)."""
+    import math
+    from dataclasses import replace
+
+    def shrink(cap: int) -> int:
+        need = int(math.ceil(cap / sp * headroom))
+        b = 1
+        while b < need:
+            b *= 2
+        return max(min(b, cap), floor)
+
+    return replace(config, pair_capacity=shrink(config.pair_capacity),
+                   row_capacity=shrink(config.row_capacity)).validate()
+
+
 def make_mesh(n_devices: int | None = None, axis: str = "sp") -> Mesh:
     devices = jax.devices()
     n = n_devices or len(devices)
@@ -192,6 +225,7 @@ def render_frames_batched(
     has_blended: bool = True,
     morph_k: int = 0,
     joint_cap: int = constants.MAX_JOINT_COUNT,
+    interleave: bool = False,
     interpret: bool = False,
 ):
     """dp × sp frame rendering: each dp group renders one frame of the batch
@@ -199,7 +233,13 @@ def render_frames_batched(
     sharded over tile rows. Returns (u8 [B, H, W, 3] sharded (dp, sp),
     stats i32 [B, N_STATS] sharded (dp,)) — per-frame stats combined over sp
     like render_frame_sharded, so overflow anywhere in the batch is loud
-    (check max over the batch axis, the render_frames_device policy)."""
+    (check max over the batch axis, the render_frames_device policy).
+
+    `interleave=True` assigns each sp shard ROUND-ROBIN tile rows exactly as
+    render_frame_sharded does (device d of a dp group owns rows {d + k·sp})
+    — the measured 6.50×-vs-3.57× per-device load balance at sp=8
+    (TIMINGS.md) applies per batched frame too, at the cost of one final
+    de-interleave reshuffle of the small u8 images."""
     dp = mesh.shape["dp"]
     sp = mesh.shape["sp"]
     batch = jax.tree_util.tree_leaves(frames)[0].shape[0]
@@ -239,7 +279,8 @@ def render_frames_batched(
             has_masked=has_masked,
             has_blended=has_blended,
             local_tiles_y=local_tiles_y,
-            tile_row_offset=i * local_tiles_y,
+            tile_row_offset=(i if interleave else i * local_tiles_y),
+            row_stride=(sp if interleave else 1),
             out_rows=rows_per_dev,
             interpret=interpret,
         )
@@ -253,4 +294,12 @@ def render_frames_batched(
         out_specs=(P("dp", "sp", None, None), P("dp", None)),
         check_vma=False,
     )
-    return sharded(geom, frames, materials)
+    imgs, stats = sharded(geom, frames, materials)
+    if interleave:
+        # each dp group's sp shard d holds global tile rows {d + k·sp}:
+        # de-interleave [B, sp·L·th, W, 3] → [B, L, sp, th, W, 3] → [B, H, W, 3]
+        th = config.tile_h
+        imgs = imgs.reshape(dp, sp, local_tiles_y, th, config.width, 3)
+        imgs = imgs.transpose(0, 2, 1, 3, 4, 5).reshape(
+            dp, config.height, config.width, 3)
+    return imgs, stats

@@ -70,6 +70,12 @@ def load() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_uint8),
         ]
         lib.bc7_encode_mode6.restype = None
+        lib.bc7_encode.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.bc7_encode.restype = None
         lib.atlas_blit_wrap.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint32), ctypes.c_int,
@@ -438,6 +444,36 @@ def make_anim_prologue(comps, static_locals, order, parents,
 BC7_WEIGHTS4 = np.array(
     [0, 4, 9, 13, 17, 21, 26, 30, 34, 38, 43, 47, 51, 55, 60, 64], np.int32
 )
+
+
+def bc7_encode(rgba: np.ndarray) -> np.ndarray:
+    """Alpha-aware multi-mode BC7 encode: [h, w, 4] u8 → blocks
+    (u8 [n_blocks*16]). Per block the native encoder keeps the lowest-error
+    of modes 6 / 1 (2-subset opaque) / 5 + 7 (alpha content) — the
+    make-ntex slow-settings analog (make-ntex/src/main.rs:231-246). The
+    partition/anchor tables are passed in from materials/bc7_tables.py
+    (single table source). Falls back to the numpy mode-6 path when the
+    native library is unavailable (valid blocks, lower quality on
+    alpha/two-subset content — csrc/bc7enc.cpp is the production encoder;
+    quality of both is floored by tests/test_make_ntex.py)."""
+    rgba = np.ascontiguousarray(rgba, np.uint8)
+    h, w = rgba.shape[:2]
+    bw, bh = (w + 3) // 4, (h + 3) // 4
+    out = np.zeros(bw * bh * 16, np.uint8)
+    lib = load()
+    if lib is not None:
+        from renderer_tpu.materials import bc7_tables
+
+        parts = np.ascontiguousarray(bc7_tables.PARTITION_2, np.uint8)
+        anchors = np.ascontiguousarray(bc7_tables.ANCHOR_2, np.uint8)
+        lib.bc7_encode(
+            rgba.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), w, h,
+            parts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            anchors.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        return out
+    return _bc7_encode_mode6_numpy(rgba, out)
 
 
 def bc7_encode_mode6(rgba: np.ndarray) -> np.ndarray:

@@ -133,6 +133,96 @@ def test_property_random_blocks():
             )
 
 
+def _psnr_ch(a, b, ch):
+    err = (a[..., ch].astype(np.float64) - b[..., ch].astype(np.float64)) ** 2
+    return 10 * np.log10(255**2 / max(err.mean(), 1e-9))
+
+
+def test_multimode_beats_mode6_on_alpha_and_edges():
+    """The alpha-aware multi-mode encoder (modes 1/5/6/7, csrc/bc7enc.cpp
+    bc7_encode — the make-ntex slow-settings analog,
+    make-ntex/src/main.rs:231-246) must measurably beat the mode-6-only
+    path on exactly the content mode 6 degrades on: sharp-alpha cutouts and
+    two-subset color edges. Every block must still decode identically
+    through BOTH independent decoders (PIL oracle and the repo's all-mode
+    JAX decoder)."""
+    if native.load() is None:
+        pytest.skip("native library unavailable (numpy fallback is mode-6)")
+    from renderer_tpu.materials import bc7_jax
+
+    w = h = 64
+    x, y = np.meshgrid(np.linspace(0, 255, w), np.linspace(0, 255, h))
+    # sharp-alpha cutout over color gradients (the alpha-aware case)
+    alpha_tex = np.stack([x, 255 - x, y, np.full_like(x, 255)], -1).astype(np.uint8)
+    alpha_tex[..., 3] = np.where(((x // 16 + y // 16) % 2) > 0, 255,
+                                 (y * 0.3)).astype(np.uint8)
+    # opaque diagonal edge between two gradients (the 2-subset case)
+    rng = np.random.default_rng(3)
+    edge_tex = np.zeros((h, w, 4), np.uint8)
+    edge_tex[..., 3] = 255
+    d = (x + y) > 255
+    edge_tex[..., 0] = np.where(d, x, 30).astype(np.uint8)
+    edge_tex[..., 1] = np.where(d, 40, y).astype(np.uint8)
+    edge_tex[..., 2] = np.where(d, 200, 90).astype(np.uint8)
+    edge_tex[..., :3] = np.clip(
+        edge_tex[..., :3].astype(int) + rng.normal(0, 5, (h, w, 3)).astype(int),
+        0, 255).astype(np.uint8)
+
+    table = {}
+    for name, img in (("alpha", alpha_tex), ("edges", edge_tex)):
+        for enc_name, enc in (("mode6", native.bc7_encode_mode6),
+                              ("multi", native.bc7_encode)):
+            blocks = enc(img)
+            dec = ntex._decode_bc7(blocks.tobytes(), w, h)
+            # both independent decoders agree bit-exactly on every block
+            tex = bc7_jax.decode_blocks_np(
+                np.frombuffer(blocks.tobytes(), np.uint8).reshape(-1, 16))
+            rgba = np.stack([(tex >> s) & 0xFF for s in (0, 8, 16, 24)],
+                            -1).astype(np.uint8)
+            jx = rgba.reshape(h // 4, w // 4, 4, 4, 4).transpose(
+                0, 2, 1, 3, 4).reshape(h, w, 4)
+            np.testing.assert_array_equal(jx, dec)
+            table[(name, enc_name)] = (
+                _psnr_ch(dec, img, slice(0, 3)), _psnr_ch(dec, img, slice(3, 4)))
+    for k, (rgb, a) in sorted(table.items()):
+        print(f"{k}: rgb {rgb:.2f} dB, alpha {a:.2f} dB")
+    # measured: alpha-tex rgb 37.4 -> 41.9 (modes 7/1), edge-tex 37.5 -> 39.8
+    # (mode 1); require >= 2 dB to leave slack for compiler differences
+    assert table[("alpha", "multi")][0] > table[("alpha", "mode6")][0] + 2.0
+    assert table[("edges", "multi")][0] > table[("edges", "mode6")][0] + 2.0
+    # alpha channel quality must not regress materially
+    assert table[("alpha", "multi")][1] > table[("alpha", "mode6")][1] - 1.0
+
+
+def test_multimode_property_random_blocks():
+    """The multi-mode encoder on the same random-block corpus as the
+    mode-6 property test: every block decodes within the same bounds
+    (selection by reconstruction error can only improve on mode 6)."""
+    if native.load() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(41)
+    blocks = [np.broadcast_to(np.array(c, np.uint8), (4, 4, 4)).copy()
+              for c in ([0, 0, 0, 255], [255, 255, 255, 255], [255, 0, 255, 0])]
+    for _ in range(8):
+        blocks.append(np.clip(
+            rng.integers(0, 256, (4, 4, 4)), 0, 255).astype(np.uint8))
+    n = len(blocks)
+    sheet = np.concatenate([b.reshape(1, 4, 4, 4) for b in blocks], 0)
+    sheet = sheet.transpose(1, 0, 2, 3).reshape(4, n * 4, 4)
+    enc6 = native.bc7_encode_mode6(sheet)
+    encm = native.bc7_encode(sheet)
+    dec6 = ntex._decode_bc7(enc6.tobytes(), n * 4, 4).astype(np.float64)
+    decm = ntex._decode_bc7(encm.tobytes(), n * 4, 4).astype(np.float64)
+    ref = sheet.astype(np.float64)
+    # per-block RGBA squared error: multi <= mode6 everywhere (selection
+    # keeps mode 6 when nothing beats it)
+    for i in range(n):
+        sl = (slice(None), slice(i * 4, (i + 1) * 4))
+        e6 = ((dec6[sl] - ref[sl]) ** 2).sum()
+        em = ((decm[sl] - ref[sl]) ** 2).sum()
+        assert em <= e6 + 1e-6, f"block {i}: multi {em} worse than mode6 {e6}"
+
+
 def test_non_multiple_of_4_dimensions():
     img = _test_image(33, 18)
     blocks = native.bc7_encode_mode6(img)

@@ -125,6 +125,66 @@ def test_interleaved_sharded_matches_single_device(config):
     assert agreement > 0.999, f"interleaved/single agreement {agreement}"
 
 
+def test_dp_batch_interleaved_right_sized_matches_single(config):
+    """The dp×sp batch path with BOTH round-robin tile-row interleaving
+    (the load-balanced layout, same as render_frame_sharded) AND per-device
+    binning buckets sized to the per-shard max (pmesh.per_shard_config)
+    must still reproduce the single-device render for every frame."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    renderer, gs, geom, frame, mats, jc = _device_inputs(config)
+    singles = []
+    frames = []
+    for mode in (1, 3):
+        f = dict(frame)
+        blob = np.array(f["blob"])
+        blob[-1] = mode
+        f["blob"] = blob
+        frames.append(f)
+        singles.append(
+            np.asarray(
+                pipeline.render_frame(
+                    geom, f, mats, config=config, skin_start=gs.skin_start,
+                    joint_cap=jc, interpret=pipeline.interpret_mode(),
+                )[0]
+            )
+        )
+    batched = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *frames)
+    mesh2 = pmesh.make_mesh_2d(2, 4)
+    shard_cfg = pmesh.per_shard_config(config, 4)
+    assert shard_cfg.pair_capacity < config.pair_capacity  # actually shrunk
+    out, bstats = jax.jit(
+        functools.partial(
+            pmesh.render_frames_batched,
+            config=shard_cfg, mesh=mesh2, joint_cap=jc, interleave=True,
+            interpret=pipeline.interpret_mode(),
+        )
+    )(geom, batched, mats)
+    out = np.asarray(out)
+    bstats = np.asarray(bstats)
+    assert (bstats[:, :4] == 0).all()  # shrunk buckets did not overflow
+    assert out.shape == (2, H, W, 3)
+    for b in range(2):
+        assert (singles[b].sum(-1) > 0).mean() > 0.02
+        agreement = (out[b] == singles[b]).all(axis=-1).mean()
+        assert agreement > 0.999, f"frame {b} agreement {agreement}"
+
+
+def test_per_shard_config_sizing():
+    cfg = rt.RenderConfig(pair_capacity=1 << 18, row_capacity=1 << 18)
+    c8 = pmesh.per_shard_config(cfg, 8)
+    # ceil(2^18/8 * 2.0) = 2^16
+    assert c8.pair_capacity == 1 << 16 and c8.row_capacity == 1 << 16
+    # floor: never below 1<<14; cap: never above the full-screen bucket
+    tiny = pmesh.per_shard_config(rt.RenderConfig(pair_capacity=1 << 14,
+                                                  row_capacity=1 << 14), 8)
+    assert tiny.pair_capacity == 1 << 14
+    assert pmesh.per_shard_config(cfg, 1).pair_capacity == 1 << 18
+
+
 def test_dp_batch_overflow_detected():
     """A frame mid-batch must not drop work silently: force pair overflow in
     frame 0 of a dp×sp batch (tiny pair_capacity, camera on the triangles)

@@ -99,7 +99,7 @@ def _perf_window_drawlist(registry):
     return dl
 
 
-def _render(msaa: int = 4, exact: bool = False, bf16: bool = False,
+def _render(msaa: int = 4, fast: bool = False, bf16: bool = False,
             perf_window: bool = False):
     registry, meshes, mats, character = _build()
     scene = rt.Scene(world_space=rt.GLTF)
@@ -139,12 +139,12 @@ def _render(msaa: int = 4, exact: bool = False, bf16: bool = False,
                                 collapsed={"startup"}, max_width=W,
                                 show_memory=False)
 
+    # the DEFAULT config is the reference device's exact sampler (per-tap
+    # sRGB + 16x anisotropy, descriptors.rs:90-105); fast is the opt-in
     config = rt.RenderConfig(width=W, height=H, msaa_samples=msaa,
                              bf16_shading=bf16)
-    if exact:
-        # the reference device's exact sampler: per-tap sRGB decode +
-        # 16x anisotropy (descriptors.rs:90-105)
-        config = config.exact_sampler()
+    if fast:
+        config = config.fast_sampler()
     renderer = rt.Renderer(registry, config)
     img = renderer.render_frame(scene, debug_mode=0, ui=ui)
     stats = renderer.frame_stats()
@@ -167,6 +167,9 @@ def _check_against(key, **render_kw):
 
 
 def test_sandbox_scale_golden():
+    """The DEFAULT configuration — since round 5 this is the reference
+    device's exact sampler (per-tap sRGB + aniso16, descriptors.rs:90-105)
+    under the sandbox's 4xMSAA: the pixel-accurate north-star config."""
     _check_against("mini-sandbox-msaa4")
 
 
@@ -178,28 +181,26 @@ def test_sandbox_perf_window_golden():
     _check_against("mini-sandbox-perfwin", perf_window=True)
 
 
-def test_sandbox_exact_sampler_msaa4_golden():
-    """The exact-sampler mode UNDER MSAA4 — the configuration the
-    'pixel-accurate' north-star claim refers to (reference device: 4xMSAA
-    sandbox + per-tap-sRGB aniso16 sampler, main.rs:114-117 +
-    descriptors.rs:90-105) — locked by its own golden. bench.py --exact
-    times this sampler configuration end-to-end at the bench resolution."""
-    _check_against("mini-sandbox-exact-msaa4", exact=True, msaa=4)
+def test_sandbox_fast_sampler_msaa4_golden():
+    """The fast_sampler() OPT-IN (decode-after-filter sRGB + aniso4) under
+    MSAA4, locked by its own golden — the cheap mode stays pinned now that
+    the exact sampler is the default."""
+    _check_against("mini-sandbox-fast-msaa4", fast=True, msaa=4)
 
 
-def test_sandbox_exact_sampler_golden():
-    """The exact-sampler mode (per-tap sRGB + aniso16) locked by its own
-    golden, and pinned CLOSE to the fast default — the documented deviation
-    is bounded, not unbounded drift. Rendered at msaa1: the 16-tap exact
-    sampler is ~8x the filtering cost and interpret mode pays it per sample;
-    MSAA semantics are locked by the msaa4 golden above."""
-    img = _check_against("mini-sandbox-exact", exact=True, msaa=1)
-    fast = _render(msaa=1)[0]
+def test_sandbox_fast_vs_default_drift():
+    """The default (exact) sampler locked by its msaa1 golden, and the fast
+    opt-in pinned CLOSE to it — the documented deviation is bounded, not
+    unbounded drift. Rendered at msaa1: the 16-tap exact sampler is ~8x the
+    filtering cost and interpret mode pays it per sample; MSAA semantics are
+    locked by the msaa4 goldens above."""
+    img = _check_against("mini-sandbox-exact", msaa=1)
+    fast = _render(msaa=1, fast=True)[0]
     diff = np.abs(img.astype(int) - fast.astype(int))
     # measured ~4.4 u8 mean: dominated by aniso16 sharpening distant
-    # checkered floors vs the 4-tap default, plus the bounded sRGB filter-
+    # checkered floors vs the 4-tap fast mode, plus the bounded sRGB filter-
     # order deviation — bounded drift, not divergence
-    assert (diff.mean()) < 8.0, f"exact vs fast mean drift {diff.mean():.2f}"
+    assert (diff.mean()) < 8.0, f"default vs fast mean drift {diff.mean():.2f}"
 
 
 def regenerate(only: str | None = None):
@@ -209,8 +210,8 @@ def regenerate(only: str | None = None):
     GOLDEN.parent.mkdir(exist_ok=True)
     renders = {
         "mini-sandbox-msaa4": dict(),
-        "mini-sandbox-exact": dict(exact=True, msaa=1),
-        "mini-sandbox-exact-msaa4": dict(exact=True, msaa=4),
+        "mini-sandbox-exact": dict(msaa=1),
+        "mini-sandbox-fast-msaa4": dict(fast=True, msaa=4),
         "mini-sandbox-perfwin": dict(perf_window=True),
     }
     keep = dict(np.load(GOLDEN)) if (only and GOLDEN.exists()) else {}

@@ -3,8 +3,9 @@
 
 Parity: the reference's make-ntex CLI (reference: make-ntex/src/main.rs:47-95):
 full mip chain (Lanczos for color, bilinear for non-color data,
-main.rs:150-156,201-209), BC7 compression (ours: native C++ mode-6 encoder,
-csrc/bc7enc.cpp; the reference uses intel_tex), 1024-byte-header ntex output.
+main.rs:150-156,201-209), BC7 compression (ours: native C++ alpha-aware
+multi-mode encoder — modes 1/5/6/7 selected per block by reconstruction
+error, csrc/bc7enc.cpp; the reference uses intel_tex at slow settings), 1024-byte-header ntex output.
 
 Usage: python -m tools.make_ntex [--overwrite] [--silent]
          [--assume-color | --assume-linear] FILE [FILE...]
@@ -57,11 +58,11 @@ def encode_ntex(rgba: np.ndarray, srgb: bool, pool=None) -> bytes:
     so threads scale)."""
     mips = build_mips(np.ascontiguousarray(rgba, np.uint8), color=srgb)
     if pool is None:
-        blocks = [native.bc7_encode_mode6(m).tobytes() for m in mips]
+        blocks = [native.bc7_encode(m).tobytes() for m in mips]
     else:
         blocks = [
             f.result().tobytes()
-            for f in [pool.submit(native.bc7_encode_mode6, m) for m in mips]
+            for f in [pool.submit(native.bc7_encode, m) for m in mips]
         ]
     return _assemble_ntex(rgba, blocks, srgb)
 

@@ -39,36 +39,44 @@ def main(shard_counts=(2, 4, 8)) -> list[dict]:
     from dataclasses import replace
 
     cfg = replace(renderer.config, height=1024).validate()
-    scene = make_scene(1.0)  # first timed frame of the canonical timeline
-    fv = draw_stream.frame_view(scene)
-    gs, geom = renderer._geometry(scene, fv.order, fv.geom_key)
-    frame = draw_stream.unpack_frame(
-        renderer._frame_arrays(scene, fv, gs), morph_k=gs.morph_k,
-        joint_cap=renderer._joint_cap(scene),
-    )
-    vs = vertex_stage.run_vertex_stage(geom, frame, skin_start=gs.skin_start,
-                                       morph_k=gs.morph_k)
-    td = setup.triangle_setup(
-        vs["clip"], geom["tri_v"], frame["num_tris"], cfg.width, cfg.height,
-        bbox_pad=(0.5 if cfg.msaa_samples > 1 else 0.0),
-    )
-    bounds = [0, frame["n_opaque"]]
-    if gs.num_masked_tris > 0:
-        bounds.append(frame["n_opaque"] + frame["n_masked"])
-    if gs.num_tris > gs.num_opaque_tris + gs.num_masked_tris:
-        bounds.append(frame["num_tris"])
     kw = dict(tiles_x=cfg.tiles_x, tiles_y=cfg.tiles_y, tile_w=cfg.tile_w,
               tile_h=cfg.tile_h, pair_capacity=cfg.pair_capacity,
               row_capacity=cfg.row_capacity)
 
-    def demands(tile_row_lo, local_tiles_y, row_stride=1):
-        out = binning.bin_triangle_classes(
-            td, tuple(bounds), tile_row_lo=tile_row_lo,
-            local_tiles_y=local_tiles_y, row_stride=row_stride, **kw)
-        _b, _s, _c, ov, row_ov, pair_dem, row_dem = out
-        assert int(np.asarray(ov).sum()) == 0 and int(row_ov) == 0
-        return int(pair_dem), int(row_dem)
+    def frame_demands(t: float):
+        """Returns demands(tile_row_lo, local_tiles_y, row_stride) for the
+        frame at timeline time t."""
+        scene = make_scene(t)
+        fv = draw_stream.frame_view(scene)
+        gs, geom = renderer._geometry(scene, fv.order, fv.geom_key)
+        frame = draw_stream.unpack_frame(
+            renderer._frame_arrays(scene, fv, gs), morph_k=gs.morph_k,
+            joint_cap=renderer._joint_cap(scene),
+        )
+        vs = vertex_stage.run_vertex_stage(
+            geom, frame, skin_start=gs.skin_start, morph_k=gs.morph_k)
+        td = setup.triangle_setup(
+            vs["clip"], geom["tri_v"], frame["num_tris"],
+            cfg.width, cfg.height,
+            bbox_pad=(0.5 if cfg.msaa_samples > 1 else 0.0),
+        )
+        bounds = [0, frame["n_opaque"]]
+        if gs.num_masked_tris > 0:
+            bounds.append(frame["n_opaque"] + frame["n_masked"])
+        if gs.num_tris > gs.num_opaque_tris + gs.num_masked_tris:
+            bounds.append(frame["num_tris"])
 
+        def demands(tile_row_lo, local_tiles_y, row_stride=1):
+            out = binning.bin_triangle_classes(
+                td, tuple(bounds), tile_row_lo=tile_row_lo,
+                local_tiles_y=local_tiles_y, row_stride=row_stride, **kw)
+            _b, _s, _c, ov, row_ov, pair_dem, row_dem = out
+            assert int(np.asarray(ov).sum()) == 0 and int(row_ov) == 0
+            return int(pair_dem), int(row_dem)
+
+        return demands
+
+    demands = frame_demands(1.0)  # first timed frame of the canonical timeline
     full_pairs, full_rows = demands(0, cfg.tiles_y)
     rows = [{"sp": 1, "pairs_per_dev_max": full_pairs,
              "rows_per_dev_max": full_rows, "pairs_sum": full_pairs,
@@ -100,6 +108,36 @@ def main(shard_counts=(2, 4, 8)) -> list[dict]:
                          "speedup_vs_replicated": round(full_pairs / pmax, 2)})
             print(f"{sp:>3} {layout:>12} {pmax:>16} {rmax:>15} {psum:>11} "
                   f"{full_pairs / pmax:>17.2f}x")
+
+    # dp×sp: each dp group runs the SAME sp sharding on its OWN frame
+    # (render_frames_batched), so per-device demand is the max over the
+    # batch's frames — here dp=2 frames of the canonical timeline — and
+    # per_shard_config's bucket suggestion must hold that max.
+    from renderer_tpu.parallel.mesh import per_shard_config
+
+    dp = 2
+    sp = max(s for s in shard_counts if cfg.tiles_y % s == 0) // dp
+    if sp >= 2:
+        local = cfg.tiles_y // sp
+        d2 = frame_demands(2.0)  # a second camera/animation time
+        for layout, stride in (("contiguous", 1), ("interleaved", sp)):
+            per = []
+            for dem in (demands, d2):
+                per += [dem(k * (local if stride == 1 else 1), local, stride)
+                        for k in range(sp)]
+            pmax = max(p for p, _ in per)
+            rmax = max(r for _, r in per)
+            shard_cfg = per_shard_config(cfg, sp)
+            fits = (pmax <= shard_cfg.pair_capacity
+                    and rmax <= shard_cfg.row_capacity)
+            rows.append({"dp": dp, "sp": sp, "layout": layout,
+                         "pairs_per_dev_max": pmax,
+                         "rows_per_dev_max": rmax,
+                         "per_shard_pair_capacity": shard_cfg.pair_capacity,
+                         "per_shard_fits": fits})
+            print(f"dp×sp=({dp},{sp}) {layout:>12} {pmax:>16} {rmax:>15} "
+                  f"{'':>11} per-shard bucket {shard_cfg.pair_capacity}"
+                  f" {'OK' if fits else 'OVERFLOWS'}")
     return rows
 
 
