@@ -6,11 +6,14 @@ which dominates startup on bandwidth-constrained host→device links
 (STARTUP.md: the Sponza-scale atlas is ~390 MB decoded vs ~91 MB of BC7
 source). This module uploads the SOURCE instead:
 
-- the raw BC7 block stream (1 byte/texel), grouped by mode host-side so
-  each group decodes with a static-layout pass (materials/bc7_jax),
-- one u32 of placement metadata per block (top-left flat index + valid
-  extent packed — per-texel destination indices are DERIVED on device,
-  never uploaded),
+- the raw BC7 block stream (1 byte/texel) in ORIGINAL rect order; the
+  device derives everything else: block modes from the block bytes, the
+  mode grouping via one stable argsort (each mode's group then decodes
+  with a static-layout pass, materials/bc7_jax — group SIZES are static,
+  computed host-side), and per-block destinations from per-RECT segment
+  metadata via a device searchsorted (a few KB for the whole atlas; the
+  round<5 plan uploaded a u32 placement word per 4x4 block instead —
+  24 MB of the Sponza-scale upload),
 - the non-BC7 rects' texels verbatim (small: fonts, embedded PNGs),
 - border gather/scatter index lists replaying atlas.py's two-pass wrap
   border composition (rows per wrap_t, then columns per wrap_s INCLUDING
@@ -56,10 +59,16 @@ DECODE_CHUNK = 1 << 18
 @dataclass
 class AtlasPlan:
     shape: tuple[int, int]  # (AH, AW)
-    mode_blocks: dict[int, np.ndarray]  # mode -> [Nm, 4] u32 blocks
-    mode_meta: dict[int, np.ndarray]  # mode -> [Nm] u32 packed placement
+    blocks: np.ndarray  # [N, 4] u32 BC7 blocks in ORIGINAL rect order
+    mode_counts: dict[int, int]  # mode -> block count (static group sizes)
+    # per-RECT segment metadata (one row per (texture, mip) BC7 rect):
+    seg_start: np.ndarray  # [R+1] i32 block-stream offsets (seg_start[R]=N)
+    seg_base: np.ndarray   # [R] i32 atlas flat index of the rect's (+1,+1)
+    seg_bw: np.ndarray     # [R] i32 blocks per rect row
+    seg_w: np.ndarray      # [R] i32 rect texel width
+    seg_h: np.ndarray      # [R] i32 rect texel height
     raw_tiles: np.ndarray  # [M, 16] u32 non-BC7 texels as 4x4 tiles
-    raw_meta: np.ndarray  # [M] u32 packed placement (same scheme as blocks)
+    raw_meta: np.ndarray  # [M] u32 packed placement (per-tile; small)
     border_src1: np.ndarray  # row pass (wrap_t)
     border_dst1: np.ndarray
     border_src2: np.ndarray  # column pass (wrap_s, sees row borders)
@@ -73,8 +82,9 @@ class AtlasPlan:
     def upload_bytes(self) -> int:
         """Host->device payload of realize_atlas — what actually crosses
         the link (the decision signal vs the full decoded atlas)."""
-        return (sum(b.nbytes for b in self.mode_blocks.values())
-                + sum(m.nbytes for m in self.mode_meta.values())
+        return (self.blocks.nbytes
+                + self.seg_start.nbytes + self.seg_base.nbytes
+                + self.seg_bw.nbytes + self.seg_w.nbytes + self.seg_h.nbytes
                 + self.raw_tiles.nbytes + self.raw_meta.nbytes
                 + self.border_src1.nbytes + self.border_dst1.nbytes
                 + self.border_src2.nbytes + self.border_dst2.nbytes)
@@ -147,7 +157,11 @@ def build_atlas_plan(registry: MaterialRegistry) -> AtlasPlan:
     wrap = np.zeros((constants.MAX_TEXTURES, 2), np.int32)
 
     all_blocks: list[np.ndarray] = []
-    all_meta: list[np.ndarray] = []
+    seg_start: list[int] = [0]
+    seg_base: list[int] = []
+    seg_bw: list[int] = []
+    seg_w: list[int] = []
+    seg_h: list[int] = []
     raw_tiles: list[np.ndarray] = []
     raw_meta: list[np.ndarray] = []
     b_s1: list[np.ndarray] = []
@@ -186,7 +200,11 @@ def build_atlas_plan(registry: MaterialRegistry) -> AtlasPlan:
             if bm is not None:
                 blocks = bm[src_mip]
                 all_blocks.append(np.ascontiguousarray(blocks).view("<u4"))
-                all_meta.append(_tile_meta(x, y, w, h, aw, len(blocks)))
+                seg_start.append(seg_start[-1] + len(blocks))
+                seg_base.append((y + 1) * aw + (x + 1))
+                seg_bw.append((w + 3) // 4)
+                seg_w.append(w)
+                seg_h.append(h)
             else:
                 texels = _pack_rgba(tex.mips[src_mip])  # [h, w] u32
                 bw, bh = (w + 3) // 4, (h + 3) // 4
@@ -205,17 +223,13 @@ def build_atlas_plan(registry: MaterialRegistry) -> AtlasPlan:
 
     blocks_cat = (np.concatenate(all_blocks) if all_blocks
                   else np.zeros((0, 4), np.uint32))
-    meta_cat = (np.concatenate(all_meta) if all_meta
-                else np.zeros(0, np.uint32))
+    # static per-mode group sizes (values only — the grouping itself
+    # happens ON DEVICE via a stable argsort in realize_atlas)
     modes = bc7_jax.block_modes(blocks_cat.view(np.uint8).reshape(-1, 16)) \
         if len(blocks_cat) else np.zeros(0, np.int32)
-    mode_blocks = {}
-    mode_meta = {}
-    for m in range(8):
-        sel = np.nonzero(modes == m)[0]
-        if sel.size:
-            mode_blocks[m] = blocks_cat[sel]
-            mode_meta[m] = meta_cat[sel]
+    assert (modes < 8).all(), "invalid BC7 block (no mode bit) in stream"
+    mode_counts = {int(m): int(c)
+                   for m, c in zip(*np.unique(modes, return_counts=True))}
 
     def cat(parts, dtype):
         return (np.concatenate(parts).astype(dtype) if parts
@@ -223,8 +237,13 @@ def build_atlas_plan(registry: MaterialRegistry) -> AtlasPlan:
 
     return AtlasPlan(
         shape=(ah, aw),
-        mode_blocks=mode_blocks,
-        mode_meta=mode_meta,
+        blocks=blocks_cat,
+        mode_counts=mode_counts,
+        seg_start=np.asarray(seg_start, np.int32),
+        seg_base=np.asarray(seg_base if seg_base else [0], np.int32),
+        seg_bw=np.asarray(seg_bw if seg_bw else [1], np.int32),
+        seg_w=np.asarray(seg_w if seg_w else [4], np.int32),
+        seg_h=np.asarray(seg_h if seg_h else [4], np.int32),
         raw_tiles=(np.concatenate(raw_tiles) if raw_tiles
                    else np.zeros((0, 16), np.uint32)),
         raw_meta=cat(raw_meta, np.uint32),
@@ -235,12 +254,21 @@ def build_atlas_plan(registry: MaterialRegistry) -> AtlasPlan:
 
 
 def realize_atlas(plan: AtlasPlan):
-    """One jitted device pass: per-mode BC7 decode → scatter → borders.
-    Returns the [AH, AW] u32 atlas ON DEVICE (never materialized on host).
+    """One jitted device pass: derive modes + grouping + destinations on
+    device, per-mode BC7 decode → scatter → borders. Returns the [AH, AW]
+    u32 atlas ON DEVICE (never materialized on host).
+
+    The block stream arrives in ORIGINAL rect order; the device computes
+    each block's mode from its bytes, groups by mode with ONE stable
+    argsort (group sizes are the static `mode_counts`, so every decode
+    slice is static-shape), and derives each block's destination from the
+    per-rect segment table with a searchsorted — no per-block metadata
+    crosses the link (ROADMAP backlog D: this replaced 4 B/block of
+    placement words, 24 MB at Sponza scale).
 
     Every plan array is device_put EXPLICITLY before the jit call: on
     tunneled runtimes the implicit jit-argument transfer path is ~10x
-    slower than jnp.asarray (measured: 12.6 s vs 1.1 s for the 125 MB
+    slower than jnp.asarray (measured: 12.6 s vs 1.1 s for the
     Sponza-scale plan); the zero-initialized atlas buffer is created
     outside the trace so the executable never embeds a huge constant
     (donating it is not possible — XLA picks a different internal
@@ -255,13 +283,10 @@ def realize_atlas(plan: AtlasPlan):
     ah, aw = plan.shape
     n_flat = ah * aw
 
-    def scatter_tiles(flat, tiles, meta):
-        """Scatter [M, 16] texel tiles to destinations DERIVED from the
-        packed meta (valid-extent texels only; edge-crop and padding texels
-        land on the dump slot n_flat)."""
-        base = (meta >> np.uint32(_META_SHIFT)).astype(jnp.int32)
-        vh = ((meta >> np.uint32(2)) & np.uint32(3)).astype(jnp.int32) + 1
-        vw = (meta & np.uint32(3)).astype(jnp.int32) + 1
+    def scatter(flat, tiles, base, vw, vh):
+        """Scatter [M, 16] texel tiles to base + tile-local offsets
+        (valid-extent texels only; edge-crop texels land on the dump slot
+        n_flat)."""
         t = jnp.arange(16, dtype=jnp.int32)
         ty, tx = t // 4, t % 4
         dest = base[:, None] + ty[None, :] * aw + tx[None, :]
@@ -269,55 +294,73 @@ def realize_atlas(plan: AtlasPlan):
         dest = jnp.minimum(jnp.where(oob, n_flat, dest), n_flat)
         return flat.at[dest.reshape(-1)].set(tiles.reshape(-1))
 
-    @functools.partial(jax.jit, static_argnames=("modes",))
-    def _realize(flat, mode_arrays, raw_tiles, raw_meta, bs1, bd1, bs2, bd2,
-                 modes: tuple):
-        for m, (blocks, meta) in zip(modes, mode_arrays):
-            k = blocks.shape[0] // DECODE_CHUNK
-            if k <= 1:
-                tex = bc7_jax.decode_mode(blocks, m)
-            else:
-                # fixed-size chunks under lax.map: the decode body is
-                # traced ONCE at DECODE_CHUNK width — this runtime's
-                # serialized executables grow ~6 bytes per decoded block
-                # otherwise (measured: 10 MB for one 1.6M-block mode),
-                # making the compile-cache entry itself a multi-second
-                # startup transfer
-                tex = jax.lax.map(
-                    lambda b, m=m: bc7_jax.decode_mode(b, m),
-                    blocks.reshape(k, DECODE_CHUNK, 4),
-                ).reshape(-1, 16)
-            flat = scatter_tiles(flat, tex, meta)
+    def scatter_meta(flat, tiles, meta):
+        base = (meta >> np.uint32(_META_SHIFT)).astype(jnp.int32)
+        vh = ((meta >> np.uint32(2)) & np.uint32(3)).astype(jnp.int32) + 1
+        vw = (meta & np.uint32(3)).astype(jnp.int32) + 1
+        return scatter(flat, tiles, base, vw, vh)
+
+    @functools.partial(jax.jit, static_argnames=("counts",))
+    def _realize(flat, blocks, seg_start, seg_base, seg_bw, seg_w, seg_h,
+                 raw_tiles, raw_meta, bs1, bd1, bs2, bd2, counts: tuple):
+        if blocks.shape[0]:
+            # per-block mode = lowest set bit of byte 0 (bc7_jax.block_modes
+            # semantics); host asserted every block has one
+            byte0 = blocks[:, 0] & jnp.uint32(0xFF)
+            bits = (byte0[:, None] >> jnp.arange(8, dtype=jnp.uint32)) & 1
+            mode = jnp.argmax(bits, axis=1).astype(jnp.int32)
+            # ONE stable sort groups the stream by mode; static counts make
+            # each group a static slice
+            perm = jnp.argsort(mode, stable=True)
+            grouped = blocks[perm]
+            off = 0
+            for m, n_m in counts:
+                seg = grouped[off:off + n_m]
+                orig = perm[off:off + n_m]
+                k = -(-n_m // DECODE_CHUNK)
+                if k <= 1:
+                    tex = bc7_jax.decode_mode(seg, m)
+                else:
+                    # fixed-size chunks under lax.map: the decode body is
+                    # traced ONCE at DECODE_CHUNK width — this runtime's
+                    # serialized executables grow ~6 bytes per decoded
+                    # block otherwise (measured: 10 MB for one 1.6M-block
+                    # mode), making the compile-cache entry itself a
+                    # multi-second startup transfer
+                    pad = k * DECODE_CHUNK - n_m
+                    seg = jnp.pad(seg, ((0, pad), (0, 0)))
+                    tex = jax.lax.map(
+                        lambda b, m=m: bc7_jax.decode_mode(b, m),
+                        seg.reshape(k, DECODE_CHUNK, 4),
+                    ).reshape(-1, 16)[:n_m]
+                # destination from the per-rect segment table
+                r = jnp.searchsorted(seg_start, orig, side="right") - 1
+                local = orig - seg_start[r]
+                by = local // seg_bw[r]
+                bx = local - by * seg_bw[r]
+                base = seg_base[r] + by * 4 * aw + bx * 4
+                vw = jnp.minimum(seg_w[r] - bx * 4, 4)
+                vh = jnp.minimum(seg_h[r] - by * 4, 4)
+                flat = scatter(flat, tex, base, vw, vh)
+                off += n_m
         if raw_tiles.shape[0]:
-            flat = scatter_tiles(flat, raw_tiles, raw_meta)
+            flat = scatter_meta(flat, raw_tiles, raw_meta)
         if bs1.shape[0]:
             flat = flat.at[bd1].set(flat[bs1])
             flat = flat.at[bd2].set(flat[bs2])
         return flat[:n_flat].reshape(ah, aw)
 
-    modes = tuple(sorted(plan.mode_blocks))
+    counts = tuple(sorted((int(m), int(c))
+                          for m, c in plan.mode_counts.items()))
     put = jnp.asarray  # explicit upload (see docstring)
-
-    def padded(m):
-        """Pad a mode's blocks/meta to a DECODE_CHUNK multiple (when
-        chunking applies): zero blocks with dump-slot meta."""
-        blocks, meta = plan.mode_blocks[m], plan.mode_meta[m]
-        n = len(blocks)
-        if n > DECODE_CHUNK and n % DECODE_CHUNK:
-            pad = DECODE_CHUNK - n % DECODE_CHUNK
-            blocks = np.concatenate(
-                [blocks, np.zeros((pad, 4), np.uint32)])
-            meta = np.concatenate([meta, np.full(
-                pad, np.uint32(n_flat << _META_SHIFT), np.uint32)])
-        return put(blocks), put(meta)
-
-    mode_arrays = tuple(padded(m) for m in modes)
     flat0 = jnp.zeros(n_flat + 1, jnp.uint32)
-    return _realize(flat0, mode_arrays, put(plan.raw_tiles),
-                    put(plan.raw_meta),
+    return _realize(flat0, put(np.ascontiguousarray(plan.blocks)),
+                    put(plan.seg_start), put(plan.seg_base),
+                    put(plan.seg_bw), put(plan.seg_w), put(plan.seg_h),
+                    put(plan.raw_tiles), put(plan.raw_meta),
                     put(plan.border_src1), put(plan.border_dst1),
                     put(plan.border_src2), put(plan.border_dst2),
-                    modes=modes)
+                    counts=counts)
 
 
 def _plan_cache_dir(registry: MaterialRegistry):
@@ -332,25 +375,25 @@ def build_atlas_plan_cached(registry: MaterialRegistry) -> AtlasPlan:
     import json
 
     cdir = _plan_cache_dir(registry)
-    names = ("raw_tiles", "raw_meta", "border_src1", "border_dst1",
+    names = ("seg_start", "seg_base", "seg_bw", "seg_w", "seg_h",
+             "raw_tiles", "raw_meta", "border_src1", "border_dst1",
              "border_src2", "border_dst2", "table", "srgb", "flat", "wrap")
     if cdir.is_dir():
         try:
             meta = json.loads((cdir / "meta.json").read_text())
+            if meta.get("version") != 2:
+                raise ValueError("plan cache format changed")
             kw = {n: np.load(cdir / f"{n}.npy", allow_pickle=False)
                   for n in names}
-            mode_blocks = {}
-            mode_meta = {}
-            for m in meta["modes"]:
-                mode_blocks[m] = np.load(cdir / f"blocks_{m}.npy",
-                                         mmap_mode="r", allow_pickle=False)
-                mode_meta[m] = np.load(cdir / f"meta_{m}.npy",
-                                       allow_pickle=False)
-            return AtlasPlan(shape=tuple(meta["shape"]),
-                             mode_blocks=mode_blocks, mode_meta=mode_meta,
-                             **kw)
+            blocks = np.load(cdir / "blocks.npy", mmap_mode="r",
+                             allow_pickle=False)
+            return AtlasPlan(
+                shape=tuple(meta["shape"]), blocks=blocks,
+                mode_counts={int(m): int(c)
+                             for m, c in meta["mode_counts"].items()},
+                **kw)
         except Exception:
-            pass  # corrupt/stale → rebuild
+            pass  # corrupt/stale/old-format → rebuild
 
     plan = build_atlas_plan(registry)
     try:
@@ -361,13 +404,11 @@ def build_atlas_plan_cached(registry: MaterialRegistry) -> AtlasPlan:
         tmp.mkdir(exist_ok=True)
         for n in names:
             np.save(tmp / f"{n}.npy", getattr(plan, n), allow_pickle=False)
-        for m, b in plan.mode_blocks.items():
-            np.save(tmp / f"blocks_{m}.npy", b, allow_pickle=False)
-            np.save(tmp / f"meta_{m}.npy", plan.mode_meta[m],
-                    allow_pickle=False)
+        np.save(tmp / "blocks.npy", plan.blocks, allow_pickle=False)
         (tmp / "meta.json").write_text(json.dumps(
-            {"shape": list(plan.shape),
-             "modes": sorted(int(m) for m in plan.mode_blocks)}))
+            {"version": 2, "shape": list(plan.shape),
+             "mode_counts": {str(m): int(c)
+                             for m, c in plan.mode_counts.items()}}))
         try:
             os.replace(tmp, cdir)
         except OSError:
