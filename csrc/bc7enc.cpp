@@ -50,93 +50,25 @@ struct BitWriter {
 
 inline int interp(int e0, int e1, int w) { return (e0 * (64 - w) + e1 * w + 32) >> 6; }
 
-// quantize one endpoint (4 channels) to 7 bits + shared p-bit
-void quantize_endpoint(const float v[4], int p, int q[4]) {
-  for (int c = 0; c < 4; c++) {
-    int target = (int)std::lround(v[c]);
-    int qc = (target - p) >> 1;
-    qc = std::max(0, std::min(127, qc));
-    // check neighbor for better reconstruction
-    int best = qc, best_err = std::abs((qc * 2 + p) - target);
-    for (int d = -1; d <= 1; d += 2) {
-      int cand = qc + d;
-      if (cand < 0 || cand > 127) continue;
-      int err = std::abs((cand * 2 + p) - target);
-      if (err < best_err) { best = cand; best_err = err; }
-    }
-    q[c] = best;
-  }
-}
+// defined below (shared by every mode): PCA endpoints + quantize + index
+// fit + least-squares refinement rounds
+double fit_subset(const float px[16][4], const uint8_t* mask, int subset,
+                  int bits, int p0, int p1, int has_p,
+                  const int* wts, int nidx, int nch,
+                  int q0[4], int q1[4], int idx[16]);
 
 double encode_block_mode6(const float px[16][4], uint8_t* out) {
-  // principal axis via covariance power iteration
-  float mean[4] = {0, 0, 0, 0};
-  for (int i = 0; i < 16; i++)
-    for (int c = 0; c < 4; c++) mean[c] += px[i][c];
-  for (int c = 0; c < 4; c++) mean[c] /= 16.0f;
-
-  float cov[4][4] = {};
-  for (int i = 0; i < 16; i++) {
-    float d[4];
-    for (int c = 0; c < 4; c++) d[c] = px[i][c] - mean[c];
-    for (int a = 0; a < 4; a++)
-      for (int b = 0; b < 4; b++) cov[a][b] += d[a] * d[b];
-  }
-  float axis[4] = {1, 1, 1, 0};
-  for (int it = 0; it < 8; it++) {
-    float next[4] = {};
-    for (int a = 0; a < 4; a++)
-      for (int b = 0; b < 4; b++) next[a] += cov[a][b] * axis[b];
-    float norm = std::sqrt(next[0] * next[0] + next[1] * next[1] +
-                           next[2] * next[2] + next[3] * next[3]);
-    if (norm < 1e-9f) break;
-    for (int c = 0; c < 4; c++) axis[c] = next[c] / norm;
-  }
-
-  float tmin = 1e30f, tmax = -1e30f;
-  for (int i = 0; i < 16; i++) {
-    float t = 0;
-    for (int c = 0; c < 4; c++) t += (px[i][c] - mean[c]) * axis[c];
-    tmin = std::min(tmin, t);
-    tmax = std::max(tmax, t);
-  }
-  float ep[2][4];
-  for (int c = 0; c < 4; c++) {
-    ep[0][c] = std::max(0.0f, std::min(255.0f, mean[c] + tmin * axis[c]));
-    ep[1][c] = std::max(0.0f, std::min(255.0f, mean[c] + tmax * axis[c]));
-  }
-
-  // pick p-bits + indices minimizing total squared error (try 4 p combos)
+  // pick p-bits + endpoints + indices minimizing total squared error
+  // (4 p combos × PCA + LS-refined 7-bit endpoints + exact index search)
   int best_q[2][4];
   int best_p[2] = {0, 0};
   int best_idx[16];
   double best_err = 1e30;
   for (int p0 = 0; p0 < 2; p0++)
     for (int p1 = 0; p1 < 2; p1++) {
-      int q0[4], q1[4];
-      quantize_endpoint(ep[0], p0, q0);
-      quantize_endpoint(ep[1], p1, q1);
-      int r0[4], r1[4];
-      for (int c = 0; c < 4; c++) {
-        r0[c] = q0[c] * 2 + p0;
-        r1[c] = q1[c] * 2 + p1;
-      }
-      double err = 0;
-      int idx[16];
-      for (int i = 0; i < 16; i++) {
-        double bei = 1e30;
-        int bj = 0;
-        for (int j = 0; j < 16; j++) {
-          double e = 0;
-          for (int c = 0; c < 4; c++) {
-            double d = interp(r0[c], r1[c], kWeights4[j]) - px[i][c];
-            e += d * d;
-          }
-          if (e < bei) { bei = e; bj = j; }
-        }
-        idx[i] = bj;
-        err += bei;
-      }
+      int q0[4], q1[4], idx[16];
+      double err = fit_subset(px, nullptr, 0, 7, p0, p1, 1, kWeights4, 16,
+                              4, q0, q1, idx);
       if (err < best_err) {
         best_err = err;
         std::memcpy(best_q[0], q0, sizeof(q0));
@@ -297,6 +229,75 @@ void rank_partitions(const float px[16][4], const uint8_t* parts, int nch,
   }
 }
 
+// least-squares endpoint refinement: given the current indices, solve the
+// 2x2 normal equations per channel for the best CONTINUOUS endpoints, then
+// the caller requantizes + refits indices (the intel_tex slow-settings
+// style inner loop). Returns false when the system is degenerate (all
+// texels on one palette entry).
+bool ls_endpoints(const float px[16][4], const uint8_t* mask, int subset,
+                  const int* wts, const int idx[16], int nch,
+                  float e0[4], float e1[4]) {
+  double a = 0, b = 0, c = 0, d0[4] = {0, 0, 0, 0}, d1[4] = {0, 0, 0, 0};
+  for (int i = 0; i < 16; i++) {
+    if (mask && mask[i] != subset) continue;
+    double w = wts[idx[i]] / 64.0, u = 1.0 - w;
+    a += u * u;
+    b += u * w;
+    c += w * w;
+    for (int ch = 0; ch < nch; ch++) {
+      d0[ch] += u * px[i][ch];
+      d1[ch] += w * px[i][ch];
+    }
+  }
+  double det = a * c - b * b;
+  if (std::fabs(det) < 1e-8) return false;
+  for (int ch = 0; ch < nch; ch++) {
+    double v0 = (c * d0[ch] - b * d1[ch]) / det;
+    double v1 = (a * d1[ch] - b * d0[ch]) / det;
+    e0[ch] = float(std::max(0.0, std::min(255.0, v0)));
+    e1[ch] = float(std::max(0.0, std::min(255.0, v1)));
+  }
+  return true;
+}
+
+// quantize endpoints at (bits, p) precision, fit indices, then up to two
+// LS-refine → requantize → refit rounds, keeping the best. Fills q0/q1 and
+// idx (texels of `subset` only); returns the subset's squared error.
+double fit_subset(const float px[16][4], const uint8_t* mask, int subset,
+                  int bits, int p0, int p1, int has_p,
+                  const int* wts, int nidx, int nch,
+                  int q0[4], int q1[4], int idx[16]) {
+  float e0[4], e1[4];
+  subset_endpoints(px, mask, subset, nch, e0, e1);
+  double best = 1e30;
+  int bq0[4] = {0, 0, 0, 0}, bq1[4] = {0, 0, 0, 0}, bidx[16] = {};
+  for (int round = 0; round < 3; round++) {
+    int tq0[4], tq1[4], r0[4], r1[4], tidx[16];
+    for (int c = 0; c < nch; c++) {
+      tq0[c] = quant_channel(e0[c], bits, p0, has_p);
+      tq1[c] = quant_channel(e1[c], bits, p1, has_p);
+      r0[c] = expand_ep(tq0[c], bits, p0, has_p);
+      r1[c] = expand_ep(tq1[c], bits, p1, has_p);
+    }
+    double e = fit_indices(px, mask, subset, r0, r1, wts, nidx, nch, tidx);
+    if (e < best) {
+      best = e;
+      std::memcpy(bq0, tq0, sizeof(tq0));
+      std::memcpy(bq1, tq1, sizeof(tq1));
+      std::memcpy(bidx, tidx, sizeof(tidx));
+    }
+    if (round == 2 ||
+        !ls_endpoints(px, mask, subset, wts, tidx, nch, e0, e1))
+      break;
+  }
+  std::memcpy(q0, bq0, sizeof(bq0));
+  std::memcpy(q1, bq1, sizeof(bq1));
+  // all 16 slots written (non-subset texels get 0); callers merge subsets
+  // under their own mask guard
+  std::memcpy(idx, bidx, sizeof(bidx));
+  return best;
+}
+
 // mode 1: 2 subsets, RGB 6.6.6 + shared p-bit/subset, 3-bit indices.
 // Decodes alpha=255 — callers gate it on fully-opaque blocks.
 double encode_mode1(const float px[16][4], const uint8_t* parts,
@@ -310,18 +311,11 @@ double encode_mode1(const float px[16][4], const uint8_t* parts,
     int q[2][2][3], pbit[2], idx[16];
     double perr = 0;
     for (int s = 0; s < 2; s++) {
-      float e0[4], e1[4];
-      subset_endpoints(px, mask, s, 3, e0, e1);
       double sbest = 1e30;
       for (int p = 0; p < 2; p++) {
-        int q0[3], q1[3], r0[4], r1[4], sidx[16];
-        for (int c = 0; c < 3; c++) {
-          q0[c] = quant_channel(e0[c], 6, p, 1);
-          q1[c] = quant_channel(e1[c], 6, p, 1);
-          r0[c] = expand_ep(q0[c], 6, p, 1);
-          r1[c] = expand_ep(q1[c], 6, p, 1);
-        }
-        double e = fit_indices(px, mask, s, r0, r1, kWeights3, 8, 3, sidx);
+        int q0[4], q1[4], sidx[16];
+        double e = fit_subset(px, mask, s, 6, p, p, 1, kWeights3, 8, 3,
+                              q0, q1, sidx);
         if (e < sbest) {
           sbest = e;
           pbit[s] = p;
@@ -367,27 +361,16 @@ double encode_mode1(const float px[16][4], const uint8_t* parts,
 // mode 5 (rotation 0): 1 subset, RGB 7.7 + separate alpha 8.8 plane,
 // 2-bit color indices + 2-bit alpha indices
 double encode_mode5(const float px[16][4], uint8_t* out) {
-  float e0[4], e1[4];
-  subset_endpoints(px, nullptr, 0, 3, e0, e1);
-  int q0[4], q1[4], r0[4], r1[4], cidx[16];
-  for (int c = 0; c < 3; c++) {
-    q0[c] = quant_channel(e0[c], 7, 0, 0);
-    q1[c] = quant_channel(e1[c], 7, 0, 0);
-    r0[c] = expand_ep(q0[c], 7, 0, 0);
-    r1[c] = expand_ep(q1[c], 7, 0, 0);
-  }
-  double cerr = fit_indices(px, nullptr, 0, r0, r1, kWeights2, 4, 3, cidx);
-  // alpha plane: min/max endpoints at full 8 bits
-  float amin = 255.0f, amax = 0.0f;
-  for (int i = 0; i < 16; i++) {
-    amin = std::min(amin, px[i][3]);
-    amax = std::max(amax, px[i][3]);
-  }
-  int a0 = int(std::lround(amin)), a1 = int(std::lround(amax));
-  int ra0[4] = {a0, 0, 0, 0}, ra1[4] = {a1, 0, 0, 0}, aidx[16];
+  int q0[4], q1[4], cidx[16];
+  double cerr = fit_subset(px, nullptr, 0, 7, 0, 0, 0, kWeights2, 4, 3,
+                           q0, q1, cidx);
+  // alpha plane: its own 8.8 line (fit_subset on the alpha as channel 0)
   float pa[16][4];
   for (int i = 0; i < 16; i++) pa[i][0] = px[i][3];
-  double aerr = fit_indices(pa, nullptr, 0, ra0, ra1, kWeights2, 4, 1, aidx);
+  int qa0[4], qa1[4], aidx[16];
+  double aerr = fit_subset(pa, nullptr, 0, 8, 0, 0, 0, kWeights2, 4, 1,
+                           qa0, qa1, aidx);
+  int a0 = qa0[0], a1 = qa1[0];
   // anchor rule, separately per index plane (texel 0 anchors both)
   if (cidx[0] >= 2) {
     for (int c = 0; c < 3; c++) std::swap(q0[c], q1[c]);
@@ -425,19 +408,12 @@ double encode_mode7(const float px[16][4], const uint8_t* parts,
     int q[2][2][4], pb[2][2], idx[16];
     double perr = 0;
     for (int s = 0; s < 2; s++) {
-      float e0[4], e1[4];
-      subset_endpoints(px, mask, s, 4, e0, e1);
       double sbest = 1e30;
       for (int pc = 0; pc < 4; pc++) {
         int p0 = pc & 1, p1 = pc >> 1;
-        int q0[4], q1[4], r0[4], r1[4], sidx[16];
-        for (int c = 0; c < 4; c++) {
-          q0[c] = quant_channel(e0[c], 5, p0, 1);
-          q1[c] = quant_channel(e1[c], 5, p1, 1);
-          r0[c] = expand_ep(q0[c], 5, p0, 1);
-          r1[c] = expand_ep(q1[c], 5, p1, 1);
-        }
-        double e = fit_indices(px, mask, s, r0, r1, kWeights2, 4, 4, sidx);
+        int q0[4], q1[4], sidx[16];
+        double e = fit_subset(px, mask, s, 5, p0, p1, 1, kWeights2, 4, 4,
+                              q0, q1, sidx);
         if (e < sbest) {
           sbest = e;
           pb[s][0] = p0;
