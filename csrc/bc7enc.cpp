@@ -2,21 +2,32 @@
 //
 // The reference's make-ntex CLI compresses textures with the native intel_tex
 // BC7 encoder at slow settings with alpha-aware mode selection (reference:
-// make-ntex/src/main.rs:231-246); this is the TPU-build equivalent. Per
-// 4x4 block the encoder tries, and keeps the lowest-reconstruction-error of:
+// make-ntex/src/main.rs:231-246); this is the TPU-build equivalent. ALL 8
+// BC7 modes are considered; per 4x4 block the encoder keeps the lowest
+// reconstruction error of the tried set:
 //   mode 6  — 1 subset, 7.7.7.7+p endpoints, 4-bit indices (the solid RGBA
 //             workhorse; also the only mode of the round<5 encoder)
+//   mode 0  — 3 subsets (16 partitions), RGB 4.4.4 + per-endpoint p, 3-bit
+//             indices (three color regions in one block)
 //   mode 1  — 2 subsets, RGB 6.6.6 + shared p-bit, 3-bit indices (opaque
 //             blocks whose colors do not fit ONE line: edges/gradients)
-//   mode 5  — 1 subset, RGB 7.7 + SEPARATE alpha 8.8 plane, 2+2-bit indices
-//             (smooth independent alpha: color and alpha each get a line)
+//   mode 2  — 3 subsets (64 partitions), RGB 5.5.5, 2-bit indices
+//   mode 3  — 2 subsets, RGB 7.7.7 + per-endpoint p, 2-bit indices (two
+//             smooth regions: endpoint precision over index resolution)
+//   mode 4  — 1 subset, rotation, selectable index widths: RGB 5.5 +
+//             separate alpha 6.6, one 2-bit + one 3-bit index plane
+//   mode 5  — 1 subset, rotation, RGB 7.7 + SEPARATE alpha 8.8 plane,
+//             2+2-bit indices (smooth independent alpha)
 //   mode 7  — 2 subsets, RGBA 5.5.5.5+p, 2-bit indices (sharp alpha that
 //             correlates with a 2-subset color split: cutout edges)
-// Modes 1 is tried only on fully-opaque blocks (it decodes alpha=255);
-// 5/7 only when the block has alpha<255 (they can't beat 6 on opaque
-// content but cost the full partition search). The 2-subset partition
-// search scores all 64 patterns with a per-subset variance proxy and fully
-// evaluates the best 8 (the slow-settings analog).
+// The alpha-aware gating mirrors intel_tex's: modes 0/1/2/3 are tried only
+// on fully-opaque blocks (they decode alpha=255), modes 4/5/7 only when the
+// block has alpha<255 (they can't beat 6 on opaque content but cost the
+// full search); mode 6 is always tried. Modes 4/5 additionally search the
+// 4 channel rotations (trading the dedicated scalar plane to R/G/B — the
+// decorrelated-channel case). The 2-subset partition search scores all 64
+// patterns with a per-subset variance proxy and fully evaluates the best 8;
+// the 3-subset search evaluates the best 4 (the slow-settings analog).
 //
 // The partition/anchor tables are PASSED IN from Python
 // (renderer_tpu/materials/bc7_tables.py — empirically recovered from
@@ -190,15 +201,15 @@ double fit_indices(const float px[16][4], const uint8_t* mask, int subset,
   return err;
 }
 
-// rank 2-subset partitions by a cheap proxy (total squared deviation from
+// rank n-subset partitions by a cheap proxy (total squared deviation from
 // per-subset means) and return the `ncand` best into cand[]
-void rank_partitions(const float px[16][4], const uint8_t* parts, int nch,
-                     int ncand, int cand[]) {
+void rank_partitions_n(const float px[16][4], const uint8_t* parts, int npart,
+                       int nsub, int nch, int ncand, int cand[]) {
   double score[64];
-  for (int pi = 0; pi < 64; pi++) {
+  for (int pi = 0; pi < npart; pi++) {
     const uint8_t* mask = parts + pi * 16;
     double s = 0;
-    for (int sub = 0; sub < 2; sub++) {
+    for (int sub = 0; sub < nsub; sub++) {
       float mean[4] = {0, 0, 0, 0};
       int n = 0;
       for (int i = 0; i < 16; i++)
@@ -219,7 +230,7 @@ void rank_partitions(const float px[16][4], const uint8_t* parts, int nch,
   }
   for (int k = 0; k < ncand; k++) {
     int best = -1;
-    for (int pi = 0; pi < 64; pi++) {
+    for (int pi = 0; pi < npart; pi++) {
       bool used = false;
       for (int j = 0; j < k; j++) used |= (cand[j] == pi);
       if (used) continue;
@@ -227,6 +238,11 @@ void rank_partitions(const float px[16][4], const uint8_t* parts, int nch,
     }
     cand[k] = best;
   }
+}
+
+void rank_partitions(const float px[16][4], const uint8_t* parts, int nch,
+                     int ncand, int cand[]) {
+  rank_partitions_n(px, parts, 64, 2, nch, ncand, cand);
 }
 
 // least-squares endpoint refinement: given the current indices, solve the
@@ -358,9 +374,196 @@ double encode_mode1(const float px[16][4], const uint8_t* parts,
   return best_err;
 }
 
-// mode 5 (rotation 0): 1 subset, RGB 7.7 + separate alpha 8.8 plane,
-// 2-bit color indices + 2-bit alpha indices
-double encode_mode5(const float px[16][4], uint8_t* out) {
+// mode 3: 2 subsets, RGB 7.7.7 + per-endpoint p-bit, 2-bit indices — the
+// high-endpoint-precision complement to mode 1 (wins when each subset is a
+// smooth gradient that 2-bit indices resolve but 6-bit endpoints band)
+double encode_mode3(const float px[16][4], const uint8_t* parts,
+                    const uint8_t* anchors, uint8_t* out) {
+  int cand[8];
+  rank_partitions(px, parts, 3, 8, cand);
+  double best_err = 1e30;
+  for (int k = 0; k < 8; k++) {
+    int pi = cand[k];
+    const uint8_t* mask = parts + pi * 16;
+    int q[2][2][3], pb[2][2], idx[16];
+    double perr = 0;
+    for (int s = 0; s < 2; s++) {
+      double sbest = 1e30;
+      for (int pc = 0; pc < 4; pc++) {
+        int p0 = pc & 1, p1 = pc >> 1;
+        int q0[4], q1[4], sidx[16];
+        double e = fit_subset(px, mask, s, 7, p0, p1, 1, kWeights2, 4, 3,
+                              q0, q1, sidx);
+        if (e < sbest) {
+          sbest = e;
+          pb[s][0] = p0;
+          pb[s][1] = p1;
+          for (int c = 0; c < 3; c++) { q[s][0][c] = q0[c]; q[s][1][c] = q1[c]; }
+          for (int i = 0; i < 16; i++)
+            if (mask[i] == s) idx[i] = sidx[i];
+        }
+      }
+      perr += sbest;
+    }
+    if (perr >= best_err) continue;
+    best_err = perr;
+    int anchor_of[2] = {0, anchors[pi]};
+    int qq[2][2][3], pp[2][2], fidx[16];
+    std::memcpy(qq, q, sizeof(q));
+    std::memcpy(pp, pb, sizeof(pb));
+    std::memcpy(fidx, idx, sizeof(idx));
+    for (int s = 0; s < 2; s++) {
+      if (fidx[anchor_of[s]] >= 2) {
+        for (int c = 0; c < 3; c++) std::swap(qq[s][0][c], qq[s][1][c]);
+        std::swap(pp[s][0], pp[s][1]);
+        for (int i = 0; i < 16; i++)
+          if (mask[i] == s) fidx[i] = 3 - fidx[i];
+      }
+    }
+    BitWriter bw(out);
+    bw.put(1u << 3, 4);  // mode 3
+    bw.put(uint32_t(pi), 6);
+    for (int c = 0; c < 3; c++)
+      for (int s = 0; s < 2; s++)
+        for (int e = 0; e < 2; e++) bw.put(uint32_t(qq[s][e][c]), 7);
+    for (int s = 0; s < 2; s++)
+      for (int e = 0; e < 2; e++) bw.put(uint32_t(pp[s][e]), 1);
+    for (int i = 0; i < 16; i++) {
+      bool anchor = (i == 0) || (i == anchor_of[1]);
+      bw.put(uint32_t(fidx[i]), anchor ? 1 : 2);
+    }
+  }
+  return best_err;
+}
+
+// modes 0 and 2: 3 subsets of RGB. Mode 0 = 16 partitions, 4.4.4 +
+// per-endpoint p, 3-bit indices; mode 2 = 64 partitions, 5.5.5, 2-bit
+// indices. Three-cluster blocks that no single or 2-subset line fits.
+double encode_mode0or2(const float px[16][4], int mode, const uint8_t* parts3,
+                       const uint8_t* anchors32, const uint8_t* anchors33,
+                       uint8_t* out) {
+  const int npart = (mode == 0) ? 16 : 64;
+  const int bits = (mode == 0) ? 4 : 5;
+  const int has_p = (mode == 0) ? 1 : 0;
+  const int* wts = (mode == 0) ? kWeights3 : kWeights2;
+  const int nidx = (mode == 0) ? 8 : 4;
+  int cand[4];
+  rank_partitions_n(px, parts3, npart, 3, 3, 4, cand);
+  double best_err = 1e30;
+  for (int k = 0; k < 4; k++) {
+    int pi = cand[k];
+    const uint8_t* mask = parts3 + pi * 16;
+    int q[3][2][3], pb[3][2], idx[16] = {};
+    double perr = 0;
+    for (int s = 0; s < 3; s++) {
+      double sbest = 1e30;
+      int ncomb = has_p ? 4 : 1;
+      for (int pc = 0; pc < ncomb; pc++) {
+        int p0 = pc & 1, p1 = pc >> 1;
+        int q0[4], q1[4], sidx[16];
+        double e = fit_subset(px, mask, s, bits, p0, p1, has_p, wts, nidx, 3,
+                              q0, q1, sidx);
+        if (e < sbest) {
+          sbest = e;
+          pb[s][0] = p0;
+          pb[s][1] = p1;
+          for (int c = 0; c < 3; c++) { q[s][0][c] = q0[c]; q[s][1][c] = q1[c]; }
+          for (int i = 0; i < 16; i++)
+            if (mask[i] == s) idx[i] = sidx[i];
+        }
+      }
+      perr += sbest;
+    }
+    if (perr >= best_err) continue;
+    best_err = perr;
+    int anchor_of[3] = {0, anchors32[pi], anchors33[pi]};
+    int qq[3][2][3], pp[3][2], fidx[16];
+    std::memcpy(qq, q, sizeof(q));
+    std::memcpy(pp, pb, sizeof(pb));
+    std::memcpy(fidx, idx, sizeof(idx));
+    for (int s = 0; s < 3; s++) {
+      if (fidx[anchor_of[s]] >= nidx / 2) {
+        for (int c = 0; c < 3; c++) std::swap(qq[s][0][c], qq[s][1][c]);
+        std::swap(pp[s][0], pp[s][1]);
+        for (int i = 0; i < 16; i++)
+          if (mask[i] == s) fidx[i] = (nidx - 1) - fidx[i];
+      }
+    }
+    BitWriter bw(out);
+    if (mode == 0) {
+      bw.put(1u, 1);  // mode 0
+      bw.put(uint32_t(pi), 4);
+    } else {
+      bw.put(1u << 2, 3);  // mode 2
+      bw.put(uint32_t(pi), 6);
+    }
+    for (int c = 0; c < 3; c++)
+      for (int s = 0; s < 3; s++)
+        for (int e = 0; e < 2; e++) bw.put(uint32_t(qq[s][e][c]), bits);
+    if (has_p)
+      for (int s = 0; s < 3; s++)
+        for (int e = 0; e < 2; e++) bw.put(uint32_t(pp[s][e]), 1);
+    int idx_bits = (mode == 0) ? 3 : 2;
+    for (int i = 0; i < 16; i++) {
+      bool anchor = (i == anchor_of[0]) || (i == anchor_of[1])
+                    || (i == anchor_of[2]);
+      bw.put(uint32_t(fidx[i]), anchor ? idx_bits - 1 : idx_bits);
+    }
+  }
+  return best_err;
+}
+
+// mode 4: 1 subset, RGB 5.5 + separate alpha 6.6, one 2-bit + one 3-bit
+// index plane with idxMode choosing which plane drives color. `rpx` is the
+// block AFTER channel rotation (the caller swapped the rotated channel into
+// the alpha plane; squared error is rotation-invariant).
+double encode_mode4(const float rpx[16][4], int rot, int im, uint8_t* out) {
+  const int* cw = im ? kWeights3 : kWeights2;  // color palette weights
+  const int* aw = im ? kWeights2 : kWeights3;  // alpha palette weights
+  int cn = im ? 8 : 4, an = im ? 4 : 8;
+  int q0[4], q1[4], cidx[16];
+  double cerr = fit_subset(rpx, nullptr, 0, 5, 0, 0, 0, cw, cn, 3,
+                           q0, q1, cidx);
+  float pa[16][4];
+  for (int i = 0; i < 16; i++) pa[i][0] = rpx[i][3];
+  int qa0[4], qa1[4], aidx[16];
+  double aerr = fit_subset(pa, nullptr, 0, 6, 0, 0, 0, aw, an, 1,
+                           qa0, qa1, aidx);
+  int a0 = qa0[0], a1 = qa1[0];
+  // anchor rule per index plane (texel 0 anchors both)
+  if (cidx[0] >= cn / 2) {
+    for (int c = 0; c < 3; c++) std::swap(q0[c], q1[c]);
+    for (int i = 0; i < 16; i++) cidx[i] = (cn - 1) - cidx[i];
+  }
+  if (aidx[0] >= an / 2) {
+    std::swap(a0, a1);
+    for (int i = 0; i < 16; i++) aidx[i] = (an - 1) - aidx[i];
+  }
+  BitWriter bw(out);
+  bw.put(1u << 4, 5);  // mode 4
+  bw.put(uint32_t(rot), 2);
+  bw.put(uint32_t(im), 1);
+  for (int c = 0; c < 3; c++) {
+    bw.put(uint32_t(q0[c]), 5);
+    bw.put(uint32_t(q1[c]), 5);
+  }
+  bw.put(uint32_t(a0), 6);
+  bw.put(uint32_t(a1), 6);
+  // stored plane 0 is ALWAYS the 2-bit one, plane 1 the 3-bit one; idxMode
+  // says which payload (color/alpha) each carries
+  const int* p2 = im ? aidx : cidx;
+  const int* p3 = im ? cidx : aidx;
+  bw.put(uint32_t(p2[0]), 1);
+  for (int i = 1; i < 16; i++) bw.put(uint32_t(p2[i]), 2);
+  bw.put(uint32_t(p3[0]), 2);
+  for (int i = 1; i < 16; i++) bw.put(uint32_t(p3[i]), 3);
+  return cerr + aerr;
+}
+
+// mode 5: 1 subset, RGB 7.7 + separate alpha 8.8 plane, 2-bit color
+// indices + 2-bit alpha indices. `rpx` is the rotated block like mode 4.
+double encode_mode5(const float rpx[16][4], int rot, uint8_t* out) {
+  const float (*px)[4] = rpx;
   int q0[4], q1[4], cidx[16];
   double cerr = fit_subset(px, nullptr, 0, 7, 0, 0, 0, kWeights2, 4, 3,
                            q0, q1, cidx);
@@ -382,7 +585,7 @@ double encode_mode5(const float px[16][4], uint8_t* out) {
   }
   BitWriter bw(out);
   bw.put(1u << 5, 6);  // mode 5
-  bw.put(0u, 2);       // rotation 0
+  bw.put(uint32_t(rot), 2);
   for (int c = 0; c < 3; c++) {
     bw.put(uint32_t(q0[c]), 7);
     bw.put(uint32_t(q1[c]), 7);
@@ -456,21 +659,38 @@ double encode_mode7(const float px[16][4], const uint8_t* parts,
   return best_err;
 }
 
-// alpha-aware multi-mode dispatch (the make-ntex slow-settings analog)
+// alpha-aware all-8-mode dispatch (the make-ntex slow-settings analog):
+// opaque blocks try 6/1/3/0/2, alpha blocks 6/5/4 (×4 rotations)/7
 void encode_block_multi(const float px[16][4], const uint8_t* parts,
-                        const uint8_t* anchors, uint8_t* out) {
+                        const uint8_t* anchors, const uint8_t* parts3,
+                        const uint8_t* anchors32, const uint8_t* anchors33,
+                        uint8_t* out) {
   double err = encode_block_mode6(px, out);
   bool opaque = true;
   for (int i = 0; i < 16; i++) opaque &= (px[i][3] >= 254.5f);
   uint8_t tmp[16];
+  auto keep = [&](double e) {
+    if (e < err) { std::memcpy(out, tmp, 16); err = e; }
+  };
   if (opaque) {
-    double e1 = encode_mode1(px, parts, anchors, tmp);
-    if (e1 < err) { std::memcpy(out, tmp, 16); err = e1; }
+    keep(encode_mode1(px, parts, anchors, tmp));
+    keep(encode_mode3(px, parts, anchors, tmp));
+    keep(encode_mode0or2(px, 0, parts3, anchors32, anchors33, tmp));
+    keep(encode_mode0or2(px, 2, parts3, anchors32, anchors33, tmp));
   } else {
-    double e5 = encode_mode5(px, tmp);
-    if (e5 < err) { std::memcpy(out, tmp, 16); err = e5; }
-    double e7 = encode_mode7(px, parts, anchors, tmp);
-    if (e7 < err) { std::memcpy(out, tmp, 16); err = e7; }
+    for (int rot = 0; rot < 4; rot++) {
+      // rotation r swaps channel r-1 with alpha BEFORE encoding (the
+      // decoder swaps back after); squared error is permutation-invariant
+      float rpx[16][4];
+      std::memcpy(rpx, px, sizeof(rpx));
+      if (rot) {
+        for (int i = 0; i < 16; i++) std::swap(rpx[i][rot - 1], rpx[i][3]);
+      }
+      keep(encode_mode5(rpx, rot, tmp));
+      keep(encode_mode4(rpx, rot, 0, tmp));
+      keep(encode_mode4(rpx, rot, 1, tmp));
+    }
+    keep(encode_mode7(px, parts, anchors, tmp));
   }
 }
 
@@ -496,12 +716,16 @@ void bc7_encode_mode6(const uint8_t* rgba, int w, int h, uint8_t* out) {
   }
 }
 
-// Multi-mode encode (modes 1/5/6/7, alpha-aware per-block selection).
+// Multi-mode encode (all 8 modes, alpha-aware per-block selection).
 // partition2: [64*16] u8 subset ids; anchor2: [64] u8 subset-1 anchor
-// texels — passed in from renderer_tpu/materials/bc7_tables.py (the repo's
-// single, empirically-recovered table source).
+// texels; partition3: [64*16] u8 3-subset ids; anchor3_2/anchor3_3: [64] u8
+// subset-1/subset-2 anchors — passed in from
+// renderer_tpu/materials/bc7_tables.py (the repo's single, empirically-
+// recovered table source).
 void bc7_encode(const uint8_t* rgba, int w, int h, const uint8_t* partition2,
-                const uint8_t* anchor2, uint8_t* out) {
+                const uint8_t* anchor2, const uint8_t* partition3,
+                const uint8_t* anchor3_2, const uint8_t* anchor3_3,
+                uint8_t* out) {
   int bw_ = (w + 3) / 4, bh = (h + 3) / 4;
   for (int by = 0; by < bh; by++) {
     for (int bx = 0; bx < bw_; bx++) {
@@ -512,8 +736,8 @@ void bc7_encode(const uint8_t* rgba, int w, int h, const uint8_t* partition2,
         const uint8_t* p = rgba + (size_t(y) * w + x) * 4;
         for (int c = 0; c < 4; c++) px[i][c] = float(p[c]);
       }
-      encode_block_multi(px, partition2, anchor2,
-                         out + (size_t(by) * bw_ + bx) * 16);
+      encode_block_multi(px, partition2, anchor2, partition3, anchor3_2,
+                         anchor3_3, out + (size_t(by) * bw_ + bx) * 16);
     }
   }
 }

@@ -73,7 +73,8 @@ def load() -> ctypes.CDLL | None:
         lib.bc7_encode.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
-            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
         ]
         lib.bc7_encode.restype = None
         lib.atlas_blit_wrap.argtypes = [
@@ -447,14 +448,15 @@ BC7_WEIGHTS4 = np.array(
 
 
 def bc7_encode(rgba: np.ndarray) -> np.ndarray:
-    """Alpha-aware multi-mode BC7 encode: [h, w, 4] u8 → blocks
+    """Alpha-aware all-8-mode BC7 encode: [h, w, 4] u8 → blocks
     (u8 [n_blocks*16]). Per block the native encoder keeps the lowest-error
-    of modes 6 / 1 (2-subset opaque) / 5 + 7 (alpha content) — the
+    of the tried modes — opaque blocks: 6 / 1 / 3 (2-subset) / 0 / 2
+    (3-subset); alpha blocks: 6 / 5 + 4 (×4 channel rotations) / 7 — the
     make-ntex slow-settings analog (make-ntex/src/main.rs:231-246). The
     partition/anchor tables are passed in from materials/bc7_tables.py
     (single table source). Falls back to the numpy mode-6 path when the
     native library is unavailable (valid blocks, lower quality on
-    alpha/two-subset content — csrc/bc7enc.cpp is the production encoder;
+    alpha/multi-subset content — csrc/bc7enc.cpp is the production encoder;
     quality of both is floored by tests/test_make_ntex.py)."""
     rgba = np.ascontiguousarray(rgba, np.uint8)
     h, w = rgba.shape[:2]
@@ -464,13 +466,18 @@ def bc7_encode(rgba: np.ndarray) -> np.ndarray:
     if lib is not None:
         from renderer_tpu.materials import bc7_tables
 
-        parts = np.ascontiguousarray(bc7_tables.PARTITION_2, np.uint8)
-        anchors = np.ascontiguousarray(bc7_tables.ANCHOR_2, np.uint8)
+        u8 = ctypes.POINTER(ctypes.c_uint8)
+        tables = [
+            np.ascontiguousarray(t, np.uint8) for t in (
+                bc7_tables.PARTITION_2, bc7_tables.ANCHOR_2,
+                bc7_tables.PARTITION_3, bc7_tables.ANCHOR_3_2,
+                bc7_tables.ANCHOR_3_3,
+            )
+        ]
         lib.bc7_encode(
-            rgba.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), w, h,
-            parts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            anchors.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            rgba.ctypes.data_as(u8), w, h,
+            *[t.ctypes.data_as(u8) for t in tables],
+            out.ctypes.data_as(u8),
         )
         return out
     return _bc7_encode_mode6_numpy(rgba, out)
