@@ -139,7 +139,7 @@ def _psnr_ch(a, b, ch):
 
 
 def test_multimode_beats_mode6_on_alpha_and_edges():
-    """The alpha-aware multi-mode encoder (modes 1/5/6/7, csrc/bc7enc.cpp
+    """The alpha-aware multi-mode encoder (all 8 modes, csrc/bc7enc.cpp
     bc7_encode — the make-ntex slow-settings analog,
     make-ntex/src/main.rs:231-246) must measurably beat the mode-6-only
     path on exactly the content mode 6 degrades on: sharp-alpha cutouts and

@@ -4,7 +4,7 @@
 Parity: the reference's make-ntex CLI (reference: make-ntex/src/main.rs:47-95):
 full mip chain (Lanczos for color, bilinear for non-color data,
 main.rs:150-156,201-209), BC7 compression (ours: native C++ alpha-aware
-multi-mode encoder — modes 1/5/6/7 selected per block by reconstruction
+multi-mode encoder — all 8 BC7 modes, selected per block by reconstruction
 error, csrc/bc7enc.cpp; the reference uses intel_tex at slow settings), 1024-byte-header ntex output.
 
 Usage: python -m tools.make_ntex [--overwrite] [--silent]
