@@ -412,9 +412,16 @@ def build_atlas_plan_cached(registry: MaterialRegistry) -> AtlasPlan:
         try:
             os.replace(tmp, cdir)
         except OSError:
+            # os.replace cannot overwrite a NON-EMPTY dir (ENOTEMPTY) — a
+            # stale old-format cache would otherwise wedge the rebuild loop
+            # forever: evict it and retry once.
             import shutil
 
-            shutil.rmtree(tmp, ignore_errors=True)
+            try:
+                shutil.rmtree(cdir, ignore_errors=True)
+                os.replace(tmp, cdir)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)
     except Exception:
         pass  # cache is an optimization only
     return plan

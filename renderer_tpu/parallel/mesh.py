@@ -87,7 +87,9 @@ def per_shard_config(config: RenderConfig, sp: int, *,
         b = 1
         while b < need:
             b *= 2
-        return max(min(b, cap), floor)
+        # floor INSIDE the cap: the full-screen bucket already bounds
+        # per-shard demand, so never exceed it even when floor > need
+        return min(max(b, floor), cap)
 
     return replace(config, pair_capacity=shrink(config.pair_capacity),
                    row_capacity=shrink(config.row_capacity)).validate()

@@ -457,7 +457,12 @@ def bc7_encode(rgba: np.ndarray) -> np.ndarray:
     (single table source). Falls back to the numpy mode-6 path when the
     native library is unavailable (valid blocks, lower quality on
     alpha/multi-subset content — csrc/bc7enc.cpp is the production encoder;
-    quality of both is floored by tests/test_make_ntex.py)."""
+    quality of both is floored by tests/test_make_ntex.py). The fallback is
+    LOUD: encoded bytes are environment-dependent (unlike the hot host-path
+    natives, whose numpy twins are bit-compatible test oracles — the
+    encoder is an offline tool whose correctness oracle is the two
+    independent decoders), so a build failure must never silently degrade
+    asset quality."""
     rgba = np.ascontiguousarray(rgba, np.uint8)
     h, w = rgba.shape[:2]
     bw, bh = (w + 3) // 4, (h + 3) // 4
@@ -480,7 +485,21 @@ def bc7_encode(rgba: np.ndarray) -> np.ndarray:
             out.ctypes.data_as(u8),
         )
         return out
+    global _warned_mode6_fallback
+    if not _warned_mode6_fallback:
+        _warned_mode6_fallback = True
+        import sys
+
+        print(
+            "# native bc7enc unavailable (csrc build failed?) — falling "
+            "back to the numpy MODE-6-ONLY encoder: output is valid BC7 "
+            "but lower quality on alpha/multi-subset content",
+            file=sys.stderr, flush=True,
+        )
     return _bc7_encode_mode6_numpy(rgba, out)
+
+
+_warned_mode6_fallback = False
 
 
 def bc7_encode_mode6(rgba: np.ndarray) -> np.ndarray:

@@ -207,3 +207,40 @@ def test_renderer_device_atlas_renders_identically(monkeypatch):
         return r.render_frame(scene, debug_mode=1)
 
     np.testing.assert_array_equal(build("host"), build("device"))
+
+
+@needs_bcn
+def test_plan_cache_evicts_stale_format_dir(monkeypatch, tmp_path):
+    """A stale old-format plan-cache directory must be REPLACED on rebuild,
+    not wedge the cache forever: os.replace cannot overwrite a non-empty
+    dir (ENOTEMPTY), so without explicit eviction every startup would pay
+    the full plan rebuild while the v1 dir persists (regression: round-5
+    version bump to 2)."""
+    from renderer_tpu.materials import atlas_device
+
+    monkeypatch.setenv("RENDERER_TPU_CACHE", str(tmp_path))
+    registry = rt.MaterialRegistry()
+    registry.register_texture(
+        _bc7_texture("t", 16, 16, rt.TextureKind.SRGB_COLOR, seed=9))
+
+    cdir = atlas_device._plan_cache_dir(registry)
+    cdir.mkdir(parents=True)
+    (cdir / "meta.json").write_text('{"version": 1}')
+    (cdir / "stale.npy").write_bytes(b"junk")  # non-empty → ENOTEMPTY
+
+    import json
+    plan1 = atlas_device.build_atlas_plan_cached(registry)
+    meta = json.loads((cdir / "meta.json").read_text())
+    assert meta["version"] == 2, "stale cache dir was not replaced"
+    assert not (cdir / "stale.npy").exists()
+
+    # second call must LOAD the v2 cache (never rebuild): poison the
+    # builder so a rebuild would fail loudly
+    monkeypatch.setattr(atlas_device, "build_atlas_plan",
+                        lambda r: (_ for _ in ()).throw(
+                            AssertionError("cache miss: rebuild ran")))
+    plan2 = atlas_device.build_atlas_plan_cached(registry)
+    np.testing.assert_array_equal(np.asarray(plan1.blocks),
+                                  np.asarray(plan2.blocks))
+    np.testing.assert_array_equal(plan1.table, plan2.table)
+    assert plan1.mode_counts == plan2.mode_counts

@@ -165,7 +165,13 @@ def test_dp_batch_interleaved_right_sized_matches_single(config):
     )(geom, batched, mats)
     out = np.asarray(out)
     bstats = np.asarray(bstats)
-    assert (bstats[:, :4] == 0).all()  # shrunk buckets did not overflow
+    # Shrunk buckets must not truncate EITHER binning axis: the four
+    # per-class pair-overflow stats AND the row-expansion overflow
+    # (row_capacity was shrunk too; a silent row truncation is exactly the
+    # failure mode this test exists to catch).
+    i_row_ovf = pipeline.STAT_NAMES.index("row_overflow")
+    assert (bstats[:, :4] == 0).all()  # pair buckets did not overflow
+    assert (bstats[:, i_row_ovf] == 0).all()  # row bucket did not overflow
     assert out.shape == (2, H, W, 3)
     for b in range(2):
         assert (singles[b].sum(-1) > 0).mean() > 0.02
@@ -183,6 +189,11 @@ def test_per_shard_config_sizing():
                                                   row_capacity=1 << 14), 8)
     assert tiny.pair_capacity == 1 << 14
     assert pmesh.per_shard_config(cfg, 1).pair_capacity == 1 << 18
+    # cap BEATS floor: a full-screen bucket below the floor already bounds
+    # per-shard demand — the "shrunk" config must never exceed it
+    sub = pmesh.per_shard_config(rt.RenderConfig(pair_capacity=1 << 13,
+                                                 row_capacity=1 << 13), 8)
+    assert sub.pair_capacity == 1 << 13 and sub.row_capacity == 1 << 13
 
 
 def test_dp_batch_overflow_detected():

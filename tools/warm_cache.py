@@ -17,7 +17,8 @@ IMPORTANT (verified, .claude/skills/verify/SKILL.md): `jit.lower().compile()`
 produces a DIFFERENT persistent-cache key than calling the jitted function,
 so probe-style AOT warming always misses. This tool therefore drives the
 PRODUCTION call path: apps.configs.run_all (every matrix entry renders a
-frame) plus bench.build_bench for the default and --exact bench configs.
+frame) plus bench.build_bench for the default (exact-sampler) and --fast
+bench configs.
 Zero device→host readbacks (save_images=False).
 
 Run: python -m tools.warm_cache [frames]   (default 1; run once after any
@@ -32,10 +33,10 @@ import tempfile
 import time
 
 
-def _warm_bench(exact: bool) -> dict:
+def _warm_bench(fast: bool) -> dict:
     import bench
 
-    name, renderer, make_scene = bench.build_bench(exact=exact)
+    name, renderer, make_scene = bench.build_bench(fast=fast)
     t0 = time.perf_counter()
     img = renderer.render_frame_device(make_scene(1.0), debug_mode=0)
     img.block_until_ready()
@@ -55,8 +56,8 @@ def main(frames: int = 1) -> list[dict]:
         # that config's executable — the warming itself; its printed
         # ms_per_frame is the steady-state dispatch time, reported as-is
         rows.extend(configs.run_all(td, frames=frames, save_images=False))
-    rows.append(_warm_bench(exact=False))
-    rows.append(_warm_bench(exact=True))
+    rows.append(_warm_bench(fast=False))
+    rows.append(_warm_bench(fast=True))
     total = time.perf_counter() - t0
     print(f"# warm_cache: {len(rows)} configs in {total:.1f}s — the "
           "persistent cache now holds every matrix executable; a second "
