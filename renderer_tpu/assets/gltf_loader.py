@@ -173,6 +173,14 @@ def _interpolate(channel: AnimationChannel, time: float, animation_name) -> np.n
             channel.path == "rotation",
         )
     if channel.path == "rotation":
+        # t == 0 returns values[k] EXACTLY — sampling at a keyframe yields
+        # the authored quat bit-for-bit, like the _hermite s == 0 early-out.
+        # (glam's slerp at t=0 would re-normalize in its nlerp branch,
+        # flipping last-ULP bits; all three samplers — this oracle, the
+        # vectorized batch, csrc/anim_pose.cpp — share the early-out so
+        # their pinned bit-parity holds at keyframe-exact times too.)
+        if t == 0.0:
+            return values[k]
         return math3d.quat_slerp(values[k], values[k + 1], float(t))
     return math3d.lerp(values[k], values[k + 1], float(t))
 
@@ -1040,6 +1048,13 @@ def _parse_glb(data: bytes) -> tuple[dict, bytes | None]:
     bin_chunk = None
     while offset + 8 <= len(data):
         clen, ctype = struct.unpack("<II", data[offset : offset + 8])
+        if offset + 8 + clen > len(data):
+            # a truncated container must fail HERE with file context, not
+            # later as a cryptic short-read from some accessor
+            raise GltfLoadingError(
+                f"GLB truncated: chunk at {offset} claims {clen} bytes, "
+                f"file has {len(data) - offset - 8} left"
+            )
         chunk = data[offset + 8 : offset + 8 + clen]
         if ctype == 0x4E4F534A:  # 'JSON'
             json_chunk = chunk
@@ -1133,6 +1148,20 @@ class _Accessors:
         start = view.get("byteOffset", 0) + acc_offset
         stride = view.get("byteStride")
         elem_size = dtype.itemsize * ncomp
+        # spec §3.6.2.1: the accessor must fit inside ITS bufferView — an
+        # out-of-spec accessor must not silently read the neighbouring
+        # bytes of the shared buffer (np.frombuffer only checks the whole
+        # buffer), nor surface as a bare numpy ValueError on a short file
+        if count:
+            step = stride if stride and stride != elem_size else elem_size
+            need = acc_offset + step * (count - 1) + elem_size
+            avail = view.get("byteLength", len(data) - view.get("byteOffset", 0))
+            if need > avail or start + step * (count - 1) + elem_size > len(data):
+                raise GltfLoadingError(
+                    f"bufferView {view_index}: accessor needs {need} bytes "
+                    f"but the view holds {avail} (buffer {len(data)}B, "
+                    f"offset {start})"
+                )
         if stride is None or stride == elem_size:
             arr = np.frombuffer(data, dtype, count=count * ncomp, offset=start)
             return arr.reshape(count, ncomp)
@@ -1150,6 +1179,33 @@ class _Accessors:
             raw, shape=(count, elem_size), strides=(stride, 1), writeable=False
         )
         return np.ascontiguousarray(window).view(dtype).reshape(count, ncomp)
+
+
+#: normalized-integer → float dequantization for animation outputs
+#: (rotation VEC4 / weights SCALAR may be stored quantized; glTF spec
+#: §3.6.2.2). Parity: the reference dequantizes per component type in
+#: parse_float (gltf/src/lib.rs:766-776) — except its SHORT branch reads
+#: the bits as u16 (garbling negative components); we keep the SPEC
+#: mapping (i16/32767, clamped at -1) instead of that quirk, since the
+#: quirk only ever produces garbage poses.
+_ANIM_DEQUANT = {
+    GLTF_BYTE: lambda v: np.maximum(v.astype(np.float32) / 127.0, -1.0),
+    GLTF_UNSIGNED_BYTE: lambda v: v.astype(np.float32) / 255.0,
+    GLTF_SHORT: lambda v: np.maximum(v.astype(np.float32) / 32767.0, -1.0),
+    GLTF_UNSIGNED_SHORT: lambda v: v.astype(np.float32) / 65535.0,
+    GLTF_FLOAT: lambda v: v.astype(np.float32),
+}
+
+
+def _dequantize_anim(values: np.ndarray, ctype: int) -> np.ndarray:
+    try:
+        f = _ANIM_DEQUANT[ctype]
+    except KeyError:
+        raise GltfLoadingError(
+            f"animation output componentType {ctype} not float or "
+            "normalized-integer"
+        ) from None
+    return f(values)
 
 
 def _texture_kinds(gltf: dict) -> dict[int, str]:
@@ -1348,11 +1404,18 @@ def load_gltf(
         pbr = mat.get("pbrMetallicRoughness")
         if pbr is None:
             raise GltfLoadingError("material missing pbrMetallicRoughness")
-        alpha_mode = {
-            "OPAQUE": AlphaMode.OPAQUE,
-            "MASK": AlphaMode.ALPHA_TO_COVERAGE,
-            "BLEND": AlphaMode.BLENDED,
-        }[mat.get("alphaMode", "OPAQUE")]
+        raw_alpha = mat.get("alphaMode", "OPAQUE")
+        try:
+            alpha_mode = {
+                "OPAQUE": AlphaMode.OPAQUE,
+                "MASK": AlphaMode.ALPHA_TO_COVERAGE,
+                "BLEND": AlphaMode.BLENDED,
+            }[raw_alpha]
+        except KeyError:
+            raise GltfLoadingError(
+                f"material {mat.get('name', '?')!r}: unknown alphaMode "
+                f"{raw_alpha!r}"
+            ) from None
         params = PbrMaterialParameters(
             base_color=tex_for(pbr.get("baseColorTexture")),
             metallic_roughness=tex_for(pbr.get("metallicRoughnessTexture")),
@@ -1464,12 +1527,15 @@ def load_gltf(
                 m = in_acc["max"][0]
                 end_time = m if end_time is None else max(end_time, m)
             path = target["path"]
+            out_ctype = gltf["accessors"][sampler["output"]]["componentType"]
             if path in ("translation", "scale"):
                 values = acc.read(sampler["output"], GLTF_FLOAT, "VEC3")
             elif path == "rotation":
-                values = acc.read(sampler["output"], None, "VEC4").astype(np.float32)
+                values = _dequantize_anim(
+                    acc.read(sampler["output"], None, "VEC4"), out_ctype)
             else:  # weights
-                values = acc.read(sampler["output"], None, "SCALAR").astype(np.float32)
+                values = _dequantize_anim(
+                    acc.read(sampler["output"], None, "SCALAR"), out_ctype)
             interp = sampler.get("interpolation", "LINEAR")
             if interp not in ("LINEAR", "STEP", "CUBICSPLINE"):
                 raise GltfLoadingError(

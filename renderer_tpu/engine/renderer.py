@@ -162,10 +162,17 @@ class Renderer:
         self.shrink_after = shrink_after
         self.max_layers = max_layers
         self._skip_stat_checks = 0  # frames dispatched before a capacity change
-        # capacity right-sizing state, shared by every demand-fed knob:
-        # the configured counts are the floor (never shrink below what the
-        # caller asked for); per-knob (streak length, streak peak demand)
-        # for shrink hysteresis (_streak_shrink)
+        # capacity right-sizing state, shared by every demand-fed knob;
+        # per-knob (streak length, streak peak demand) for shrink
+        # hysteresis (_streak_shrink). Floors differ by knob class: the
+        # LAYER/shade knobs never shrink below the configured counts (each
+        # layer is a whole per-frame pass the caller opted into), while the
+        # binning pair/row buckets are demand-governed in BOTH directions
+        # (floor = the 1<<14 minimum bucket): an oversized sort bucket
+        # taxes every frame O(capacity log capacity), so even a
+        # caller-configured 1<<18 shrinks when the scene sustainedly needs
+        # less — pinned by test_auto_policy_shrinks_oversized_bucket —
+        # and regrows loudly on the next overflow.
         self._layer_floors = {
             field: getattr(self.config, field) for _, field in _LAYER_KNOBS
         }
@@ -438,8 +445,14 @@ class Renderer:
 
     # -- device array preparation -------------------------------------------
 
+    #: distinct draw-list shapes kept resident (host stream + device
+    #: vertex/triangle/morph arrays each) — LRU-bounded so an app cycling
+    #: scenes (level loads, visibility churn) can't grow device memory
+    #: without bound; the same discipline as the loader's blocks cache
+    GEOM_CACHE_MAX = 8
+
     def _geometry(self, scene: Scene, order, geom_key: bytes):
-        cached = self._geom_cache.get(geom_key)
+        cached = self._geom_cache.pop(geom_key, None)  # re-insert = LRU touch
         if cached is None:
             draws = scene.materialize(order)
             gs = draw_stream.build_geometry(draws, self.config.max_triangles)
@@ -450,7 +463,11 @@ class Renderer:
                           "morph_pos", "morph_nrm", "morph_row0", "morph_step")
             }
             cached = (gs, dev)
-            self._geom_cache[geom_key] = cached
+        self._geom_cache[geom_key] = cached
+        while len(self._geom_cache) > self.GEOM_CACHE_MAX:
+            # oldest entry first (dict preserves insertion order); dropping
+            # the reference frees its device arrays
+            self._geom_cache.pop(next(iter(self._geom_cache)))
         return cached
 
     def _use_device_atlas(self) -> bool:
@@ -654,7 +671,12 @@ class Renderer:
                     self._maybe_shrink_capacities(host)
                     break
                 if self.overflow_policy != "sync":
-                    break  # grown for the next call; this batch stays as-is
+                    # grown for the next call; this batch stays as-is — and
+                    # its stats rows still report the OLD capacity's
+                    # overflow, so the next render_frame_device's delayed
+                    # check must not grow AGAIN from the same event
+                    self._skip_stat_checks = 1
+                    break
                 imgs, stats = dispatch()
         self._last_stats = stats[-1]
         return imgs, stats

@@ -302,3 +302,44 @@ def test_shade_strips_jitted_lax_map_matches():
     img_p, img_s = np.asarray(img_p)[0], np.asarray(img_s)[0]
     agreement = (img_p == img_s).all(axis=-1).mean()
     assert agreement > 0.999, f"lax.map strip agreement {agreement}"
+
+
+def test_geom_cache_lru_bounded():
+    """The per-draw-list geometry cache (host stream + device arrays) must
+    be LRU-bounded: an app cycling scenes (level loads, visibility churn)
+    must not accumulate one device geometry copy per distinct draw list
+    forever (round-5 review finding)."""
+    from renderer_tpu.scene import draw_stream
+
+    registry, meshes, material = build_triangle_assets()
+    r = rt.Renderer(registry, rt.RenderConfig(width=64, height=64))
+    cap = rt.Renderer.GEOM_CACHE_MAX
+
+    def geom_for(n):
+        from renderer_tpu.core import math3d
+
+        s = rt.Scene()
+        for i in range(n):
+            s.queue_mesh(meshes[i % len(meshes)], material, None,
+                         math3d.IDENTITY)
+        fv = draw_stream.frame_view(s)
+        return fv.geom_key, r._geometry(s, fv.order, fv.geom_key)
+
+    keys = []
+    for n in range(1, cap + 4):  # distinct draw lists beyond the bound
+        k, _ = geom_for(n)
+        keys.append(k)
+    assert len(set(keys)) == cap + 3  # all distinct
+    assert len(r._geom_cache) == cap  # bounded
+    # most-recent keys survive, oldest evicted
+    assert keys[-1] in r._geom_cache and keys[0] not in r._geom_cache
+    # LRU: touching the oldest RESIDENT entry protects it from the next
+    # eviction (the next insert evicts the second-oldest instead)
+    oldest_resident = next(iter(r._geom_cache))
+    touched_n = keys.index(oldest_resident) + 1  # geom_for(n) made keys[n-1]
+    second_oldest = list(r._geom_cache)[1]
+    geom_for(touched_n)  # cache hit → moves to most-recent
+    geom_for(cap + 5)  # new key → evicts the (un-touched) oldest
+    assert oldest_resident in r._geom_cache
+    assert second_oldest not in r._geom_cache
+    assert len(r._geom_cache) == cap

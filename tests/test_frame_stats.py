@@ -335,3 +335,47 @@ class TestBinOverflow:
 
         ample = rt.Renderer(registry, rt.RenderConfig(**self.CFG))
         np.testing.assert_array_equal(img3, ample.render_frame(scene, 1))
+
+
+class TestBatchGrowNoDoubleGrow:
+    CFG = dict(width=128, height=64, tile_h=16)
+
+    def test_auto_batch_grow_skips_next_frame_check(self):
+        """A batch whose LAST frame overflowed grows once under 'auto'; the
+        stored stats row still reports the OLD capacity's overflow, so the
+        next render_frame_device's one-frame-delayed check must SKIP it —
+        growing again from the same event would double the bucket (and the
+        per-frame sort cost) for one overflow (round-5 review finding)."""
+        from tests.test_alpha_modes import quad
+        from renderer_tpu.core import math3d
+
+        registry = rt.MaterialRegistry()
+        builder = rt.VertexLibraryBuilder()
+        meshes = [quad(builder, 1.2 + 0.02 * i, half=0.9) for i in range(32)]
+        builder.build()
+        mat = registry.create_material(
+            "gray",
+            rt.PbrMaterialParameters(base_color_factor=(0.5, 0.5, 0.5, 1)),
+        )
+
+        def make():
+            s = rt.Scene()
+            for m in meshes:
+                s.queue_mesh(m, mat, None, math3d.IDENTITY)
+            return s
+
+        scenes = [make(), make()]  # both heavy: the LAST row overflows
+        r = rt.Renderer(
+            registry, rt.RenderConfig(pair_capacity=32, **self.CFG),
+            overflow_policy="auto",
+        )
+        _imgs, stats = r.render_frames_device(scenes, debug_mode=1)
+        assert np.asarray(stats)[-1, :4].sum() > 0  # last row overflowed
+        grown = r.config.pair_capacity
+        assert grown > 32
+        # the very next interactive frame must not re-grow from the stale row
+        r.render_frame_device(scenes[0], debug_mode=1)
+        assert r.config.pair_capacity == grown
+        # and the frame after (checking the GROWN frame's clean stats) holds
+        r.render_frame_device(scenes[0], debug_mode=1)
+        assert r.config.pair_capacity == grown
