@@ -195,7 +195,9 @@ class UiIo:
     def add_mouse_button_event(self, button: str, pressed: bool) -> None:
         if self.config_no_mouse:
             return
-        assert button in MOUSE_BUTTONS, button
+        if button not in MOUSE_BUTTONS:
+            return  # unmapped buttons (6+-button mice) are dropped, like
+            # the reference backend's non-exhaustive match (lib.rs:244-290)
         self._pending.append(("mouse_button", button, pressed))
 
     def add_mouse_wheel_event(self, dx: float, dy: float) -> None:
@@ -235,7 +237,12 @@ class UiIo:
                 _, key, pressed = ev
                 was = self.keys_down.get(key, False)
                 self.keys_down[key] = pressed
-                if pressed and not was:
+                if pressed:
+                    # EVERY key_down event is a press — SDL delivers key
+                    # repeat as repeated KeyDown while the key is held, and
+                    # the reference forwards them (lib.rs:244-266), so held
+                    # Backspace/arrows must keep editing like held
+                    # printable keys keep arriving via TextInput
                     self.keys_pressed.add(key)
                 if was and not pressed:
                     self.keys_released.add(key)

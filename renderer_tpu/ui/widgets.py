@@ -147,12 +147,15 @@ class _IdToken:
 
 
 class _TreeToken:
-    """Open tree node: indents (and scopes child ids by the label) until
-    pop() (imgui TreeNodeToken)."""
+    """Open tree node: indents (and scopes child ids by the node's FULL id,
+    not just the label — two same-named nodes under different push_id
+    scopes must give their children distinct ids even though the push_id
+    `with` block exits before the subtree renders) until pop()
+    (imgui TreeNodeToken)."""
 
-    def __init__(self, ui: "Ui", label: str):
+    def __init__(self, ui: "Ui", entry: tuple):
         self._ui = ui
-        self._entry = ("tree", label)
+        self._entry = entry
         ui._win._indent += STYLE["indent"]
         ui._id_stack.append(self._entry)
 
@@ -223,10 +226,14 @@ class Ui:
         self._hover_window = ctx._hovered_window(io.mouse_pos)
         self._cursor_icon = "arrow"
         self._frame_rects: dict[str, tuple] = {}
+        # text-focus liveness: input_text registers its id here every frame
+        # it is submitted; end_frame defocuses a field that stopped being
+        # drawn (collapsed window, widget removed) — imgui's keep-alive rule
+        self._text_seen: set = set()
         if not io.mouse_down["left"] and not io.mouse_released["left"]:
-            # mouse is up: nothing can stay active (drag ended off-frame)
-            if ctx.active_id is not None and ctx.active_id[0] != "text":
-                ctx.active_id = None
+            # mouse is up: nothing can stay active (drag ended off-frame;
+            # text focus lives in ctx.text_active, not active_id)
+            ctx.active_id = None
 
     # -- ids --------------------------------------------------------------------
 
@@ -338,6 +345,13 @@ class Ui:
             # the scroll-INVARIANT intrinsic height (the wheel clamp depends
             # on this not growing with the current scroll)
             st.content_h = win.cursor[1] - win.content_y0
+            # re-clamp EVERY frame (imgui re-clamps at Begin): collapsing a
+            # big subtree shrinks content_h, and a stale scroll_y past the
+            # new end would render an empty body until the next wheel event
+            max_scroll = max(
+                0.0, st.content_h - (st.size[1] - win.title_h
+                                     - 2 * STYLE["window_padding"]))
+            st.scroll_y = min(max(st.scroll_y, 0.0), max_scroll)
             win.dl.pop_clip_rect()
         win.dl.pop_clip_rect()
         self._frame_rects[win.title] = win.outer_rect
@@ -356,6 +370,11 @@ class Ui:
             if dl is not None and not dl.empty:
                 out.extend(dl)
         ctx._rects = dict(self._frame_rects)
+        if ctx.text_active is not None and ctx.text_active not in self._text_seen:
+            # the focused field was not submitted this frame (window
+            # collapsed / widget gone): defocus, or want_text_input would
+            # capture the keyboard forever
+            ctx.text_active = None
         over_any = any(_contains(r, io.mouse_pos)
                        for r in self._frame_rects.values())
         io.want_capture_mouse = over_any or ctx.active_id is not None
@@ -506,6 +525,7 @@ class Ui:
         w = frame_w + 6.0 + self._font.text_width(label)
         rect = win.item_rect(w, h)
         wid = ("text", self._id(label))
+        self._text_seen.add(wid)
         frame = (rect[0], rect[1], rect[0] + frame_w, rect[3])
         hovered = (self._hover_window == win.title
                    and _contains(frame, io.mouse_pos)
@@ -579,15 +599,17 @@ class Ui:
         rect = win.item_rect(w, self._font.line_height)
         if leaf:
             # leaf rows are always-open nodes (imgui TreeNodeFlags::Leaf);
-            # they still own an id so duplicate names stay distinct
-            ctx.tree_open.setdefault(wid, True)
+            # their token still scopes child ids by the full wid, but no
+            # open-state is stored (it would never be read, and span names
+            # vary over a session — the persistent dict must not grow
+            # unboundedly)
             cx = rect[0] + arrow_w / 2
             cy = (rect[1] + rect[3]) / 2
             win.dl.add_rect_filled((cx - 2, cy - 2), (cx + 2, cy + 2),
                                    STYLE["arrow"])
             win.dl.add_text((rect[0] + arrow_w + 2, rect[1]), label,
                             STYLE["text"], self._font, self._registry)
-            return _TreeToken(self, label)
+            return _TreeToken(self, ("tree", wid))
         is_open = ctx.tree_open.setdefault(wid, default_open)
         hovered, _held, clicked = self._item_behavior(("tree", wid), rect)
         if clicked:
@@ -598,7 +620,7 @@ class Ui:
         self._collapse_arrow((cx, cy), not is_open, win.dl)
         win.dl.add_text((rect[0] + arrow_w + 2, rect[1]), label,
                         STYLE["text"], self._font, self._registry)
-        return _TreeToken(self, label) if is_open else None
+        return _TreeToken(self, ("tree", wid)) if is_open else None
 
 
 class _WindowCM:

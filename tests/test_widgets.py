@@ -381,12 +381,57 @@ class TestPerfWindow:
         assert len(dl_open._tris) > len(dl_closed._tris)
 
     def test_duplicate_span_names_have_distinct_ids(self):
+        # duplicate names as NON-leaf nodes: each persists an open-state
+        # entry, and the per-parent name counts must keep their ids
+        # distinct (leaf rows no longer store never-read open state)
+        spans = [
+            FakeSpan("frame", 0, 10e-3),
+            FakeSpan("upload", 1, 2e-3),
+            FakeSpan("copy", 2, 1e-3),
+            FakeSpan("upload", 1, 1e-3),
+            FakeSpan("copy", 2, 0.5e-3),
+        ]
         h = Harness()
-        build = window_build(lambda ui: span_tree(ui, SPANS),
+        build = window_build(lambda ui: span_tree(ui, spans),
                              position=(0, 0), size=(400, 300))
         h.frame(build)
         ids = [wid for wid in h.ctx.tree_open if wid[-1] == "upload"]
         assert len(ids) == 2 and ids[0] != ids[1]
+
+    def test_leaf_rows_store_no_open_state(self):
+        # span names vary over a session; the persistent UiContext must not
+        # grow a tree_open entry per unique leaf id (they are never read)
+        h = Harness()
+        build = window_build(lambda ui: span_tree(ui, SPANS),
+                             position=(0, 0), size=(400, 300))
+        h.frame(build)
+        leaf_names = {"upload", "binning"}
+        assert not [w for w in h.ctx.tree_open if w[-1] in leaf_names]
+
+    def test_children_of_duplicate_named_parents_distinct(self):
+        """Two same-named tree nodes under push_id scopes that exit BEFORE
+        the subtree renders (the span_tree pattern, main.rs:799) must still
+        give their children distinct ids: the open token scopes child ids
+        by the node's full id, not just its label (round-5 review
+        finding — with label-only scoping, toggling one child toggled
+        both)."""
+        def body(ui):
+            for n in (1, 2):
+                with ui.push_id(n):
+                    tok = ui.tree_node("parent", default_open=True)
+                if tok is not None:
+                    inner = ui.tree_node("child", default_open=(n == 1))
+                    if inner is not None:
+                        inner.pop()
+                    tok.pop()
+
+        h = Harness()
+        h.frame(window_build(body, position=(0, 0), size=(300, 200)))
+        ids = [w for w in h.ctx.tree_open if w[-1] == "child"]
+        assert len(ids) == 2 and ids[0] != ids[1]
+        # and their persisted states are independent
+        states = [h.ctx.tree_open[w] for w in ids]
+        assert sorted(states) == [False, True]
 
     def test_performance_stats_window_contract(self):
         # size [640,480] Appearing + collapsed(true, Appearing) + checkbox
@@ -459,3 +504,74 @@ class TestDrawListExtend:
         # and its command is the clipped one
         assert packed["tri_cmd"][2] == 1
         assert tuple(packed["clip"][1]) == (5.0, 5.0, 20.0, 20.0)
+
+
+class TestRound5Hardening:
+    def test_key_repeat_events_keep_editing(self):
+        """SDL delivers key repeat as repeated KeyDown while held; each one
+        must register a press (the reference forwards repeats,
+        lib.rs:244-266) — held Backspace keeps deleting."""
+        h = Harness()
+        state = {"v": "abcdef"}
+
+        def body(ui):
+            _, state["v"] = ui.input_text("name", state["v"])
+        build = window_build(body, position=(0, 0), size=(320, 240))
+        h.frame(build)
+        h.frame(build, click(PAD + 10, TITLE_H + PAD + 3))  # focus
+        # key goes down once, then two REPEAT key_downs with no key_up
+        h.frame(build, [("key_down", "Backspace", [])])
+        h.frame(build, [("key_down", "Backspace", [])])
+        h.frame(build, [("key_down", "Backspace", [])])
+        assert state["v"] == "abc"
+
+    def test_unknown_mouse_button_ignored(self):
+        io = UiIo()
+        io.add_mouse_button_event("x3", True)  # 6+-button mouse: dropped
+        io.new_frame()
+        assert not any(io.mouse_clicked.values())
+
+    def test_text_focus_released_when_widget_disappears(self):
+        """Collapsing the window (or removing the widget) while an
+        input_text is focused must defocus it — want_text_input would
+        otherwise capture the keyboard forever (round-5 review finding)."""
+        h = Harness()
+        state = {"v": "ab", "show": True}
+
+        def body(ui):
+            if state["show"]:
+                _, state["v"] = ui.input_text("name", state["v"])
+        build = window_build(body, position=(0, 0), size=(320, 240))
+        h.frame(build)
+        h.frame(build, click(PAD + 10, TITLE_H + PAD + 3))  # focus
+        h.frame(build)
+        assert h.io.want_text_input
+        state["show"] = False  # widget no longer submitted
+        h.frame(build)
+        assert not h.io.want_text_input
+        assert not h.io.want_capture_keyboard
+
+    def test_scroll_reclamped_when_content_shrinks(self):
+        """Scroll to the bottom of tall content, then shrink the content:
+        scroll_y must re-clamp to the new end on the next frame (imgui
+        re-clamps every Begin), not leave an empty window body."""
+        h = Harness()
+        state = {"lines": 60}
+
+        def body(ui):
+            for i in range(state["lines"]):
+                ui.text(f"line {i}")
+        build = window_build(body, position=(0, 0), size=(200, 100))
+        h.frame(build)
+        for _ in range(50):
+            h.frame(build, [("mouse_motion", 100, 50), ("mouse_wheel", 0, -5)])
+        st = h.ctx.windows["W"]
+        viewport_h = 100.0 - TITLE_H - 2 * PAD
+        assert st.scroll_y == pytest.approx(st.content_h - viewport_h)
+        state["lines"] = 5  # content shrinks (still slightly > viewport)
+        h.frame(build)  # recomputes content_h and re-clamps
+        assert st.scroll_y == pytest.approx(
+            max(0.0, st.content_h - viewport_h))
+        state["lines"] = 1  # now smaller than the viewport: scroll to top
+        h.frame(build)
+        assert st.scroll_y == 0.0
