@@ -105,10 +105,12 @@ class Sandbox:
 
 
 def orbit_camera(ang: float):
-    """The canonical demo orbit: circle the atrium at radius 5, eye height
-    1.8, always facing the atrium center — ONE definition for every
+    """The canonical demo orbit: an ELLIPSE around the atrium (x radius 5,
+    z radius 2 — the atrium is long and narrow), eye height 1.8, always
+    facing the atrium center — ONE definition for every
     flythrough/bench/probe camera path (a change here moves all of them
-    together). Returns (position, orientation) for Scene.camera."""
+    together; the measured 176k worst-frame pair demand in build_bench is
+    for THIS path). Returns (position, orientation) for Scene.camera."""
     eye = np.array([5.0 * np.cos(ang), 1.8, 2.0 * np.sin(ang)], np.float32)
     target = np.array([0.0, 1.5, 0.0], np.float32)
     return math3d.look_at(eye, target, np.array([0, 1, 0], np.float32))
@@ -120,10 +122,13 @@ def build_bench(for_bench: bool = False):
     the bench rebuilds the scene per frame (camera + animation), matching the
     reference's main loop.
 
-    for_bench=True sizes pair_capacity for the orbiting camera up front and
-    turns the per-frame overflow check OFF — any device→host read during the
-    timed loop serializes the dispatch pipeline on tunneled TPU runtimes, so
-    the bench verifies the collected stats AFTER timing instead (bench.py)."""
+    for_bench=True turns the per-frame overflow check OFF — any device→host
+    read during the timed loop serializes the dispatch pipeline on tunneled
+    TPU runtimes, so the bench verifies the collected stats AFTER timing
+    instead, growing the bucket and re-verifying if anything dropped
+    (bench.py passes the verifier-measured pair/row capacities in
+    explicitly; the RenderConfig default covers the orbit's measured
+    demand, see the comment below)."""
     sandbox = Sandbox()
     # The ragged expansion (per-tile-row edge windows, raster/binning.py)
     # cut the orbit's measured worst frame from 776k bbox pairs to 176,269
@@ -185,6 +190,7 @@ def run_loop(
     from renderer_tpu.overlay.perf_window import performance_stats_window
     from renderer_tpu.ui import Platform, UiContext, UiIo
 
+    assert frames > 0, "run_loop needs at least one frame"
     if sandbox is None:
         sandbox = Sandbox()
     # trace_path: also retain per-event spans and write Chrome trace-event
@@ -278,8 +284,11 @@ def run_loop(
                 pitch_once += args[1] / 750.0
 
         # -- game update (main.rs:486-521): movement with the frame's dt
+        # (real frame time when over budget OR immediate-present — the
+        # reference's too_slow covers both, main.rs:494-500)
         dt = (frame_times[-1]
-              if frame_times and frame_times[-1] > 1.2 * budget
+              if frame_times and (immediate_present
+                                  or frame_times[-1] > 1.2 * budget)
               else budget)
         if interactive:
             cam_yaw += yaw_once
@@ -332,6 +341,13 @@ def run_loop(
                 max_width=width, show_memory=False)
             status.extend(ui)
             ui = status
+        elif interactive:
+            # no HUD, but queued UI events must still be promoted+cleared
+            # every frame (UiIo accumulates otherwise) — there is no UI to
+            # capture input, so the want_* flags stay False
+            platform.prepare_frame(io, window_size=(width, height),
+                                   now=time.perf_counter())
+            io.new_frame()
         img = renderer.render_frame_device(scene, debug_mode=debug_value,
                                            ui=ui)
         if i == 0:
@@ -341,12 +357,19 @@ def run_loop(
         now = time.perf_counter()
         frame_time = now - prev
         frame_times.append(frame_time)
-        # fixed timestep unless >20% over budget (main.rs:486-521)
-        game_time += budget if frame_time <= 1.2 * budget else frame_time
-        # frame pacing (main.rs:628-639); immediate_present skips it (the
+        # fixed timestep unless >20% over budget; with immediate present the
+        # reference forces too_slow=true so game time runs at REAL time
+        # (main.rs:486-521, 494-500)
+        if immediate_present or frame_time > 1.2 * budget:
+            game_time += frame_time
+        else:
+            game_time += budget
+        # frame pacing (main.rs:628-639): sleep the REMAINDER of the budget
+        # after this frame's work (deadline = prev + budget), not a full
+        # budget on top of it; immediate_present skips pacing (the
         # sandbox's 'I' key / SwapchainSettings.immediate_present toggle)
         if not immediate_present:
-            sleep_for = budget - (time.perf_counter() - now)
+            sleep_for = budget - (time.perf_counter() - prev)
             if sleep_for > 0:
                 time.sleep(sleep_for)
         prev = time.perf_counter()

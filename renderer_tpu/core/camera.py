@@ -81,6 +81,8 @@ def create_proj(width: float, height: float, near: float, far: float | None) -> 
 
 
 _PROJ_CACHE: dict = {}
+_PROJ_CACHE_MAX = 64  # bounded: an app animating near/far must not grow
+# the module-global dict by one 4x4 per frame forever
 
 
 def _cached_projection(width: float, height: float, near: float,
@@ -94,6 +96,8 @@ def _cached_projection(width: float, height: float, near: float,
     if m is None:
         vk_from_world = world_space.create_transform_to(VULKAN)
         m = create_proj(width, height, near, far) @ vk_from_world
+        while len(_PROJ_CACHE) >= _PROJ_CACHE_MAX:
+            _PROJ_CACHE.pop(next(iter(_PROJ_CACHE)))
         _PROJ_CACHE[key] = m
     return m
 

@@ -53,8 +53,17 @@ class MiniSandbox:
         return scene
 
 
-def test_scripted_events_drive_camera_ui_and_debug_mode():
+def test_scripted_events_drive_camera_ui_and_debug_mode(monkeypatch):
+    import time
+
     from apps.sandbox import run_loop
+
+    # keep the FIXED timestep deterministic: pacing would sleep
+    # budget-minus-frame-time per frame (100 s here), so stub the sleep
+    # out. immediate_present must stay False — with it the reference
+    # forces too_slow=true and runs game time at REAL dt (main.rs:494-500),
+    # which is exactly the nondeterminism this test avoids.
+    monkeypatch.setattr(time, "sleep", lambda _s: None)
 
     # The perf window appears collapsed at UiContext's default (60, 60) with
     # width 640: its title bar spans x 60..700 at y 60..~77 — (100, 65) hits
@@ -77,7 +86,7 @@ def test_scripted_events_drive_camera_ui_and_debug_mode():
     budget = 100.0
     stats = run_loop(
         frames=len(events), target_fps=1.0 / budget, width=128, height=80,
-        msaa=1, show_hud=True, immediate_present=True, events=events,
+        msaa=1, show_hud=True, immediate_present=False, events=events,
         sandbox=MiniSandbox(),
     )
 
@@ -105,3 +114,27 @@ def test_scripted_events_drive_camera_ui_and_debug_mode():
     assert stats["cam_pitch"] == pytest.approx(0.0)
     # NO_MOUSE suppresses UI mouse state during mouse-look (main.rs:425)
     assert not stats["want_capture_mouse"]
+
+
+def test_events_without_hud_still_processed(monkeypatch):
+    """show_hud=False must still promote+clear queued UI events every frame
+    (UiIo accumulates otherwise) and keep the keybinds working."""
+    import time
+
+    from apps.sandbox import run_loop
+
+    monkeypatch.setattr(time, "sleep", lambda _s: None)
+    stats = run_loop(
+        frames=2, target_fps=0.01, width=128, height=80, msaa=1,
+        show_hud=False, events=[[("key_down", "Num2", [])], []],
+        sandbox=MiniSandbox(),
+    )
+    assert stats["debug_mode"] == 2
+    assert not stats["want_capture_keyboard"]  # no UI to capture input
+
+
+def test_zero_frames_refused():
+    from apps.sandbox import run_loop
+
+    with pytest.raises(AssertionError, match="at least one frame"):
+        run_loop(frames=0, sandbox=MiniSandbox())
